@@ -1,0 +1,24 @@
+"""TPU-native Recurrent Fusion Network (RFNet) image-captioning framework.
+
+A brand-new JAX/XLA/Pallas implementation with the full capabilities of the
+PyTorch reference `cswhjiang/Recurrent_Fusion_Network` (ECCV 2018): ShowTell,
+ReviewNet and RecurrentFusionModel captioners over multi-CNN precomputed
+feature arrays, cross-entropy and self-critical (SCST) RL training with
+vectorized CIDEr-D rewards, batched beam search, multi-checkpoint ensemble
+decoding, a COCO caption-metric harness, and checkpoint/resume — redesigned
+idiomatically for TPU (batched `lax.scan` decoding, fused Pallas
+attention-LSTM kernels, pjit/`shard_map` data parallelism) rather than ported.
+
+Layer map (mirrors SURVEY.md §1 of the reference analysis):
+  config.py / feat_registry.py      — L1 config + encoder registry
+  data/                             — L0 prepro + L2 data runtime
+  ops/                              — L3 cores (attention, LSTM cells, MoS, losses)
+  models/                           — L4 models + factory
+  decoding/                         — batched greedy/beam/ensemble engines
+  training/                         — L5/L6 optimizers + train drivers + checkpoints
+  rewards/                          — SCST reward kernel (vectorized CIDEr-D)
+  metrics/                          — L8 caption metrics (pure Python/NumPy)
+  parallel/                         — mesh/sharding helpers (DP over ICI)
+"""
+
+__version__ = "0.1.0"
