@@ -1,0 +1,47 @@
+"""Step-function builders shared by all decode engines.
+
+A step function has signature ``step_fn(tokens, carry) -> (logprobs, carry)``
+where ``tokens`` is (N,) int32 and ``logprobs`` is (N, V+1) normalized
+log-probabilities. ``carry`` is an arbitrary pytree whose leaves all have the
+batch/lane dimension on axis 0 (required by the beam engine's lane gather).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_step_fn(model, params, memory):
+    """Single-model eval-mode step function."""
+
+    def step_fn(tokens, state):
+        xt = model.embed(params, tokens)
+        return model.decode_logprobs(params, xt, memory, state)
+
+    return step_fn
+
+
+def make_ensemble_step_fn(members: Sequence[Tuple[Any, Any, Any]]):
+    """Ensemble step: mean of per-model logits, then log-softmax
+    (reference: eval_utils.py:282-289 model_ensemble_feat_array_one_step).
+
+    members: sequence of (model, params, memory) triples. The carry is a tuple
+    of per-model states. For MoS models the 'logit' is the mixture probability
+    (matching the reference's one_time_step contract).
+    """
+
+    def step_fn(tokens, states):
+        logits = []
+        new_states = []
+        for (model, params, memory), state in zip(members, states):
+            xt = model.embed(params, tokens)
+            l, state = model.decode_logits(params, xt, memory, state)
+            logits.append(l)
+            new_states.append(state)
+        mean = sum(logits) / len(logits)
+        return jax.nn.log_softmax(mean, axis=-1), tuple(new_states)
+
+    return step_fn

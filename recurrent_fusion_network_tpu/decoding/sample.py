@@ -1,0 +1,88 @@
+"""Batched greedy / temperature sampling.
+
+One ``lax.scan`` over time for the whole batch, replacing the reference's
+per-step Python loop with early break (misc/RecurrentFusionModel.py:616-653).
+Semantics match the reference exactly:
+
+  * t = 0 feeds BOS (token 0); sampling starts from the step-1 distribution.
+  * greedy (`sample_max`) takes argmax; otherwise a multinomial draw from
+    exp(logprobs / temperature), with the recorded log-prob taken from the
+    UN-tempered distribution (misc/RecurrentFusionModel.py:624-635).
+  * `unfinished` latches to 0 once a sample emits token 0; recorded tokens are
+    masked to 0 afterwards, but the embedding input uses the raw sampled token
+    (the reference embeds before masking, :637-647).
+  * the early `break` when all samples finish is a compute shortcut only —
+    here the scan always runs seq_length+1 steps and the masks make the
+    remainder inert.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SampleOut(NamedTuple):
+    seq: jnp.ndarray  # (B, L) int32, 0 after EOS
+    seq_logprobs: jnp.ndarray  # (B, L) log-prob of each sampled token
+    logprobs_all: jnp.ndarray  # (B, L+1, V+1) per-step log-distributions
+
+
+def sample(
+    step_fn,
+    init_carry,
+    batch_size: int,
+    seq_length: int,
+    vocab_width: int,
+    *,
+    sample_max: bool = True,
+    temperature: float = 1.0,
+    rng=None,
+):
+    """Roll out seq_length tokens for a batch.
+
+    Args:
+      step_fn: (tokens (B,), carry) -> (logprobs (B, V+1), carry).
+      init_carry: decoder state pytree after `encode`.
+      vocab_width: V+1, the log-distribution width produced by step_fn.
+      sample_max: greedy argmax if True, multinomial otherwise.
+      rng: required when sample_max is False.
+    """
+    B, L = batch_size, seq_length
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def body(carry, t):
+        state, prev_lp, unfinished, rng = carry
+        rng, r = jax.random.split(rng)
+        if sample_max:
+            it_raw = jnp.argmax(prev_lp, axis=-1).astype(jnp.int32)
+        else:
+            it_raw = jax.random.categorical(r, prev_lp / temperature, axis=-1).astype(
+                jnp.int32
+            )
+        samp_lp = jnp.take_along_axis(prev_lp, it_raw[:, None], axis=1)[:, 0]
+        it_raw = jnp.where(t == 0, jnp.zeros_like(it_raw), it_raw)  # BOS at t=0
+        new_unfinished = jnp.where(
+            t <= 1, it_raw > 0, jnp.logical_and(unfinished, it_raw > 0)
+        )
+        it_masked = it_raw * new_unfinished.astype(it_raw.dtype)
+        lp, state = step_fn(it_raw, state)
+        rec = t >= 1
+        out = (
+            jnp.where(rec, it_masked, 0),
+            jnp.where(rec, samp_lp, 0.0),
+            lp,
+        )
+        return (state, lp, new_unfinished, rng), out
+
+    init = (init_carry, jnp.zeros((B, vocab_width)), jnp.zeros((B,), bool), rng)
+    _, (toks, lps, all_lps) = jax.lax.scan(body, init, jnp.arange(L + 1))
+
+    # scan stacks (L+1, ...); recorded tokens start at t=1 -> drop index 0
+    seq = jnp.transpose(toks[1:], (1, 0))  # (B, L)
+    seq_lp = jnp.transpose(lps[1:], (1, 0))  # (B, L)
+    logprobs_all = jnp.transpose(all_lps, (1, 0, 2))  # (B, L+1, V+1)
+    return SampleOut(seq=seq, seq_logprobs=seq_lp, logprobs_all=logprobs_all)

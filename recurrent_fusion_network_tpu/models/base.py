@@ -1,0 +1,123 @@
+"""Shared model protocol pieces + the model factory.
+
+The factory mirrors the reference's ``models.setup(opt)`` dispatch
+(models.py:14-38): name -> model class, with optional checkpoint restore
+handled by ``training/checkpoint.py`` at the call site.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import cells
+from ..ops.initializers import linear, uniform
+
+
+class EncodeOut(NamedTuple):
+    """Result of running a model's image-conditioning phase.
+
+    memory:       whatever the decoder attends over (None for ShowTell,
+                  dict with thought vectors + precomputed attention keys for
+                  ReviewNet / RFNet).
+    state:        initial decoder recurrent state (pytree; every leaf has
+                  batch on axis 0).
+    reason_preds: list of (B, top_words) discriminative head outputs
+                  ([] for ShowTell, [pred] for ReviewNet, M+1 for RFNet).
+    """
+
+    memory: Any
+    state: Any
+    reason_preds: List[jnp.ndarray]
+
+
+def init_embed_logit(key, vocab_size: int, input_encoding_size: int, rnn_size: int):
+    """Token embedding (V+1, E) with U(-0.1, 0.1) and output projection
+    (R -> V+1) with uniform weight / zero bias — the shared init of every
+    reference model (e.g. misc/ShowTellModel.py:32-36)."""
+    k_e, k_l = jax.random.split(key)
+    embed = uniform(k_e, (vocab_size + 1, input_encoding_size))
+    logit = linear(k_l, rnn_size, vocab_size + 1, bias=0.0)
+    return embed, logit
+
+
+def embed_tokens(params, tokens):
+    return params["embed"][tokens]
+
+
+def tile_for_lanes(tree, n_lanes: int):
+    """Repeat every leaf along batch axis 0: (B, ...) -> (B*n_lanes, ...),
+    image-major (each image's block of lanes is contiguous)."""
+    return jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x, n_lanes, axis=0) if x is not None else None, tree
+    )
+
+
+def xe_decode(
+    decode_logprobs_fn,
+    embed_fn,
+    state,
+    seq_in,
+    *,
+    ss_prob=0.0,
+    rng=None,
+    deterministic=True,
+    vocab_size: int,
+):
+    """Teacher-forced decode over time with scheduled sampling.
+
+    Replicates the reference training decode loop
+    (misc/RecurrentFusionModel.py:258-281): at step t >= 1, each sample's
+    input token is replaced, with probability ss_prob, by a draw from the
+    previous step's predicted distribution. Implemented as one `lax.scan`
+    over the time axis with fixed shapes (the reference's early `break` when
+    all sequences end is a compute shortcut, not a semantic difference — the
+    masked loss ignores the extra steps).
+
+    Args:
+      decode_logprobs_fn: (xt, state, rng) -> (logprobs, state).
+      embed_fn: tokens -> embeddings.
+      seq_in: (B, T) int input tokens (column 0 is BOS = 0).
+
+    Returns:
+      (B, T, V+1) log-probabilities.
+    """
+    B, T = seq_in.shape
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    ss = jnp.asarray(ss_prob, jnp.float32)
+
+    def step(carry, inp):
+        state, prev_lp, rng = carry
+        tok, t_idx = inp
+        rng, r_coin, r_samp, r_drop = jax.random.split(rng, 4)
+        coin = jax.random.uniform(r_coin, (B,)) < ss
+        sampled = jax.random.categorical(r_samp, prev_lp, axis=-1)
+        use_ss = jnp.logical_and(t_idx >= 1, coin)
+        it = jnp.where(use_ss, sampled, tok)
+        xt = embed_fn(it)
+        lp, state = decode_logprobs_fn(xt, state, r_drop)
+        return (state, lp, rng), lp
+
+    init_lp = jnp.zeros((B, vocab_size + 1))
+    xs = (seq_in.T, jnp.arange(T))
+    (_, _, _), lps = jax.lax.scan(step, (state, init_lp, rng), xs)
+    return jnp.transpose(lps, (1, 0, 2))
+
+
+def setup(opt):
+    """Model factory (reference: models.py:14-38)."""
+    from .recurrent_fusion import RecurrentFusionModel
+    from .review_net import ReviewNetModel
+    from .show_tell import ShowTellModel
+
+    if opt.caption_model == "show_tell":
+        return ShowTellModel.from_opt(opt)
+    if opt.caption_model == "review_net":
+        return ReviewNetModel.from_opt(opt)
+    if opt.caption_model == "recurrent_fusion_model":
+        return RecurrentFusionModel.from_opt(opt)
+    raise ValueError(f"Caption model not supported: {opt.caption_model}")

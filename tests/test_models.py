@@ -1,0 +1,165 @@
+"""Model-layer tests: shapes, normalization, determinism, and trainability
+of ShowTell / ReviewNet / RecurrentFusionModel."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from recurrent_fusion_network_tpu.config import Options
+from recurrent_fusion_network_tpu.models import (
+    RecurrentFusionModel,
+    ReviewNetModel,
+    ShowTellModel,
+    setup,
+)
+from recurrent_fusion_network_tpu.ops import losses
+
+B, V, L = 4, 30, 5
+
+
+def tiny_showtell():
+    m = ShowTellModel(vocab_size=V, seq_length=L, input_encoding_size=12,
+                      rnn_size=12, fc_feat_size=8)
+    p = m.init_params(jax.random.PRNGKey(0))
+    fc = jax.random.normal(jax.random.PRNGKey(1), (B, 8))
+    return m, p, fc, None
+
+
+def tiny_reviewnet(use_mos=False):
+    m = ReviewNetModel(vocab_size=V, seq_length=L, input_encoding_size=12,
+                       rnn_size=12, att_hid_size=12, fc_feat_size=8,
+                       att_feat_size=10, att_num=6, num_review_steps=3,
+                       top_words_count=8, use_mos=use_mos, num_expert=3)
+    p = m.init_params(jax.random.PRNGKey(0))
+    fc = jax.random.normal(jax.random.PRNGKey(1), (B, 8))
+    att = jax.random.normal(jax.random.PRNGKey(2), (B, 6, 10))
+    return m, p, fc, att
+
+
+def tiny_rfnet():
+    m = RecurrentFusionModel(
+        vocab_size=V, seq_length=L,
+        fc_feat_sizes=(8, 6, 7), att_feat_sizes=(10, 9, 5), att_nums=(6, 4, 3),
+        input_encoding_size=12, rnn_size=12, att_hid_size=12,
+        num_review_steps=3, num_review_steps_0=2, top_words_count=8,
+    )
+    p = m.init_params(jax.random.PRNGKey(0))
+    fcs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, d))
+           for i, d in enumerate(m.fc_feat_sizes)]
+    atts = [jax.random.normal(jax.random.PRNGKey(20 + i), (B, n, d))
+            for i, (n, d) in enumerate(zip(m.att_nums, m.att_feat_sizes))]
+    return m, p, fcs, atts
+
+
+def labels():
+    g = np.random.default_rng(0)
+    lab = np.zeros((B, L + 2), dtype=np.int32)
+    for b in range(B):
+        n = g.integers(2, L + 1)
+        lab[b, 1 : 1 + n] = g.integers(1, V + 1, n)
+    mask = np.zeros((B, L + 2), np.float32)
+    nz = (lab != 0).sum(1) + 2
+    for b in range(B):
+        mask[b, : nz[b]] = 1
+    return jnp.asarray(lab), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("maker,n_reason", [
+    (tiny_showtell, 0), (tiny_reviewnet, 1), (tiny_rfnet, 4),
+])
+def test_forward_contract(maker, n_reason):
+    m, p, fc, att = maker()
+    seq, mask = labels()
+    lps, reason = m.forward(p, fc, att, seq)
+    assert lps.shape == (B, L + 1, V + 1)
+    np.testing.assert_allclose(np.asarray(jnp.exp(lps).sum(-1)), 1.0, rtol=1e-4)
+    assert len(reason) == n_reason
+    for r in reason:
+        assert r.shape[0] == B
+
+
+def test_forward_deterministic_eval():
+    m, p, fcs, atts = tiny_rfnet()
+    seq, _ = labels()
+    a, _ = m.forward(p, fcs, atts, seq)
+    b, _ = m.forward(p, fcs, atts, seq)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scheduled_sampling_changes_path():
+    m, p, fcs, atts = tiny_rfnet()
+    seq, _ = labels()
+    base, _ = m.forward(p, fcs, atts, seq)
+    ss, _ = m.forward(p, fcs, atts, seq, ss_prob=1.0,
+                      rng=jax.random.PRNGKey(3), deterministic=True)
+    assert not np.allclose(np.asarray(base), np.asarray(ss))
+
+
+def test_mos_head_normalized():
+    m, p, fc, att = tiny_reviewnet(use_mos=True)
+    seq, _ = labels()
+    lps, _ = m.forward(p, fc, att, seq)
+    np.testing.assert_allclose(np.asarray(jnp.exp(lps).sum(-1)), 1.0, rtol=1e-3)
+
+
+@pytest.mark.parametrize("maker", [tiny_showtell, tiny_rfnet])
+def test_loss_decreases_under_adam(maker):
+    m, p, fc, att = maker()
+    seq, mask = labels()
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(p)
+
+    def loss_fn(p):
+        lps, _ = m.forward(p, fc, att, seq)
+        return losses.language_model_loss(lps, seq[:, 1:], mask[:, 1:])
+
+    @jax.jit
+    def train_step(p, opt_state):
+        l, g = jax.value_and_grad(loss_fn)(p)
+        updates, opt_state = opt.update(g, opt_state)
+        return optax.apply_updates(p, updates), opt_state, l
+
+    l0 = None
+    for i in range(20):
+        p, opt_state, l = train_step(p, opt_state)
+        if l0 is None:
+            l0 = float(l)
+    assert float(l) < l0 * 0.8, (l0, float(l))
+
+
+def test_factory_dispatch():
+    feats = [
+        {"fc_feat_size": 8, "att_feat_size": 10, "att_num": 6},
+        {"fc_feat_size": 6, "att_feat_size": 9, "att_num": 4},
+    ]
+    opt = Options(caption_model="recurrent_fusion_model", vocab_size=V,
+                  seq_length=L, feat_array_info=feats, rnn_size=16,
+                  input_encoding_size=16, att_hid_size=16)
+    m = setup(opt)
+    assert isinstance(m, RecurrentFusionModel)
+    assert m.num_feat_array == 2
+    opt2 = Options(caption_model="show_tell", vocab_size=V, seq_length=L,
+                   feat_array_info=feats)
+    assert isinstance(setup(opt2), ShowTellModel)
+    with pytest.raises(ValueError):
+        setup(Options(caption_model="nope", vocab_size=V, seq_length=L,
+                      feat_array_info=feats))
+
+
+def test_rfnet_grad_flows_to_all_params():
+    m, p, fcs, atts = tiny_rfnet()
+    seq, mask = labels()
+
+    def loss_fn(p):
+        lps, reason = m.forward(p, fcs, atts, seq)
+        top_true = jnp.full((B, 8), -1, jnp.int32).at[:, 0].set(1)
+        return losses.review_net_ensemble_loss(
+            lps, seq[:, 1:], mask[:, 1:], reason, top_true, 1.0
+        )
+
+    g = jax.grad(loss_fn)(p)
+    flat, _ = jax.tree_util.tree_flatten(g)
+    nonzero = sum(float(jnp.abs(x).sum()) > 0 for x in flat)
+    assert nonzero / len(flat) > 0.9, f"only {nonzero}/{len(flat)} params got grads"
