@@ -1,0 +1,294 @@
+"""Training-time DataLoader.
+
+Produces batches with the exact dict contract of the reference's
+``DataLoader.get_batch`` (dataloader.py:221-356):
+
+  fc_feats / att_feats            (single-encoder) or
+  fc_feats_array / att_feats_array (feat_array: lists of M arrays)
+  labels   (B*seq_per_img, L+2)   zero-bordered token matrix
+  masks    (B*seq_per_img, L+2)   1s through EOS+1
+  gts      list of (ncap, L) full caption sets per image (reward eval)
+  top_words(B*seq_per_img, top_words_count) -1-padded top-word ids
+  infos    per-image {ix, id, file_path}
+  bounds   {it_pos_now, it_max, wrapped}
+
+TPU-first replacements for the reference's multiprocessing BlobFetcher
+(dataloader.py:395-624): a double-buffered background-thread prefetcher that
+assembles whole batches (feature reads are mmap'd numpy slices, not 10 file
+opens per image), with iterator state snapshotted per batch so
+checkpoint/resume stays exact.
+"""
+
+from __future__ import annotations
+
+import queue
+import random
+import threading
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .dataset import FLIP_TYPE_TO_VARIANT, Dataset
+
+
+class DataLoader:
+    def __init__(
+        self,
+        opt,
+        dataset: Dataset,
+        sources: Sequence,  # one FeatureSource per encoder
+        *,
+        prefetch: bool = True,
+    ):
+        self.opt = opt
+        self.dataset = dataset
+        self.sources = list(sources)
+        self.num_feat_array = len(self.sources)
+        self.feature_type = opt.feature_type
+
+        self.batch_size = opt.batch_size
+        self.seq_per_img = opt.seq_per_img
+        self.use_flip = opt.use_flip
+        self.use_crop = opt.use_crop
+        self.aug_type = opt.aug_type
+        self.top_words_count = opt.top_words_count
+
+        self.ix_to_word = dataset.ix_to_word
+        self.vocab_size = dataset.vocab_size
+        self.seq_length = dataset.seq_length
+
+        self.split_image_id = dataset.splits(
+            train_only=bool(opt.train_only),
+            online_training=bool(opt.online_training),
+        )
+        if opt.use_official_split:
+            self.split_image_id = {
+                s: [int(line.strip()) for line in open(getattr(opt, f"official_{s}_id_file"))]
+                for s in ("train", "val", "test")
+            }
+        # `iterators` / `split_image_id` are the CONSUMED view (what has been
+        # handed to the trainer — the state that belongs in a checkpoint);
+        # `_prod_it` / `_order` are the production cursors advanced by batch
+        # assembly (possibly ahead, on the prefetch thread).
+        self.iterators = {"train": 0, "val": 0, "test": 0}
+        self._prod_it = {"train": 0, "val": 0, "test": 0}
+        self._order = {s: list(ids) for s, ids in self.split_image_id.items()}
+
+        self._rng = random.Random(opt.seed)
+        self._np_rng = np.random.default_rng(opt.seed)
+
+        self._prefetch_enabled = prefetch
+        self._prefetchers: Dict[str, "_Prefetcher"] = {}
+
+    # ----------------------------------------------------------------- vocab
+
+    def get_vocab(self):
+        return self.ix_to_word
+
+    def get_vocab_size(self):
+        return self.vocab_size
+
+    def get_seq_length(self):
+        return self.seq_length
+
+    @property
+    def top_words(self):
+        return self.dataset.top_words
+
+    # -------------------------------------------------------------- iterator
+
+    def reset_iterator(self, split: str):
+        self._stop_prefetcher(split)
+        self.iterators[split] = 0
+        self._prod_it[split] = 0
+
+    def restore_state(self, iterators: dict, split_image_id: dict):
+        """Resume from checkpointed iterator state (train.py:49-50 contract)."""
+        for split in self.iterators:
+            self._stop_prefetcher(split)
+        self.iterators = dict(iterators)
+        self._prod_it = dict(iterators)
+        self.split_image_id = {s: list(v) for s, v in split_image_id.items()}
+        self._order = {s: list(v) for s, v in split_image_id.items()}
+
+    def _next_image(self, split: str):
+        """Advance the production cursor by one; returns (image_id, wrapped)."""
+        ids = self._order[split]
+        pos = self._prod_it[split]
+        image_id = ids[pos]
+        pos += 1
+        wrapped = False
+        if pos >= len(ids):
+            pos = 0
+            wrapped = True
+            if split == "train":
+                self._rng.shuffle(ids)
+        self._prod_it[split] = pos
+        return image_id, wrapped
+
+    def _pick_variant(self) -> str:
+        """Random augmentation variant (dataloader.py:432-443)."""
+        if self.use_flip:
+            hi = 10 if self.use_crop else 2
+            return FLIP_TYPE_TO_VARIANT[int(self._np_rng.integers(0, hi))]
+        return FLIP_TYPE_TO_VARIANT[self.aug_type]
+
+    # ----------------------------------------------------------------- batch
+
+    def get_batch(self, split: str, batch_size: Optional[int] = None,
+                  seq_per_img: Optional[int] = None, variant: Optional[str] = None):
+        if (
+            self._prefetch_enabled
+            and batch_size is None
+            and seq_per_img is None
+            and variant is None
+        ):
+            return self._get_prefetched(split)
+        batch = self._assemble_batch(split, batch_size, seq_per_img, variant)
+        self.iterators[split] = self._prod_it[split]
+        self.split_image_id[split] = self._order[split][:]
+        return batch
+
+    def _assemble_batch(self, split, batch_size=None, seq_per_img=None, variant=None):
+        B = batch_size or self.batch_size
+        spi = seq_per_img or self.seq_per_img
+        L = self.seq_length
+        ds = self.dataset
+
+        fc_batch = [[] for _ in range(self.num_feat_array)]
+        att_batch = [[] for _ in range(self.num_feat_array)]
+        label_batch = np.zeros((B * spi, L + 2), dtype=np.int64)
+        gts, infos = [], []
+        wrapped = False
+
+        for i in range(B):
+            image_id, w = self._next_image(split)
+            wrapped = wrapped or w
+            v = variant or self._pick_variant()
+            for m, src in enumerate(self.sources):
+                fc, att = src.load(image_id, v)
+                if att.ndim == 3:
+                    att = att.reshape(-1, att.shape[-1])
+                fc_batch[m].append(fc)
+                att_batch[m].append(att)
+
+            caps = ds.captions_for_image(image_id)
+            ncap = caps.shape[0]
+            assert ncap > 0, "an image does not have any label"
+            if ncap < spi:
+                seq = np.stack(
+                    [caps[self._rng.randint(0, ncap - 1), :L] for _ in range(spi)]
+                )
+            else:
+                start = self._rng.randint(0, ncap - spi)
+                seq = caps[start : start + spi, :L]
+            label_batch[i * spi : (i + 1) * spi, 1 : L + 1] = seq
+
+            gts.append(caps)
+            ix = ds.image_id_to_index[image_id]
+            infos.append(
+                {
+                    "ix": ix,
+                    "id": image_id,
+                    "file_path": ds.info["images"][ix].get("file_path", ""),
+                }
+            )
+
+        # masks: ones through (#nonzero tokens + 2) (dataloader.py:309-314)
+        mask_batch = np.zeros((B * spi, L + 2), dtype=np.float32)
+        nonzeros = (label_batch != 0).sum(axis=1) + 2
+        for r, n in enumerate(nonzeros):
+            mask_batch[r, :n] = 1.0
+
+        # top-word targets, -1 padded (dataloader.py:317-332), vectorized
+        top = np.full((B * spi, self.top_words_count), -1, dtype=np.int64)
+        top_map = ds.vocab_ix_to_top_ix
+        for r in range(B * spi):
+            ids = top_map[label_batch[r]]
+            ids = np.unique(ids[ids >= 0])
+            top[r, : len(ids)] = ids
+
+        # repeat features seq_per_img times (dataloader.py:251-252)
+        data = {}
+        fc_all = [np.repeat(np.stack(fb), spi, axis=0).astype(np.float32) for fb in fc_batch]
+        att_all = [np.repeat(np.stack(ab), spi, axis=0).astype(np.float32) for ab in att_batch]
+        if self.feature_type == "feat_array":
+            data["fc_feats_array"] = fc_all
+            data["att_feats_array"] = att_all
+        else:
+            data["fc_feats"] = fc_all[0]
+            data["att_feats"] = att_all[0]
+
+        data["labels"] = label_batch
+        data["gts"] = gts
+        data["masks"] = mask_batch
+        data["bounds"] = {
+            "it_pos_now": self._prod_it[split],
+            "it_max": len(self._order[split]),
+            "wrapped": wrapped,
+        }
+        data["infos"] = infos
+        data["top_words"] = top
+        return data
+
+    # -------------------------------------------------------------- prefetch
+
+    def _get_prefetched(self, split: str):
+        if split not in self._prefetchers:
+            self._prefetchers[split] = _Prefetcher(self, split)
+        batch, state = self._prefetchers[split].get()
+        # expose iterator state consistent with batches CONSUMED, so
+        # checkpointed iterators resume exactly (train.py:49-50 contract)
+        self.iterators[split] = state["iterators"]
+        self.split_image_id[split] = state["split_image_id"]
+        return batch
+
+    def _stop_prefetcher(self, split: str):
+        p = self._prefetchers.pop(split, None)
+        if p is not None:
+            p.stop()
+
+    def close(self):
+        for split in list(self._prefetchers):
+            self._stop_prefetcher(split)
+
+
+class _Prefetcher:
+    """Double-buffered background batch assembly (replaces BlobFetcher's
+    Pool(8) + 512-deep FIFO, dataloader.py:395-624)."""
+
+    DEPTH = 2
+
+    def __init__(self, loader: DataLoader, split: str):
+        self.loader = loader
+        self.split = split
+        self.q: "queue.Queue" = queue.Queue(maxsize=self.DEPTH)
+        self._stop = threading.Event()
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while not self._stop.is_set():
+            batch = self.loader._assemble_batch(self.split)
+            state = {
+                "iterators": self.loader._prod_it[self.split],
+                "split_image_id": self.loader._order[self.split][:],
+            }
+            while not self._stop.is_set():
+                try:
+                    self.q.put((batch, state), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def get(self):
+        return self.q.get()
+
+    def stop(self):
+        self._stop.set()
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+        self.thread.join(timeout=2.0)

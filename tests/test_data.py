@@ -1,0 +1,192 @@
+"""Data-layer tests: batch contract, iterator/prefetch consistency, packed
+feature storage, prepro scripts."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.data import (
+    DataLoader,
+    Dataset,
+    PackedFeatureSource,
+    decode_sequence,
+)
+from recurrent_fusion_network_tpu.data.prepro_labels import preprocess
+from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq, seq_ngrams
+from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset, synthetic_setup
+
+
+class TestBatchContract:
+    def test_feat_array_batch(self):
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model")
+        data = loader.get_batch("train")
+        B, spi, L = opt.batch_size, opt.seq_per_img, loader.seq_length
+        assert len(data["fc_feats_array"]) == 3
+        assert data["fc_feats_array"][0].shape == (B * spi, 16)
+        assert data["att_feats_array"][1].shape == (B * spi, 4, 8)
+        assert data["labels"].shape == (B * spi, L + 2)
+        assert data["masks"].shape == (B * spi, L + 2)
+        assert data["top_words"].shape == (B * spi, opt.top_words_count)
+        assert len(data["gts"]) == B and len(data["infos"]) == B
+        assert set(data["bounds"]) == {"it_pos_now", "it_max", "wrapped"}
+        # labels zero-bordered
+        assert (data["labels"][:, 0] == 0).all()
+        # mask = #nonzero + 2 ones
+        nz = (data["labels"] != 0).sum(1) + 2
+        np.testing.assert_array_equal(data["masks"].sum(1), nz)
+        # features repeated seq_per_img times per image
+        fc = data["fc_feats_array"][0]
+        for i in range(B):
+            blk = fc[i * spi : (i + 1) * spi]
+            assert (blk == blk[0]).all()
+
+    def test_single_feature_batch(self):
+        opt, loader = synthetic_setup(caption_model="show_tell")
+        data = loader.get_batch("train")
+        assert "fc_feats" in data and "att_feats" in data
+        assert data["fc_feats"].ndim == 2
+
+    def test_top_words_valid(self):
+        opt, loader = synthetic_setup()
+        data = loader.get_batch("train")
+        tw = data["top_words"]
+        ds = loader.dataset
+        for r in range(tw.shape[0]):
+            valid = tw[r][tw[r] >= 0]
+            assert len(np.unique(valid)) == len(valid)
+            # every listed top word appears in the caption
+            cap_tops = set(ds.vocab_ix_to_top_ix[data["labels"][r]]) - {-1}
+            assert set(valid) == cap_tops
+
+    def test_gts_are_full_caption_sets(self):
+        opt, loader = synthetic_setup()
+        data = loader.get_batch("train")
+        for info, g in zip(data["infos"], data["gts"]):
+            np.testing.assert_array_equal(
+                g, loader.dataset.captions_for_image(info["id"])
+            )
+
+
+class TestIterators:
+    def test_epoch_wrap_and_shuffle(self):
+        opt, loader = synthetic_setup(batch_size=8)
+        n_train = len(loader.split_image_id["train"])
+        seen = []
+        wrapped = False
+        for _ in range(n_train // 8 + 1):
+            d = loader.get_batch("train")
+            seen += [i["id"] for i in d["infos"]]
+            wrapped = wrapped or d["bounds"]["wrapped"]
+        assert wrapped
+        # first epoch covered every image exactly once
+        assert sorted(seen[:n_train]) == sorted(loader.split_image_id["train"]) or \
+            len(set(seen[:n_train])) == n_train
+
+    def test_prefetch_matches_sync(self):
+        opt1, sync_loader = synthetic_setup(prefetch=False, seed=3)
+        opt2, pre_loader = synthetic_setup(prefetch=True, seed=3)
+        for _ in range(5):
+            a = sync_loader.get_batch("train")
+            b = pre_loader.get_batch("train")
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(
+                a["fc_feats_array"][0], b["fc_feats_array"][0]
+            )
+            assert a["bounds"] == b["bounds"]
+        assert sync_loader.iterators == pre_loader.iterators
+        pre_loader.close()
+
+    def test_restore_state_resumes_exactly(self):
+        opt, loader = synthetic_setup(seed=5)
+        loader.get_batch("train")
+        it = dict(loader.iterators)
+        sid = {s: list(v) for s, v in loader.split_image_id.items()}
+        next_batch = loader.get_batch("train")
+
+        opt2, loader2 = synthetic_setup(seed=5)
+        loader2.restore_state(it, sid)
+        resumed = loader2.get_batch("train")
+        assert [i["id"] for i in resumed["infos"]] == [
+            i["id"] for i in next_batch["infos"]
+        ]
+
+    def test_reset_iterator(self):
+        opt, loader = synthetic_setup()
+        first = loader.get_batch("val")
+        loader.get_batch("val")
+        loader.reset_iterator("val")
+        again = loader.get_batch("val")
+        assert [i["id"] for i in first["infos"]] == [i["id"] for i in again["infos"]]
+
+
+class TestPackedSource:
+    def test_roundtrip(self, tmp_path):
+        ids = [7, 9, 11]
+        fc = np.random.default_rng(0).standard_normal((3, 5)).astype(np.float32)
+        att = np.random.default_rng(1).standard_normal((3, 4, 6)).astype(np.float32)
+        src = PackedFeatureSource.write(
+            str(tmp_path / "pk"), ids, {"original": fc}, {"original": att}
+        )
+        f, a = src.load(9)
+        np.testing.assert_array_equal(f, fc[1])
+        np.testing.assert_array_equal(a, att[1])
+        # fresh open reads the mmap
+        src2 = PackedFeatureSource(str(tmp_path / "pk"))
+        f2, _ = src2.load(11)
+        np.testing.assert_array_equal(f2, fc[2])
+
+
+class TestPrepro:
+    def karpathy_fixture(self):
+        g = np.random.default_rng(0)
+        words = ["a", "man", "dog", "park", "ball", "runs", "big", "rare1", "rare2"]
+        images = []
+        for i in range(12):
+            sents = []
+            for j in range(5):
+                n = int(g.integers(3, 7))
+                toks = [words[int(g.integers(0, 7))] for _ in range(n)]
+                if i == 0 and j == 0:
+                    toks.append("rare1")  # count 1, below threshold -> UNK
+                sents.append({"tokens": toks})
+            images.append(
+                {
+                    "cocoid": 500 + i,
+                    "split": ["train", "val", "test"][i % 3] if i > 5 else "train",
+                    "filepath": "val2014",
+                    "filename": f"img{i}.jpg",
+                    "sentences": sents,
+                }
+            )
+        return {"images": images}
+
+    def test_preprocess_labels(self):
+        info, labels, starts, ends, top = preprocess(
+            self.karpathy_fixture(), max_length=6, word_count_threshold=2
+        )
+        assert labels.shape[1] == 6
+        assert starts[0] == 1 and ends[-1] == labels.shape[0]
+        assert "UNK" in info["ix_to_word"].values()
+        # rare word maps to UNK
+        vocab = set(info["ix_to_word"].values())
+        assert "rare1" not in vocab
+        ds = Dataset(info, labels, starts, ends, top)
+        caps = ds.captions_for_image(500)
+        assert caps.shape[0] == 5
+        # decode roundtrip produces words from the vocab
+        sents = decode_sequence(info["ix_to_word"], caps)
+        for s in sents:
+            assert all(w in vocab for w in s.split())
+
+    def test_ngram_doc_freq(self):
+        ds = synthetic_dataset(seed=1)
+        ids = ds.splits()["train"]
+        df = compute_doc_freq(ds, ids)
+        assert len(df) > 0
+        # df counts images, not captions: df <= #images
+        assert max(df.values()) <= len(ids)
+        # every unigram of image 0's first caption is present
+        for gram in seq_ngrams(ds.captions_for_image(ids[0])[0]):
+            assert gram in df
