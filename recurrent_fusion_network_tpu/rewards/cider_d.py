@@ -1,0 +1,198 @@
+"""Vectorized CIDEr-D over int token-id sequences — the RL reward kernel.
+
+The reference scores rewards by converting sampled id arrays to strings and
+running a dict-of-string-tuples scorer (get_rewards.py:20-26 +
+ciderD_scorer.py:114-199) — the CPU hot spot of SCST training (SURVEY.md
+§3.2). This implementation:
+
+  * hashes n-grams of int ids into int64 keys (no string building, no tuple
+    hashing in the hot path),
+  * represents each sentence's tf-idf vector as sorted (key, weight) arrays
+    and computes the clipped cosine with `np.intersect1d`,
+  * computes each distinct image's reference vectors ONCE per batch (the
+    reference recomputes them for every duplicated entry).
+
+Semantics (EOS inclusion, idf weighting, clipping, Gaussian length penalty,
+x10 scaling) match the reference scorer; see metrics/cider.py for the
+slow-but-obviously-correct engine it is tested against.
+"""
+
+from __future__ import annotations
+
+import math
+import pickle
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+N_MAX = 4
+KEY_BASE = np.int64(1) << 15  # token ids must be < 32768
+_N_TAG = np.int64(1) << 60  # disambiguates n-gram order in the key space
+
+
+def hash_ngrams(toks: np.ndarray, n_max: int = N_MAX):
+    """(keys, counts, bigram_length) for all 1..n_max-grams of one sentence.
+
+    Key for (t1..tk): tag(k) + ((t1*B + t2)*B + ...); unique per ngram since
+    ids < B and order is tagged.
+    """
+    toks = np.asarray(toks, np.int64)
+    L = len(toks)
+    keys_per_n = []
+    counts_per_n = []
+    length = 0
+    for n in range(1, n_max + 1):
+        m = L - n + 1
+        if m <= 0:
+            keys_per_n.append(np.empty(0, np.int64))
+            counts_per_n.append(np.empty(0, np.int64))
+            continue
+        k = toks[:m].copy()
+        for j in range(1, n):
+            k = k * KEY_BASE + toks[j : j + m]
+        k += _N_TAG * n
+        u, c = np.unique(k, return_counts=True)
+        keys_per_n.append(u)
+        counts_per_n.append(c)
+        if n == 2:
+            length = m  # the reference's bigram-count 'length' quirk
+    return keys_per_n, counts_per_n, length
+
+
+def hash_ngram_tuple(gram: Tuple[int, ...]) -> int:
+    k = np.int64(0)
+    for t in gram:
+        k = k * KEY_BASE + np.int64(t)
+    return int(k + _N_TAG * len(gram))
+
+
+def trim_with_eos(ids) -> np.ndarray:
+    """Tokens up to and INCLUDING the first 0 (array_to_str semantics,
+    get_rewards.py:20-26)."""
+    ids = np.asarray(ids).ravel()
+    nz = np.nonzero(ids == 0)[0]
+    end = int(nz[0]) + 1 if len(nz) else len(ids)
+    return ids[:end].astype(np.int64)
+
+
+class _SentVec:
+    __slots__ = ("keys", "weights", "norms", "length")
+
+    def __init__(self, keys, weights, norms, length):
+        self.keys = keys  # list of n sorted int64 arrays
+        self.weights = weights  # list of n float64 arrays
+        self.norms = norms  # (n,) float64
+        self.length = length
+
+
+class CiderD:
+    """Fixed-idf CIDEr-D scorer (train-idf RL mode, ciderD_scorer.py:60-68).
+
+    df: {int-ngram-tuple: doc_freq} (from data/prepro_ngrams.py) or a
+    pre-hashed {int64: float} dict. ref_len: log(#train images).
+    """
+
+    def __init__(self, df: Dict, ref_len: float, n: int = N_MAX, sigma: float = 6.0):
+        self.n = n
+        self.sigma = sigma
+        self.ref_len = float(ref_len)
+        if df and isinstance(next(iter(df.keys())), tuple):
+            self.df = {hash_ngram_tuple(g): float(v) for g, v in df.items()}
+        else:
+            self.df = dict(df)
+        # array form for vectorized lookup
+        if self.df:
+            ks = np.fromiter(self.df.keys(), np.int64, len(self.df))
+            vs = np.fromiter(self.df.values(), np.float64, len(self.df))
+            order = np.argsort(ks)
+            self._df_keys = ks[order]
+            self._df_vals = np.log(np.maximum(1.0, vs[order]))
+        else:
+            self._df_keys = np.empty(0, np.int64)
+            self._df_vals = np.empty(0, np.float64)
+
+    @classmethod
+    def from_pickle(cls, path: str, **kw):
+        with open(path, "rb") as f:
+            d = pickle.load(f)
+        return cls(d["document_frequency"], d["ref_len"], **kw)
+
+    # ------------------------------------------------------------ internals
+
+    def _log_df(self, keys: np.ndarray) -> np.ndarray:
+        """log(max(1, df)) per key; unseen ngrams get log(1)=0."""
+        idx = np.searchsorted(self._df_keys, keys)
+        idx = np.clip(idx, 0, max(len(self._df_keys) - 1, 0))
+        out = np.zeros(len(keys))
+        if len(self._df_keys):
+            hit = self._df_keys[idx] == keys
+            out[hit] = self._df_vals[idx[hit]]
+        return out
+
+    def _vec(self, ids) -> _SentVec:
+        toks = trim_with_eos(ids)
+        keys_per_n, counts_per_n, length = hash_ngrams(toks, self.n)
+        weights, norms = [], np.zeros(self.n)
+        for n in range(self.n):
+            k, c = keys_per_n[n], counts_per_n[n]
+            w = c * (self.ref_len - self._log_df(k))
+            weights.append(w)
+            norms[n] = math.sqrt(float(np.dot(w, w)))
+        return _SentVec(keys_per_n, weights, norms, length)
+
+    def _sim(self, h: _SentVec, r: _SentVec) -> float:
+        val = 0.0
+        for n in range(self.n):
+            if h.norms[n] == 0 or r.norms[n] == 0:
+                continue
+            _, hi, ri = np.intersect1d(
+                h.keys[n], r.keys[n], assume_unique=True, return_indices=True
+            )
+            if len(hi) == 0:
+                continue
+            hw, rw = h.weights[n][hi], r.weights[n][ri]
+            acc = float(np.sum(np.minimum(hw, rw) * rw))
+            val += acc / (h.norms[n] * r.norms[n])
+        delta = float(h.length - r.length)
+        return val * math.exp(-(delta**2) / (2 * self.sigma**2))
+
+    # --------------------------------------------------------------- public
+
+    def score_arrays(
+        self,
+        hyps: Sequence[np.ndarray],
+        refs_per_hyp: Sequence[Sequence[np.ndarray]],
+        ref_cache_keys: Sequence | None = None,
+    ) -> np.ndarray:
+        """Score each hyp against its reference set.
+
+        ref_cache_keys: optional hashable per hyp identifying its reference
+        set; duplicated sets (e.g. seq_per_img expansion) are vectorized once.
+        """
+        cache: Dict = {}
+        scores = np.zeros(len(hyps))
+        for i, hyp in enumerate(hyps):
+            hv = self._vec(hyp)
+            ck = ref_cache_keys[i] if ref_cache_keys is not None else i
+            if ck not in cache:
+                cache[ck] = [self._vec(r) for r in refs_per_hyp[i]]
+            rvs = cache[ck]
+            total = sum(self._sim(hv, rv) for rv in rvs)
+            scores[i] = total / self.n / len(rvs) * 10.0
+        return scores
+
+    def compute_score(self, gts: Dict, res: List[Dict]) -> Tuple[float, np.ndarray]:
+        """Reference-compatible surface (ciderD.py:27): gts maps entry id ->
+        list of id-strings; res is [{'image_id': i, 'caption': [id-string]}]."""
+        hyps, refs, keys = [], [], []
+        for entry in res:
+            i = entry["image_id"]
+            hyps.append(_parse(entry["caption"][0]))
+            refs.append([_parse(s) for s in gts[i]])
+            keys.append(id(gts[i]))
+        scores = self.score_arrays(hyps, refs, keys)
+        return float(np.mean(scores)), scores
+
+
+def _parse(s: str) -> np.ndarray:
+    return np.array([int(t) for t in s.split()], np.int64) if s else np.zeros(0, np.int64)

@@ -1,0 +1,197 @@
+"""Metric + reward-kernel tests.
+
+The fast int-hashed CIDEr-D reward scorer is validated against the
+slow-but-transparent dict engine (metrics/cider.py), which is itself written
+directly from the reference scorer's equations (ciderD_scorer.py:114-199).
+"""
+
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
+from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset
+from recurrent_fusion_network_tpu.metrics.bleu import compute_bleu
+from recurrent_fusion_network_tpu.metrics.cider import CiderScorer, compute_cider
+from recurrent_fusion_network_tpu.metrics.coco_eval import evaluate_captions, language_eval
+from recurrent_fusion_network_tpu.metrics.rouge import compute_rouge, lcs_length
+from recurrent_fusion_network_tpu.metrics.tokenizer import tokenize_sentence
+from recurrent_fusion_network_tpu.rewards.cider_d import CiderD, trim_with_eos
+from recurrent_fusion_network_tpu.rewards.self_critical import compute_reward
+
+
+class TestTokenizer:
+    def test_lowercase_and_punctuation(self):
+        assert tokenize_sentence("A man, riding; a BIKE!") == ["a", "man", "riding", "a", "bike"]
+        assert tokenize_sentence("  hello   world.  ") == ["hello", "world"]
+
+
+class TestBleu:
+    def test_perfect_match(self):
+        gts = {0: ["a man rides a bike"], 1: ["the dog runs fast"]}
+        res = {0: ["a man rides a bike"], 1: ["the dog runs fast"]}
+        corpus, _ = compute_bleu(gts, res)
+        for s in corpus:
+            assert s == pytest.approx(1.0, abs=1e-6)
+
+    def test_hand_computed_unigram(self):
+        # hyp: "the the cat" vs ref "the cat sat": clipped correct = 2 ("the"
+        # clipped to 1 + "cat"), guess 3 -> p1 = 2/3; hyp_len 3, ref 3, BP=1
+        gts = {0: ["the cat sat"]}
+        res = {0: ["the the cat"]}
+        corpus, per_n = compute_bleu(gts, res)
+        assert corpus[0] == pytest.approx(2 / 3, rel=1e-6)
+
+    def test_brevity_penalty(self):
+        gts = {0: ["a b c d e f"]}
+        res = {0: ["a b c"]}
+        corpus, _ = compute_bleu(gts, res)
+        assert corpus[0] == pytest.approx(1.0 * np.exp(1 - 6 / 3), rel=1e-6)
+
+
+class TestRouge:
+    def test_lcs(self):
+        assert lcs_length("abcde", "ace") == 3
+        assert lcs_length("abc", "xyz") == 0
+
+    def test_perfect(self):
+        mean, _ = compute_rouge({0: ["a b c"]}, {0: ["a b c"]})
+        assert mean == pytest.approx(1.0)
+
+    def test_hand_computed(self):
+        # hyp "a b c", ref "a x c": LCS=2, P=R=2/3 -> F = 2/3
+        mean, _ = compute_rouge({0: ["a x c"]}, {0: ["a b c"]})
+        assert mean == pytest.approx(2 / 3, rel=1e-6)
+
+
+class TestCider:
+    def test_identical_captions_score_high(self):
+        # distinct reference sets per image so idf does not vanish
+        gts = {
+            0: ["a man rides a bike", "a person on a bicycle"],
+            1: ["the dog runs in the park", "a dog sprinting outside"],
+            2: ["two cats sleep on a couch", "cats napping together"],
+            3: ["a red car parked on the street", "a parked red automobile"],
+        }
+        res = {i: [gts[i][0]] for i in range(4)}
+        mean, scores = compute_cider(gts, res)
+        assert mean > 3.0  # self-match against one of two refs
+        assert len(scores) == 4
+
+    def test_disjoint_is_zero(self):
+        gts = {0: ["a b c d"], 1: ["a b c d"]}
+        res = {0: ["x y z w"], 1: ["q r s t"]}
+        mean, _ = compute_cider(gts, res)
+        assert mean == pytest.approx(0.0, abs=1e-8)
+
+
+class TestCiderDRewardKernel:
+    def _setup(self, seed=0):
+        ds = synthetic_dataset(seed=seed)
+        train = ds.splits()["train"]
+        df = compute_doc_freq(ds, train)
+        ref_len = float(np.log(len(train)))
+        fast = CiderD(df, ref_len)
+        slow = CiderScorer(df={g: v for g, v in df.items()}, ref_len=ref_len, cider_d=True)
+        return ds, train, fast, slow
+
+    def test_trim_with_eos(self):
+        np.testing.assert_array_equal(trim_with_eos([3, 5, 0, 7, 0]), [3, 5, 0])
+        np.testing.assert_array_equal(trim_with_eos([3, 5]), [3, 5])
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_fast_matches_slow_engine(self, seed):
+        ds, train, fast, slow = self._setup(seed)
+        g = np.random.default_rng(seed)
+        hyps, refs = [], []
+        for i in range(12):
+            img = train[int(g.integers(0, len(train)))]
+            caps = ds.captions_for_image(img)
+            # hyp: corrupted copy of one caption
+            hyp = caps[0].copy()
+            flip = g.integers(0, 2, hyp.shape).astype(bool)
+            hyp[flip] = g.integers(1, ds.vocab_size + 1, flip.sum())
+            hyps.append(hyp)
+            refs.append([c for c in caps])
+        fast_scores = fast.score_arrays(hyps, refs)
+        slow_scores = slow.compute(
+            [tuple(trim_with_eos(h)) for h in hyps],
+            [[tuple(trim_with_eos(r)) for r in rs] for rs in refs],
+        )[1]
+        np.testing.assert_allclose(fast_scores, slow_scores, rtol=1e-9)
+        assert fast_scores.max() > 0
+
+    def test_reference_string_surface(self):
+        ds, train, fast, slow = self._setup()
+        caps = ds.captions_for_image(train[0])
+        def to_str(a):
+            out = []
+            for t in a:
+                out.append(str(int(t)))
+                if t == 0:
+                    break
+            return " ".join(out)
+        gts = {0: [to_str(c) for c in caps]}
+        res = [{"image_id": 0, "caption": [to_str(caps[0])]}]
+        mean, scores = fast.compute_score(gts, res)
+        arr = fast.score_arrays([caps[0]], [list(caps)])
+        assert mean == pytest.approx(float(arr[0]))
+
+    def test_self_match_beats_corruption(self):
+        ds, train, fast, _ = self._setup()
+        caps = ds.captions_for_image(train[0])
+        other = ds.captions_for_image(train[1])
+        s_self = fast.score_arrays([caps[0]], [list(caps)])[0]
+        s_other = fast.score_arrays([other[0]], [list(caps)])[0]
+        assert s_self > s_other
+
+
+class TestSelfCriticalReward:
+    def test_baseline_subtraction_and_broadcast(self):
+        ds = synthetic_dataset(seed=3)
+        train = ds.splits()["train"]
+        df = compute_doc_freq(ds, train)
+        scorer = CiderD(df, float(np.log(len(train))))
+        B_img, spi, T = 3, 2, 6
+        gts = [ds.captions_for_image(train[i]) for i in range(B_img)]
+        g = np.random.default_rng(0)
+        gen = g.integers(0, ds.vocab_size + 1, (B_img * spi, T))
+        greedy = np.stack([gts[i][0][:T] for i in range(B_img) for _ in range(spi)])
+        r = compute_reward(scorer, gen, greedy, gts)
+        assert r.shape == (B_img * spi, T)
+        # broadcast: constant over time
+        assert (r == r[:, :1]).all()
+        # greedy == a reference caption, random gen mostly junk -> reward <= 0 mostly
+        assert r.mean() < 0.5
+        # identical sampled and greedy -> exactly zero reward
+        r0 = compute_reward(scorer, greedy, greedy, gts)
+        np.testing.assert_allclose(r0, 0.0, atol=1e-12)
+
+
+class TestHarness:
+    def test_evaluate_captions_keys(self):
+        gts = {1: ["A man rides a bike.", "a person on a bicycle"],
+               2: ["the dog runs in the park."]}
+        res = {1: ["a man rides a bike"], 2: ["a dog runs"]}
+        out = evaluate_captions(gts, res)
+        for k in ("Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"):
+            assert k in out["overall"]
+        assert out["overall"]["Bleu_1"] > 0.5
+        assert set(out["img_scores"]) == {1, 2}
+
+    def test_language_eval_writes_json(self, tmp_path):
+        refs = {10: ["a man rides a bike"], 11: ["a dog runs"]}
+        preds = [
+            {"image_id": 10, "caption": "a man rides a bike"},
+            {"image_id": 11, "caption": "a dog runs"},
+            {"image_id": 99, "caption": "unknown image"},  # filtered
+        ]
+        out = language_eval(
+            lambda i: refs.get(i, []), preds, "m0", "val", out_dir=str(tmp_path)
+        )
+        assert out["CIDEr"] > 0
+        import json, os
+        files = os.listdir(tmp_path)
+        assert len(files) == 1
+        blob = json.load(open(tmp_path / files[0]))
+        assert "overall" in blob and "imgToEval" in blob
+        assert "99" not in blob["imgToEval"]
