@@ -1,0 +1,47 @@
+"""Device mesh + sharding helpers.
+
+The training-parallelism design (scaling-book recipe): pick a mesh, annotate
+input shardings, let XLA's GSPMD partitioner insert the collectives. For this
+workload — 512-dim RNNs over precomputed CNN features — the right first axis
+is pure data parallelism ('dp'): parameters replicated, the (B*seq_per_img)
+batch dimension sharded, gradient all-reduce riding ICI. Tensor/pipeline axes
+are unnecessary at this model scale (SURVEY.md §2.5); the ensemble/multi-seed
+use cases vectorize with vmap instead.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
+    """1-D data-parallel mesh over the first n devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        assert n_devices <= len(devs), f"need {n_devices} devices, have {len(devs)}"
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("dp",))
+
+
+def shard_batch_spec(mesh: Mesh):
+    """Sharding for batch-leading arrays: rows split across 'dp'."""
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def with_dp_sharding(mesh: Mesh, tree):
+    """device_put every leaf with its batch axis sharded across 'dp'."""
+    sharding = shard_batch_spec(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

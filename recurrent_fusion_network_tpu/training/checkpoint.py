@@ -1,0 +1,78 @@
+"""Checkpoint save/load.
+
+Mirrors the reference's triple-file contract per eval (train.py:214-236):
+
+  infos_{id}_{rank}.pkl        — opt snapshot, iter/epoch, loader iterator
+                                 state, histories, vocab, best score
+  model_{id}_{rank}-best.pkl   — parameter pytree (numpy arrays)
+  optimizer_{id}_{rank}-best.pkl — optax state pytree
+
+plus non-best rolling copies. RL checkpoints are prefixed 'rl_'
+(train_rl.py:262-272) via the `prefix` argument.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    checkpoint_path: str,
+    run_id: str,
+    rank: int,
+    *,
+    params,
+    opt_state=None,
+    infos: Optional[dict] = None,
+    best: bool = False,
+    prefix: str = "",
+):
+    os.makedirs(checkpoint_path, exist_ok=True)
+    tag = f"{prefix}{{kind}}_{run_id}_{rank}" + ("-best" if best else "")
+    with open(os.path.join(checkpoint_path, tag.format(kind="model") + ".pkl"), "wb") as f:
+        pickle.dump(_to_numpy(params), f)
+    if opt_state is not None:
+        with open(
+            os.path.join(checkpoint_path, tag.format(kind="optimizer") + ".pkl"), "wb"
+        ) as f:
+            pickle.dump(_to_numpy(opt_state), f)
+    if infos is not None:
+        with open(
+            os.path.join(checkpoint_path, tag.format(kind="infos") + ".pkl"), "wb"
+        ) as f:
+            pickle.dump(infos, f)
+
+
+def load_checkpoint(
+    checkpoint_path: str,
+    run_id: str,
+    rank: int = 0,
+    *,
+    best: bool = True,
+    prefix: str = "",
+) -> Tuple[Any, Any, dict]:
+    """Returns (params, opt_state_or_None, infos_or_{})."""
+    tag = f"{prefix}{{kind}}_{run_id}_{rank}" + ("-best" if best else "")
+
+    def _load(kind, required=False):
+        p = os.path.join(checkpoint_path, tag.format(kind=kind) + ".pkl")
+        if not os.path.exists(p):
+            if required:
+                raise FileNotFoundError(p)
+            return None
+        with open(p, "rb") as f:
+            return pickle.load(f)
+
+    params = _load("model", required=True)
+    opt_state = _load("optimizer")
+    infos = _load("infos") or {}
+    return params, opt_state, infos

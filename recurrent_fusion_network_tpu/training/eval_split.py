@@ -1,0 +1,118 @@
+"""Validation / test evaluation harness.
+
+Equivalent of the reference's eval_utils.eval_split (eval_utils.py:66-265):
+per-batch XE loss, greedy/beam sampling on features deduped to one row per
+image, sentence decoding, optional language metrics, prediction trimming to
+the evaluated image budget.
+
+TPU-first: the loss and sample closures are jitted once and reused across
+batches (fixed shapes from the loader), and beam search runs batched instead
+of per image.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.vocab import decode_sequence
+from ..decoding.api import model_sample
+from ..metrics.coco_eval import language_eval
+from .criterion import make_criterion
+
+
+def batch_feats(data):
+    if "fc_feats_array" in data:
+        return (
+            [jnp.asarray(x) for x in data["fc_feats_array"]],
+            [jnp.asarray(x) for x in data["att_feats_array"]],
+        )
+    return jnp.asarray(data["fc_feats"]), jnp.asarray(data["att_feats"])
+
+
+def dedupe_feats(fc, att, batch_size, seq_per_img):
+    rows = np.arange(batch_size) * seq_per_img
+    if isinstance(fc, list):
+        return [f[rows] for f in fc], [a[rows] for a in att]
+    return fc[rows], att[rows]
+
+
+def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
+               beam_size=None, language_eval_flag=None, sample_max=True,
+               gts_lookup=None, rank=0, verbose=False):
+    """Returns (mean_loss, predictions, lang_stats_or_None)."""
+    val_images_use = opt.val_images_use if val_images_use is None else val_images_use
+    beam_size = opt.beam_size if beam_size is None else beam_size
+    if language_eval_flag is None:
+        language_eval_flag = bool(opt.language_eval)
+    crit = make_criterion(opt)
+
+    @jax.jit
+    def loss_fn(params, fc, att, labels, masks, top_words):
+        lps, reason = model.forward(params, fc, att, labels)
+        return crit(lps, labels, masks, reason, top_words)
+
+    sample_fn = jax.jit(
+        partial(
+            model_sample, model,
+            beam_size=beam_size, sample_max=sample_max,
+        )
+    ) if beam_size > 1 else jax.jit(
+        partial(model_sample, model, beam_size=1, sample_max=sample_max)
+    )
+
+    loader.reset_iterator(split)
+    n = 0
+    loss_sum, loss_evals = 0.0, 0
+    predictions = []
+    vocab = loader.get_vocab()
+
+    while True:
+        data = loader.get_batch(split)
+        n += loader.batch_size
+        fc, att = batch_feats(data)
+        labels = jnp.asarray(data["labels"])
+        masks = jnp.asarray(data["masks"])
+        top_words = jnp.asarray(data["top_words"])
+        loss = float(loss_fn(params, fc, att, labels, masks, top_words))
+        loss_sum += loss
+        loss_evals += 1
+
+        fc1, att1 = dedupe_feats(fc, att, loader.batch_size, loader.seq_per_img)
+        out = sample_fn(params, fc1, att1)
+        sents = decode_sequence(vocab, np.asarray(out.seq))
+        for k, sent in enumerate(sents):
+            predictions.append({"image_id": data["infos"][k]["id"], "caption": sent})
+
+        if verbose:
+            b = data["bounds"]
+            print(f"evaluating {split} ... {b['it_pos_now']}/{b['it_max']} loss={loss:.3f}")
+        if data["bounds"]["wrapped"]:
+            break
+        if val_images_use > 0 and n >= val_images_use:
+            break
+
+    limit = len(loader.split_image_id[split])
+    if val_images_use > 0:
+        limit = min(limit, val_images_use)
+    predictions = predictions[:limit]
+
+    lang_stats = None
+    if language_eval_flag:
+        if gts_lookup is None:
+            ds = loader.dataset
+
+            def gts_lookup(image_id):
+                if image_id not in ds.image_id_to_index:
+                    return []
+                return decode_sequence(vocab, ds.captions_for_image(image_id))
+
+        lang_stats = language_eval(
+            gts_lookup, predictions, f"eval_split_{opt.id}_{rank}", split,
+            out_dir=getattr(opt, "eval_results_dir", "eval_results"),
+        )
+    return loss_sum / max(loss_evals, 1), predictions, lang_stats

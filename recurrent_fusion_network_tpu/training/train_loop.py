@@ -1,0 +1,208 @@
+"""Cross-entropy training driver.
+
+Equivalent of the reference's main.py + train.py: resume from infos, epoch
+LR decay and scheduled-sampling ramp, jitted forward+criterion+update per
+iteration, periodic eval_split with best-by-CIDEr checkpointing, early stop
+after `num_eval_no_improve` stagnant evals.
+
+TPU-first: one jitted train_step (forward, loss, grads, elementwise clip,
+optimizer direction, -lr update) reused across iterations; optional DP mesh —
+batches sharded on 'dp', parameters replicated, XLA inserts the gradient
+all-reduce (replacing the reference's Hogwild shared-memory path, which has
+no TPU analogue).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import setup
+from .checkpoint import load_checkpoint, save_checkpoint
+from .criterion import make_criterion
+from .eval_split import batch_feats, eval_split
+from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
+
+
+def make_train_step(model, crit, tx, mesh=None):
+    """Jitted XE train step: (params, opt_state, batch, lr, ss_prob, rng) ->
+    (params, opt_state, loss)."""
+
+    def step(params, opt_state, fc, att, labels, masks, top_words, lr, ss_prob, rng):
+        def loss_fn(p):
+            lps, reason = model.forward(
+                p, fc, att, labels, ss_prob=ss_prob, rng=rng, deterministic=False
+            )
+            return crit(lps, labels, masks, reason, top_words)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        direction, opt_state = tx.update(grads, opt_state, params)
+        params = apply_updates(params, direction, lr)
+        return params, opt_state, loss
+
+    return jax.jit(step)
+
+
+def _device_batch(data, mesh=None):
+    fc, att = batch_feats(data)
+    labels = jnp.asarray(data["labels"])
+    masks = jnp.asarray(data["masks"])
+    top_words = jnp.asarray(data["top_words"])
+    if mesh is not None:
+        from ..parallel.mesh import with_dp_sharding
+
+        fc, att, labels, masks, top_words = with_dp_sharding(
+            mesh, (fc, att, labels, masks, top_words)
+        )
+    return fc, att, labels, masks, top_words
+
+
+def train(
+    opt,
+    loader,
+    *,
+    rank: int = 0,
+    max_iterations: Optional[int] = None,
+    mesh=None,
+    log_fn=print,
+):
+    """Run XE training. Returns the infos dict (histories, best score)."""
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+
+    rng = jax.random.PRNGKey(opt.seed + rank)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng)
+
+    infos = {}
+    if opt.start_from is not None:
+        params, _, infos = load_checkpoint(
+            opt.start_from, opt.load_model_id, rank, best=False
+        )
+        saved_opt = infos.get("opt", {})
+        for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
+            if key in saved_opt:
+                assert saved_opt[key] == getattr(opt, key), (
+                    f"Command line argument and saved model disagree on '{key}'"
+                )
+        if "iterators" in infos:
+            loader.restore_state(infos["iterators"], infos["split_image_id"])
+
+    iteration = infos.get("iter", 0)
+    epoch = infos.get("epoch", 0)
+    val_result_history = infos.get("val_result_history", {})
+    loss_history = infos.get("loss_history", {})
+    lr_history = infos.get("lr_history", {})
+    ss_prob_history = infos.get("ss_prob_history", {})
+    best_val_score = infos.get("best_val_score", None) if opt.load_best_score else None
+
+    crit = make_criterion(opt)
+    tx = make_optimizer(opt)
+    opt_state = tx.init(params)
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+
+    train_step = make_train_step(model, crit, tx, mesh)
+
+    num_period_best = 0
+    current_score = 0.0
+    update_lr_flag = True
+    lr = opt.optim_lr
+    ss_prob = 0.0
+
+    while True:
+        if update_lr_flag:
+            lr = lr_for_epoch(opt, epoch, opt.optim_lr)
+            ss_prob = ss_prob_for_epoch(opt, epoch)
+            opt.current_lr = lr
+            opt.ss_prob = ss_prob
+            update_lr_flag = False
+
+        start = time.time()
+        data = loader.get_batch("train")
+        fc, att, labels, masks, top_words = _device_batch(data, mesh)
+        rng, step_rng = jax.random.split(rng)
+        params, opt_state, loss = train_step(
+            params, opt_state, fc, att, labels, masks, top_words, lr, ss_prob, step_rng
+        )
+        train_loss = float(loss)
+        elapsed = time.time() - start
+
+        if data["bounds"]["wrapped"]:
+            epoch += 1
+            update_lr_flag = True
+
+        if iteration % opt.losses_log_every == 0:
+            loss_history[iteration] = train_loss
+            lr_history[iteration] = lr
+            ss_prob_history[iteration] = ss_prob
+
+        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+            val_loss, predictions, lang_stats = eval_split(
+                model, params, loader, opt, split="val", rank=rank
+            )
+            val_result_history[iteration] = {
+                "loss": val_loss, "lang_stats": lang_stats, "predictions": predictions,
+            }
+            current_score = (
+                lang_stats["CIDEr"] if (opt.language_eval and lang_stats) else -val_loss
+            )
+            best_flag = best_val_score is None or current_score > best_val_score
+            if best_flag:
+                best_val_score = current_score
+                num_period_best = 1
+            else:
+                num_period_best += 1
+
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "iterators": dict(loader.iterators),
+                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+                "best_val_score": best_val_score,
+                "opt": dict(vars(opt)),
+                "val_result_history": val_result_history,
+                "loss_history": loss_history,
+                "lr_history": lr_history,
+                "ss_prob_history": ss_prob_history,
+                "vocab": loader.get_vocab(),
+            }
+            save_checkpoint(
+                opt.checkpoint_path, opt.id, rank,
+                params=params, opt_state=opt_state, infos=infos, best=False,
+            )
+            if best_flag:
+                save_checkpoint(
+                    opt.checkpoint_path, opt.id, rank,
+                    params=params, opt_state=opt_state, infos=infos, best=True,
+                )
+                log_fn(f"model saved to {opt.checkpoint_path} (CIDEr {current_score:.3f})")
+            if num_period_best >= opt.num_eval_no_improve:
+                log_fn("no improvement, exit")
+                break
+
+        log_fn(
+            f"rank {rank}, iter {iteration}, (epoch {epoch}), train loss: "
+            f"{train_loss:.4f}, lr: {lr:.2e}, current cider: {current_score:.3f}, "
+            f"time: {elapsed:.3f}"
+        )
+        iteration += 1
+        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
+            break
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+
+    infos["iter"] = iteration
+    infos["epoch"] = epoch
+    infos["final_params"] = params
+    infos["loss_history"] = loss_history
+    return infos

@@ -1,0 +1,263 @@
+"""Self-critical (SCST) RL training driver.
+
+Equivalent of the reference's main_rl.py + train_rl.py: per iteration a
+multinomial rollout, a greedy baseline rollout, CIDEr-D(±BLEU4/SPICE) rewards
+with baseline subtraction (get_rewards.py), and the policy-gradient criterion
+with entropy regularization and optional PPO (train_rl.py:147-201). Warm
+starts from the XE best checkpoint with optional LR derivation from the XE
+LR history (train_rl.py:48-50).
+
+TPU-first split of the reference's single differentiable-sampling graph:
+
+  1. one jitted ROLLOUT (no grad): encode once, then multinomial + greedy
+     decodes sharing the encoded memory;
+  2. host-side vectorized CIDEr-D rewards on the sampled ids;
+  3. one jitted GRAD step that re-evaluates the sampled sequence with teacher
+     forcing — because the decoder is autoregressive, feeding the sampled
+     tokens reproduces exactly the rollout's per-step distributions at every
+     step the SCST mask keeps, so gradients match the reference's
+     retained-graph backward.
+
+Rollouts here are deterministic-mode (no dropout): JAX cannot share dropout
+draws between the rollout and the grad re-evaluation, and stochastic-policy
+SCST requires the evaluated policy to be the sampled one. (The reference
+samples under live dropout, which silently mismatches its own retained
+graph's second use — this implementation is the consistent version.)
+
+PPO (`--use_ppo`): the reference re-backprops the SAME stale graph ppo_k
+times (train_rl.py:194-200); here the intended clipped-surrogate semantics
+are implemented — each of the ppo_k extra steps re-evaluates the ratio
+against the frozen rollout log-probs with the CURRENT parameters.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..decoding.engine import make_step_fn
+from ..decoding.sample import sample
+from ..models import setup
+from ..rewards.cider_d import CiderD
+from ..rewards.self_critical import compute_reward
+from .checkpoint import load_checkpoint, save_checkpoint
+from .criterion import make_rl_criterion
+from .eval_split import batch_feats, eval_split
+from .optim import apply_updates, lr_for_epoch, make_optimizer
+
+
+def make_rollout_fn(model):
+    """Jitted: (params, fc, att, rng) -> (sampled seq, greedy seq)."""
+
+    def rollout(params, fc, att, rng):
+        enc = model.encode(params, fc, att)
+        step = make_step_fn(model, params, enc.memory)
+        fc0 = fc[0] if isinstance(fc, (list, tuple)) else fc
+        B = fc0.shape[0]
+        V1 = model.vocab_size + 1
+        samp = sample(step, enc.state, B, model.seq_length, V1,
+                      sample_max=False, rng=rng)
+        greedy = sample(step, enc.state, B, model.seq_length, V1, sample_max=True)
+        return samp.seq, greedy.seq
+
+    return jax.jit(rollout)
+
+
+def make_rl_step(model, rl_crit, tx):
+    """Jitted: teacher-forced re-evaluation + policy-gradient update."""
+
+    def seq_to_inputs(seq):
+        B, L = seq.shape
+        full = jnp.zeros((B, L + 2), seq.dtype)
+        return full.at[:, 1 : L + 1].set(seq)
+
+    def losses_of(params, fc, att, seq, reward, top_words, sample_logprobs_old):
+        lps, reason = model.forward(params, fc, att, seq_to_inputs(seq))
+        L = seq.shape[1]
+        sample_logprobs = jnp.take_along_axis(
+            lps[:, :L, :], seq[..., None], axis=2
+        )[..., 0]
+        return rl_crit(
+            sample_logprobs, seq, reward, lps, reason, top_words, sample_logprobs_old
+        )
+
+    def step(params, opt_state, fc, att, seq, reward, top_words, lr,
+             sample_logprobs_old):
+        loss, grads = jax.value_and_grad(losses_of)(
+            params, fc, att, seq, reward, top_words, sample_logprobs_old
+        )
+        direction, opt_state = tx.update(grads, opt_state, params)
+        params = apply_updates(params, direction, lr)
+        return params, opt_state, loss
+
+    def old_logprobs(params, fc, att, seq):
+        lps, _ = model.forward(params, fc, att, seq_to_inputs(seq))
+        L = seq.shape[1]
+        return jnp.take_along_axis(lps[:, :L, :], seq[..., None], axis=2)[..., 0]
+
+    return jax.jit(step), jax.jit(old_logprobs)
+
+
+def train_rl(
+    opt,
+    loader,
+    cider_scorer: CiderD,
+    *,
+    rank: int = 0,
+    max_iterations: Optional[int] = None,
+    log_fn=print,
+):
+    """Run SCST training. Returns the infos dict."""
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+
+    rng = jax.random.PRNGKey(opt.seed + rank)
+    rng, init_rng = jax.random.split(rng)
+    params = model.init_params(init_rng)
+
+    infos = {}
+    if opt.start_from is not None:
+        params, _, infos = load_checkpoint(
+            opt.start_from, opt.load_model_id, rank, best=True
+        )
+        if "iterators" in infos:
+            loader.restore_state(infos["iterators"], infos["split_image_id"])
+
+    iteration = infos.get("iter", 0)
+    epoch = infos.get("epoch", 0)
+    val_result_history = infos.get("val_result_history", {})
+    loss_history = infos.get("loss_history", {})
+    lr_history = infos.get("lr_history", {})
+    best_val_score = infos.get("best_val_score", None) if opt.load_best_score else None
+
+    rl_lr_base = opt.optim_rl_lr
+    if opt.load_lr and lr_history:
+        rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
+
+    rl_crit = make_rl_criterion(opt)
+    tx = make_optimizer(opt)
+    opt_state = tx.init(params)
+    rollout_fn = make_rollout_fn(model)
+    rl_step, old_logprobs_fn = make_rl_step(model, rl_crit, tx)
+
+    num_period_best = 0
+    current_score = 0.0
+    update_lr_flag = True
+    lr = rl_lr_base
+    rewards = np.zeros((1, 1))
+
+    while True:
+        if update_lr_flag:
+            lr = lr_for_epoch(opt, epoch, rl_lr_base)
+            opt.current_lr = lr
+            update_lr_flag = False
+
+        start = time.time()
+        data = loader.get_batch("train")
+        fc, att = batch_feats(data)
+        top_words = jnp.asarray(data["top_words"])
+
+        rng, roll_rng = jax.random.split(rng)
+        seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
+        seq_np, greedy_np = np.asarray(seq), np.asarray(greedy_seq)
+
+        rewards = compute_reward(
+            cider_scorer, seq_np, greedy_np, data["gts"],
+            use_baseline=bool(opt.use_baseline),
+            cider_weight=opt.cider_weight,
+            bleu4_weight=opt.bleu4_weight,
+            spice_weight=opt.spice_weight,
+        )
+        reward_dev = jnp.asarray(rewards, jnp.float32)
+
+        if opt.use_ppo:
+            slp_old = old_logprobs_fn(params, fc, att, seq)
+            slp_old = jax.lax.stop_gradient(slp_old)
+            params, opt_state, loss = rl_step(
+                params, opt_state, fc, att, seq, reward_dev, top_words, lr, slp_old
+            )
+            for _ in range(opt.ppo_k):
+                params, opt_state, loss = rl_step(
+                    params, opt_state, fc, att, seq, reward_dev, top_words, lr, slp_old
+                )
+        else:
+            # without PPO the 'old' logprobs are unused by the criterion
+            params, opt_state, loss = rl_step(
+                params, opt_state, fc, att, seq, reward_dev, top_words, lr,
+                jnp.zeros_like(reward_dev),
+            )
+        train_loss = float(loss)
+        elapsed = time.time() - start
+
+        if data["bounds"]["wrapped"]:
+            epoch += 1
+            update_lr_flag = True
+
+        if iteration % opt.losses_log_every == 0:
+            loss_history[iteration] = float(np.mean(rewards[:, 0]))
+            lr_history[iteration] = lr
+
+        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+            val_loss, predictions, lang_stats = eval_split(
+                model, params, loader, opt, split="val", rank=rank
+            )
+            val_result_history[iteration] = {
+                "loss": val_loss, "lang_stats": lang_stats, "predictions": predictions,
+            }
+            current_score = (
+                lang_stats["CIDEr"] if (opt.language_eval and lang_stats) else -val_loss
+            )
+            best_flag = best_val_score is None or current_score > best_val_score
+            if best_flag:
+                best_val_score = current_score
+                num_period_best = 1
+            else:
+                num_period_best += 1
+
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "iterators": dict(loader.iterators),
+                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+                "best_val_score": best_val_score,
+                "opt": dict(vars(opt)),
+                "val_result_history": val_result_history,
+                "loss_history": loss_history,
+                "lr_history": lr_history,
+                "vocab": loader.get_vocab(),
+            }
+            save_checkpoint(
+                opt.checkpoint_path, opt.id, rank,
+                params=params, opt_state=opt_state, infos=infos, best=False, prefix="rl_",
+            )
+            if best_flag:
+                save_checkpoint(
+                    opt.checkpoint_path, opt.id, rank,
+                    params=params, opt_state=opt_state, infos=infos, best=True, prefix="rl_",
+                )
+                log_fn(f"rl model saved (CIDEr {current_score:.3f})")
+            if num_period_best >= opt.num_eval_no_improve:
+                log_fn("no improvement, exit")
+                break
+
+        log_fn(
+            f"rank {rank}, iter {iteration}, (epoch {epoch}), avg_reward: "
+            f"{float(np.mean(rewards[:, 0])):.3f}, train_loss: {train_loss:.4f}, "
+            f"lr: {lr:.2e}, time: {elapsed:.3f}"
+        )
+        iteration += 1
+        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
+            break
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+
+    infos["iter"] = iteration
+    infos["epoch"] = epoch
+    infos["final_params"] = params
+    infos["loss_history"] = loss_history
+    return infos

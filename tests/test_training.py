@@ -1,0 +1,197 @@
+"""Training-driver tests: XE loop, eval harness, checkpoint/resume, SCST RL
+loop (incl. the rollout ≡ teacher-forced-re-evaluation identity the RL
+gradient path relies on)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
+from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+from recurrent_fusion_network_tpu.decoding.engine import make_step_fn
+from recurrent_fusion_network_tpu.decoding.sample import sample
+from recurrent_fusion_network_tpu.models import setup
+from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+from recurrent_fusion_network_tpu.training.eval_split import eval_split
+from recurrent_fusion_network_tpu.training.train_loop import train
+from recurrent_fusion_network_tpu.training.train_rl_loop import train_rl
+
+
+def quiet(*a, **k):
+    pass
+
+
+def scorer_for(loader):
+    ds = loader.dataset
+    train_ids = loader.split_image_id["train"]
+    df = compute_doc_freq(ds, train_ids)
+    return CiderD(df, float(np.log(len(train_ids))))
+
+
+class TestXETraining:
+    @pytest.mark.parametrize("caption_model", ["show_tell", "recurrent_fusion_model"])
+    def test_loss_decreases(self, caption_model, tmp_path):
+        opt, loader = synthetic_setup(caption_model=caption_model, batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.optim_lr = 5e-3
+        opt.losses_log_every = 1
+        infos = train(opt, loader, max_iterations=15, log_fn=quiet)
+        hist = infos["loss_history"]
+        first, last = hist[0], list(hist.values())[-1]
+        assert last < first, (first, last)
+
+    def test_eval_and_checkpoint(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.save_checkpoint_every = 5
+        opt.val_images_use = 8
+        opt.optim_lr = 5e-3
+        opt.id = "t0"
+        infos = train(opt, loader, max_iterations=6, log_fn=quiet)
+        assert os.path.exists(tmp_path / "model_t0_0.pkl")
+        assert os.path.exists(tmp_path / "infos_t0_0.pkl")
+        assert 5 in infos["val_result_history"]
+        lang = infos["val_result_history"][5]["lang_stats"]
+        assert "CIDEr" in lang and np.isfinite(lang["CIDEr"])
+
+    def test_resume_continues(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4, seed=7)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.save_checkpoint_every = 4
+        opt.val_images_use = 8
+        opt.id = "t1"
+        train(opt, loader, max_iterations=5, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(caption_model="show_tell", batch_size=4, seed=7)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.eval_results_dir = str(tmp_path / "eval_results")
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "t1"
+        opt2.save_checkpoint_every = 1000
+        infos2 = train(opt2, loader2, max_iterations=6, log_fn=quiet)
+        # resumed at iter 4 (checkpoint) and continued
+        assert min(infos2["loss_history"].keys()) <= 4
+        assert infos2["iter"] >= 5
+
+    def test_arch_mismatch_asserts(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.save_checkpoint_every = 2
+        opt.val_images_use = 8
+        opt.id = "t2"
+        train(opt, loader, max_iterations=3, log_fn=quiet)
+        opt2, loader2 = synthetic_setup(caption_model="show_tell", batch_size=4,
+                                        rnn_size=32)
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "t2"
+        with pytest.raises(AssertionError, match="rnn_size"):
+            train(opt2, loader2, max_iterations=1, log_fn=quiet)
+
+
+class TestEvalSplit:
+    def test_contract(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model")
+        opt.eval_results_dir = str(tmp_path)
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+        loss, preds, stats = eval_split(
+            model, params, loader, opt, split="val", val_images_use=8
+        )
+        assert np.isfinite(loss)
+        assert len(preds) == 8
+        assert {"image_id", "caption"} <= set(preds[0])
+        assert stats is not None and "Bleu_4" in stats
+
+    def test_beam_eval(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell")
+        opt.eval_results_dir = str(tmp_path)
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+        loss, preds, stats = eval_split(
+            model, params, loader, opt, split="test", val_images_use=8, beam_size=3
+        )
+        assert len(preds) == 8
+
+
+def setup_with_dims(opt, loader):
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    return setup(opt)
+
+
+class TestRLTraining:
+    def test_rollout_equals_teacher_forced_reeval(self):
+        """The RL gradient path re-evaluates the sampled sequence with teacher
+        forcing; per-token log-probs must match the rollout at every step the
+        SCST mask keeps."""
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model")
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+        data = loader.get_batch("train")
+        fc = [jnp.asarray(x) for x in data["fc_feats_array"]]
+        att = [jnp.asarray(x) for x in data["att_feats_array"]]
+
+        enc = model.encode(params, fc, att)
+        step = make_step_fn(model, params, enc.memory)
+        B = fc[0].shape[0]
+        out = sample(step, enc.state, B, model.seq_length, model.vocab_size + 1,
+                     sample_max=False, rng=jax.random.PRNGKey(1))
+        seq = out.seq
+        L = model.seq_length
+        full = jnp.zeros((B, L + 2), seq.dtype).at[:, 1 : L + 1].set(seq)
+        lps, _ = model.forward(params, fc, att, full)
+        gathered = jnp.take_along_axis(lps[:, :L, :], seq[..., None], axis=2)[..., 0]
+
+        mask0 = np.asarray(seq > 0).astype(np.float32)
+        mask = np.concatenate([np.ones((B, 1)), mask0[:, :-1]], axis=1)
+        np.testing.assert_allclose(
+            np.asarray(out.seq_logprobs) * mask, np.asarray(gathered) * mask,
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_rl_loop_runs_and_logs_reward(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
+                                      batch_size=3, seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.losses_log_every = 1
+        scorer = scorer_for(loader)
+        infos = train_rl(opt, loader, scorer, max_iterations=3, log_fn=quiet)
+        assert len(infos["loss_history"]) >= 3
+        for v in infos["loss_history"].values():
+            assert np.isfinite(v)
+
+    def test_rl_warm_start_from_xe(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4, seed=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.save_checkpoint_every = 3
+        opt.val_images_use = 8
+        opt.id = "w0"
+        train(opt, loader, max_iterations=4, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(caption_model="show_tell", batch_size=4, seed=2)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.eval_results_dir = str(tmp_path / "eval_results")
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "w0"
+        opt2.id = "w0"
+        scorer = scorer_for(loader2)
+        infos = train_rl(opt2, loader2, scorer, max_iterations=2, log_fn=quiet)
+        assert infos["iter"] >= 2
+
+    def test_ppo_path_runs(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=3,
+                                      seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.use_ppo = 1
+        opt.ppo_k = 2
+        scorer = scorer_for(loader)
+        infos = train_rl(opt, loader, scorer, max_iterations=2, log_fn=quiet)
+        assert infos["iter"] >= 2
