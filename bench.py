@@ -1,0 +1,86 @@
+"""Benchmark: captions/sec/chip at beam width 3 on the full-size flagship
+RecurrentFusionModel (5 encoders, rnn 512, 8+8 review steps, COCO-size vocab).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline note: the reference repo publishes no throughput number
+(BASELINE.md). The reference decodes with a PER-IMAGE Python beam loop with
+per-step host sorting (misc/RecurrentFusionModel.py:352-543) on a single GPU;
+we use 10 captions/sec as the documented baseline estimate for that loop
+(per-image sequential decode at ~17 steps x ~6 host syncs each; the
+BASELINE.json target is >=10x that, i.e. >=100 captions/sec/chip).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
+BATCH = 64
+BEAM = 3
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    from recurrent_fusion_network_tpu.decoding.api import model_sample
+    from recurrent_fusion_network_tpu.models import RecurrentFusionModel
+
+    model = RecurrentFusionModel(
+        vocab_size=9487,
+        seq_length=16,
+        fc_feat_sizes=(2048, 1536, 2048, 2208, 1536),
+        att_feat_sizes=(2048, 1536, 1280, 2208, 1536),
+        att_nums=(196, 64, 64, 49, 64),
+        rnn_size=512,
+        input_encoding_size=512,
+        att_hid_size=512,
+        num_review_steps=8,
+        num_review_steps_0=8,
+        top_words_count=1000,
+    )
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    fcs = [
+        jax.random.normal(jax.random.fold_in(key, i), (BATCH, d))
+        for i, d in enumerate(model.fc_feat_sizes)
+    ]
+    atts = [
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (BATCH, n, d))
+        for i, (n, d) in enumerate(zip(model.att_nums, model.att_feat_sizes))
+    ]
+
+    decode = jax.jit(lambda p, f, a: model_sample(model, p, f, a, beam_size=BEAM))
+    for _ in range(WARMUP):
+        out = decode(params, fcs, atts)
+        np.asarray(out.seq)  # host readback: forces real completion
+
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        out = decode(params, fcs, atts)
+        # time to tokens-on-host — block_until_ready alone is not a reliable
+        # barrier on tunneled backends, a D2H readback is
+        np.asarray(out.seq)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    cps = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "captions_per_sec_per_chip_beam3",
+                "value": round(cps, 2),
+                "unit": "captions/s",
+                "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

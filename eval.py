@@ -1,0 +1,61 @@
+"""Single-model evaluation entry point.
+
+CLI equivalent of the reference's eval.py (:28-99): load the checkpoint's
+pickled opt, merge with CLI flags using the reference's ignore-list
+semantics (CLI wins for runtime knobs, checkpoint wins for architecture),
+then run eval_split on val/test.
+
+  python eval.py --model_path checkpoint --load_model_id myrun \
+      --eval_split test --beam_size 3
+"""
+
+from recurrent_fusion_network_tpu.config import Options, parse_opt
+from recurrent_fusion_network_tpu.data.build import build_loader
+from recurrent_fusion_network_tpu.models import setup
+from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+from recurrent_fusion_network_tpu.training.eval_split import eval_split
+
+# flags the CLI controls at eval time even when a checkpoint opt exists
+# (reference eval.py:28-48 ignore-list)
+CLI_WINS = {
+    "beam_size", "eval_split", "val_images_use", "language_eval", "sample_max",
+    "batch_size", "seq_per_img", "input_json", "input_label_h5",
+    "top_words_path", "data_root", "synthetic_features", "verbose", "id",
+    "model_path", "infos_path", "load_model_id", "eval_flip_ensemble",
+}
+
+
+def merge_checkpoint_opt(opt, saved: dict):
+    for k, v in saved.items():
+        if k in CLI_WINS or k in ("vocab_size", "seq_length", "start_from",
+                                  "checkpoint_path", "current_lr"):
+            continue
+        setattr(opt, k, v)
+    return opt
+
+
+def main():
+    opt = parse_opt()
+    ckpt_dir = opt.model_path or opt.checkpoint_path
+    params, _, infos = load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
+    if "opt" in infos:
+        merge_checkpoint_opt(opt, infos["opt"])
+    loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+    try:
+        loss, preds, stats = eval_split(
+            model, params, loader, opt,
+            split=opt.eval_split, beam_size=opt.beam_size, verbose=bool(opt.verbose),
+        )
+    finally:
+        loader.close()
+    print(f"loss: {loss:.4f}")
+    if stats:
+        for k, v in stats.items():
+            print(f"{k}: {v:.4f}")
+
+
+if __name__ == "__main__":
+    main()

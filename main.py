@@ -1,0 +1,38 @@
+"""Cross-entropy training entry point.
+
+CLI equivalent of the reference's main.py + train.py, same flag surface
+(see recurrent_fusion_network_tpu/config.py). The reference's Hogwild
+`--async_opt` path (main.py:45-61) maps to synchronous data parallelism:
+pass --num_dp_devices N to shard batches over an N-device mesh. Multi-seed
+fleets (train_recurrent_fusion_model.sh) are launched by running this script
+once per seed (see scripts/).
+
+Example (synthetic smoke run):
+  python main.py --caption_model recurrent_fusion_model \
+      --feature_type feat_array --synthetic_features 1 \
+      --input_json data/cocotalk.json --input_label_h5 data/cocotalk_label.npz \
+      --batch_size 8 --max_epochs 1
+"""
+
+from recurrent_fusion_network_tpu.config import parse_opt
+from recurrent_fusion_network_tpu.data.build import build_loader
+from recurrent_fusion_network_tpu.training.train_loop import train
+
+
+def main():
+    opt = parse_opt()
+    loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
+    mesh = None
+    if opt.num_dp_devices > 1:
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(opt.num_dp_devices)
+    try:
+        max_it = opt.max_iterations if opt.max_iterations > 0 else None
+        train(opt, loader, rank=0, mesh=mesh, max_iterations=max_it)
+    finally:
+        loader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Self-critical (SCST) RL training entry point.
+
+CLI equivalent of the reference's main_rl.py + train_rl.py. Warm starts from
+the XE best checkpoint via --start_from/--load_model_id
+(train_recurrent_fusion_model_rl.sh:16-36) and rewards with train-idf
+CIDEr-D (--cider_df points at the prepro_ngrams pickle; defaults to
+data/coco-train-idxs.p like the reference's CiderD(df='coco-train-idxs')).
+"""
+
+import argparse
+import sys
+
+from recurrent_fusion_network_tpu.config import parse_opt
+from recurrent_fusion_network_tpu.data.build import build_loader
+from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+from recurrent_fusion_network_tpu.training.train_rl_loop import train_rl
+
+
+def main():
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--cider_df", type=str, default="data/coco-train-idxs.p")
+    pre_args, rest = pre.parse_known_args()
+    opt = parse_opt(rest)
+    loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
+    try:
+        scorer = CiderD.from_pickle(pre_args.cider_df)
+    except FileNotFoundError:
+        print(
+            f"cider df pickle not found at {pre_args.cider_df}; building from "
+            "the train split labels (slower first run)"
+        )
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
+
+        ids = loader.split_image_id["train"]
+        df = compute_doc_freq(loader.dataset, ids)
+        scorer = CiderD(df, float(np.log(len(ids))))
+    try:
+        max_it = opt.max_iterations if opt.max_iterations > 0 else None
+        train_rl(opt, loader, scorer, rank=0, max_iterations=max_it)
+    finally:
+        loader.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,3 +22,13 @@ Layer map (mirrors SURVEY.md §1 of the reference analysis):
 """
 
 __version__ = "0.1.0"
+
+# Optional backend override: some sandboxes pin JAX_PLATFORMS via
+# sitecustomize before user code runs; RFNET_JAX_PLATFORM=cpu (etc.) wins if
+# set before the first backend initialization.
+import os as _os
+
+if _os.environ.get("RFNET_JAX_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["RFNET_JAX_PLATFORM"])

@@ -56,6 +56,7 @@ def _defaults() -> dict:
         att_hid_size=512,
         # Optimization: general (reference: opts.py:67-92)
         max_epochs=-1,
+        max_iterations=-1,  # TPU-native addition: hard iteration cap (-1 = off)
         batch_size=10,
         grad_clip=1.0,
         drop_prob_lm=0.0,
@@ -144,6 +145,7 @@ def _defaults() -> dict:
         ip="localhost",
         port=8090,
         # TPU-native additions (not in reference)
+        synthetic_features=0,  # use deterministic random features (smoke runs)
         data_root="data/features",
         num_dp_devices=1,  # data-parallel mesh size for pjit training
         dtype="float32",  # compute dtype: float32 | bfloat16

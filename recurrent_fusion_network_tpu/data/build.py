@@ -1,0 +1,51 @@
+"""Construct a DataLoader from opt (file-backed or synthetic).
+
+Feature backend resolution per encoder, in order:
+  1. packed consolidated arrays at {data_root}/{encoder}/packed/ (TPU-first)
+  2. reference-compatible per-image file dirs from the registry paths
+  3. feature_type == 'synthetic': deterministic random features (smoke runs)
+"""
+
+from __future__ import annotations
+
+import os
+
+from .dataset import Dataset, DirFeatureSource, PackedFeatureSource, SyntheticFeatureSource
+from .loader import DataLoader
+
+
+def _source_for(info, data_root: str, seed: int = 0):
+    name = info["name"] if "name" in dir(info) or hasattr(info, "name") else None
+    packed = os.path.join(data_root, getattr(info, "name", ""), "packed")
+    if getattr(info, "name", None) and os.path.isdir(packed):
+        return PackedFeatureSource(packed)
+    if hasattr(info, "variant_dirs"):
+        dirs = {v: info.variant_dirs(v) for v in
+                ("original", "flip", "crop_tr", "crop_tl", "crop_bl", "crop_br",
+                 "flip_crop_tr", "flip_crop_tl", "flip_crop_bl", "flip_crop_br")}
+        return DirFeatureSource(dirs)
+    # plain dict entry (tests / synthetic)
+    return SyntheticFeatureSource(
+        info["fc_feat_size"], info["att_num"], info["att_feat_size"], seed=seed
+    )
+
+
+def build_loader(opt, *, prefetch: bool = True, synthetic: bool = False) -> DataLoader:
+    dataset = Dataset.from_files(
+        opt.input_json, opt.input_label_h5, opt.top_words_path, opt.top_words_count
+    )
+    feats = opt.feat_array_info
+    if not feats:
+        raise ValueError("opt.feat_array_info is empty; set feature_type")
+    if synthetic or opt.feature_type == "synthetic":
+        sources = [
+            SyntheticFeatureSource(
+                f["fc_feat_size"], f["att_num"], f["att_feat_size"], seed=opt.seed + i
+            )
+            for i, f in enumerate(feats)
+        ]
+    else:
+        sources = [_source_for(f, opt.data_root, seed=opt.seed + i) for i, f in enumerate(feats)]
+    if opt.feature_type not in ("feat_array",):
+        sources = sources[:1]
+    return DataLoader(opt, dataset, sources, prefetch=prefetch)

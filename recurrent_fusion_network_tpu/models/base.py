@@ -45,7 +45,7 @@ def init_embed_logit(key, vocab_size: int, input_encoding_size: int, rnn_size: i
 
 
 def embed_tokens(params, tokens):
-    return params["embed"][tokens]
+    return jnp.take(params["embed"], tokens, axis=0)
 
 
 def tile_for_lanes(tree, n_lanes: int):

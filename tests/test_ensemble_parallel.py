@@ -1,0 +1,162 @@
+"""Ensemble decoding + data-parallel sharding tests (8 virtual CPU devices)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+from recurrent_fusion_network_tpu.decoding.api import model_sample
+from recurrent_fusion_network_tpu.decoding.ensemble import (
+    ensemble_sample,
+    flip_combine,
+    sentence_logprob,
+)
+from recurrent_fusion_network_tpu.models import setup
+from recurrent_fusion_network_tpu.training.eval_ensemble import eval_ensemble
+from recurrent_fusion_network_tpu.training.train_loop import train
+
+
+def quiet(*a, **k):
+    pass
+
+
+def build(caption_model="show_tell", seed=0, **kw):
+    opt, loader = synthetic_setup(caption_model=caption_model, seed=seed, **kw)
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+    params = model.init_params(jax.random.PRNGKey(seed))
+    return opt, loader, model, params
+
+
+class TestEnsemble:
+    def test_single_member_matches_model_sample(self):
+        """An ensemble of one model must decode exactly like the model
+        (mean of one logit = the logit)."""
+        opt, loader, model, params = build()
+        data = loader.get_batch("val")
+        fc = jnp.asarray(data["fc_feats"])[: 4]
+        att = jnp.asarray(data["att_feats"])[: 4]
+        solo = model_sample(model, params, fc, att, beam_size=1)
+        ens = ensemble_sample([model], [params], [(fc, att)], beam_size=1)
+        np.testing.assert_array_equal(np.asarray(solo.seq), np.asarray(ens.seq))
+        # beam path too
+        solo_b = model_sample(model, params, fc, att, beam_size=3)
+        ens_b = ensemble_sample([model], [params], [(fc, att)], beam_size=3)
+        np.testing.assert_array_equal(np.asarray(solo_b.seq), np.asarray(ens_b.seq))
+        np.testing.assert_allclose(
+            np.asarray(solo_b.top_p), np.asarray(ens_b.top_p), rtol=1e-5
+        )
+
+    def test_two_member_ensemble_runs(self):
+        opt, loader, model, p1 = build(seed=0)
+        p2 = model.init_params(jax.random.PRNGKey(99))
+        data = loader.get_batch("val")
+        fc = jnp.asarray(data["fc_feats"])[: 4]
+        att = jnp.asarray(data["att_feats"])[: 4]
+        out = ensemble_sample([model, model], [p1, p2], [(fc, att)] * 2, beam_size=3)
+        assert out.seq.shape == (4, loader.seq_length)
+        # ensemble differs from either member alone (generic position)
+        solo = model_sample(model, p1, fc, att, beam_size=3)
+        assert not np.array_equal(np.asarray(out.top_p), np.asarray(solo.top_p))
+
+    def test_eval_ensemble_driver(self, tmp_path):
+        opt, loader, model, p1 = build(batch_size=4)
+        p2 = model.init_params(jax.random.PRNGKey(1))
+        opt.eval_results_dir = str(tmp_path)
+        preds, stats = eval_ensemble(
+            [(model, p1), (model, p2)], loader, opt,
+            split="val", beam_size=2, val_images_use=8,
+        )
+        assert len(preds) == 8
+        assert stats and "CIDEr" in stats
+
+    def test_diff_feat_ensemble(self, tmp_path):
+        opt, loader, _, _ = build(caption_model="recurrent_fusion_model")
+        opt.eval_results_dir = str(tmp_path)
+        # one ReviewNet per encoder, each consuming its own features
+        from recurrent_fusion_network_tpu.models import ReviewNetModel
+
+        members = []
+        for i, f in enumerate(opt.feat_array_info):
+            m = ReviewNetModel(
+                vocab_size=loader.vocab_size, seq_length=loader.seq_length,
+                input_encoding_size=16, rnn_size=16, att_hid_size=16,
+                fc_feat_size=f["fc_feat_size"], att_feat_size=f["att_feat_size"],
+                att_num=f["att_num"], num_review_steps=2,
+                top_words_count=opt.top_words_count,
+            )
+            members.append((m, m.init_params(jax.random.PRNGKey(i))))
+        preds, stats = eval_ensemble(
+            members, loader, opt, split="val", beam_size=1,
+            val_images_use=8, diff_feat=True,
+        )
+        assert len(preds) == 8
+
+    def test_flip_combine_picks_higher(self):
+        a_seq = np.array([[3, 4, 0, 0], [5, 0, 0, 0]])
+        a_lp = np.array([[-1.0, -1.0, -1.0, 0.0], [-5.0, -1.0, 0.0, 0.0]])
+        b_seq = np.array([[7, 0, 0, 0], [8, 9, 0, 0]])
+        b_lp = np.array([[-0.5, -0.5, 0.0, 0.0], [-9.0, -1.0, -1.0, 0.0]])
+        from recurrent_fusion_network_tpu.decoding.ensemble import EnsembleOut
+
+        out_a = EnsembleOut(jnp.asarray(a_seq), jnp.asarray(a_lp), None, None)
+        out_b = EnsembleOut(jnp.asarray(b_seq), jnp.asarray(b_lp), None, None)
+        # sentence logprobs: a = [-3, -6], b = [-1, -11]
+        seq, p = flip_combine(out_a, out_b)
+        np.testing.assert_array_equal(seq[0], b_seq[0])
+        np.testing.assert_array_equal(seq[1], a_seq[1])
+
+    def test_flip_ensemble_eval_path(self, tmp_path):
+        opt, loader, model, params = build(batch_size=4)
+        opt.eval_results_dir = str(tmp_path)
+        preds, stats = eval_ensemble(
+            [(model, params)], loader, opt, split="val", beam_size=2,
+            val_images_use=8, flip_ensemble=True,
+        )
+        assert len(preds) == 8
+
+
+class TestDataParallel:
+    def test_dp_train_matches_single_device_loss(self, tmp_path):
+        """One dp-sharded train step on the 8-device CPU mesh produces the
+        same loss as the unsharded step."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) >= 8
+        opt, loader = synthetic_setup(
+            caption_model="recurrent_fusion_model", batch_size=8, seq_per_img=2
+        )
+        opt.checkpoint_path = str(tmp_path)
+        opt.losses_log_every = 1
+
+        infos_a = train(opt, loader, max_iterations=2, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(
+            caption_model="recurrent_fusion_model", batch_size=8, seq_per_img=2
+        )
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.losses_log_every = 1
+        mesh = make_mesh(8)
+        infos_b = train(opt2, loader2, max_iterations=2, mesh=mesh, log_fn=quiet)
+
+        np.testing.assert_allclose(
+            list(infos_a["loss_history"].values()),
+            list(infos_b["loss_history"].values()),
+            rtol=2e-4,
+        )
+
+
+class TestGraftEntry:
+    def test_entry_compiles(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert out.shape[0] == 4 and np.isfinite(np.asarray(out)).all()
+
+    def test_dryrun_multichip(self):
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
