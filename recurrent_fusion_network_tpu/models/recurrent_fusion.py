@@ -52,6 +52,7 @@ class RecurrentFusionModel:
     review_maxout: bool = False
     decoder_maxout: bool = False
     fusion_maxout: bool = False
+    use_pallas: bool = False
 
     @property
     def num_feat_array(self) -> int:
@@ -78,6 +79,7 @@ class RecurrentFusionModel:
             review_maxout=bool(opt.review_maxout),
             decoder_maxout=bool(opt.maxout),
             fusion_maxout=bool(opt.fusion_maxout),
+            use_pallas=bool(getattr(opt, 'use_pallas', 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -228,6 +230,20 @@ class RecurrentFusionModel:
         return EncodeOut(memory=memory, state=state, reason_preds=reason_preds)
 
     def _decode_out(self, params, xt, memory, state, rng, deterministic):
+        if self.use_pallas and deterministic and not self.decoder_maxout:
+            from ..ops.pallas_kernels import fused_att_lstm_step, pack_att_lstm_params
+
+            dec = params["decoder"]
+            wxh, wz, gb = pack_att_lstm_params(dec)
+            h, c = state
+            import jax as _jax
+
+            h2, c2 = fused_att_lstm_step(
+                xt, h, c, memory["thoughts"], memory["keys"], dec["att"],
+                wxh, wz, gb, rnn_size=self.rnn_size,
+                interpret=_jax.default_backend() != "tpu",
+            )
+            return h2, (h2, c2)
         return cells.att_lstm_step(
             params["decoder"],
             xt,

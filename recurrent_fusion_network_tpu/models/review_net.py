@@ -46,6 +46,7 @@ class ReviewNetModel:
     decoder_maxout: bool = False
     use_mos: bool = False
     num_expert: int = 10
+    use_pallas: bool = False
 
     @classmethod
     def from_opt(cls, opt):
@@ -71,6 +72,7 @@ class ReviewNetModel:
             decoder_maxout=bool(opt.maxout),
             use_mos=bool(opt.use_mos),
             num_expert=opt.num_expert,
+            use_pallas=bool(getattr(opt, 'use_pallas', 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -151,6 +153,20 @@ class ReviewNetModel:
         return EncodeOut(memory=memory, state=state, reason_preds=[reason_pred])
 
     def _decode_out(self, params, xt, memory, state, rng, deterministic):
+        if self.use_pallas and deterministic and not self.decoder_maxout:
+            from ..ops.pallas_kernels import fused_att_lstm_step, pack_att_lstm_params
+
+            dec = params["decoder"]
+            wxh, wz, gb = pack_att_lstm_params(dec)
+            h, c = state
+            import jax as _jax
+
+            h2, c2 = fused_att_lstm_step(
+                xt, h, c, memory["thoughts"], memory["keys"], dec["att"],
+                wxh, wz, gb, rnn_size=self.rnn_size,
+                interpret=_jax.default_backend() != "tpu",
+            )
+            return h2, (h2, c2)
         return cells.att_lstm_step(
             params["decoder"],
             xt,
