@@ -127,6 +127,35 @@ def review_net_ensemble_loss(
     return xe + disc * reason_weight / len(top_pred_list)
 
 
+def tv_loss(top_pred, top_true, *, max_targets=None):
+    """Eval-only thought-vector criterion (TVCriterion, misc/utils.py:196-209):
+    the discriminative loss of the LAST reason head alone."""
+    if isinstance(top_pred, (list, tuple)):
+        top_pred = top_pred[-1]
+    return multilabel_margin_loss(top_pred, top_true, max_targets=max_targets)
+
+
+def smooth_l1(x, y):
+    """torch.nn.SmoothL1Loss(size_average=False) semantics."""
+    d = jnp.abs(x - y)
+    return jnp.sum(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+
+
+def soft_att_plus_ltg_loss(
+    log_prob, target, mask, gv, top_true, ltg_weight, gv_l1_penality,
+    *, max_targets=None,
+):
+    """Guiding-network criterion (SoftAttPlusLTGCriterion,
+    misc/utils.py:122-150): masked XE + guiding MultiLabelMargin loss +
+    SmoothL1 pull of the guiding vector toward zero. Kept for surface parity
+    (the guiding-net model itself is not part of the public reference
+    release)."""
+    xe = language_model_loss(log_prob, target, mask)
+    gv_loss = multilabel_margin_loss(gv, top_true, max_targets=max_targets)
+    gv_l1 = smooth_l1(gv, jnp.zeros_like(gv))
+    return xe + gv_loss * ltg_weight + gv_l1 * gv_l1_penality
+
+
 def _rl_masks(seq):
     """mask_0 = seq>0; mask = [1, mask_0[:, :-1]] (one extra step so the EOS
     step is rewarded; misc/utils.py:99-101)."""

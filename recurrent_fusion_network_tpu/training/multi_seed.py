@@ -1,0 +1,140 @@
+"""Vmapped multi-seed fleet training.
+
+The reference produces its ensemble's N checkpoints by launching N
+independent single-GPU jobs from bash, one seed per GPU
+(train_recurrent_fusion_model.sh:7-30). The TPU-native equivalent trains all
+N seeds IN ONE PROGRAM: parameters and optimizer states get a leading seed
+axis and the jitted train step is vmapped over it — every seed's matmuls
+batch together on the MXU, and one chip replaces the 8-GPU host. Seeds share
+the data stream but differ in initialization, dropout, and scheduled-sampling
+draws (each seed folds its own RNG).
+
+The resulting per-seed checkpoints are directly consumable by
+eval_ensemble.py (rank = seed index, matching the reference's per-rank
+checkpoint naming).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import setup
+from .checkpoint import save_checkpoint
+from .criterion import make_criterion
+from .eval_split import batch_feats, eval_split
+from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
+
+
+def train_multi_seed(
+    opt,
+    loader,
+    n_seeds: int,
+    *,
+    max_iterations: Optional[int] = None,
+    eval_at_end: bool = True,
+    save: bool = True,
+    log_fn=print,
+):
+    """Train n_seeds models simultaneously. Returns a dict with the stacked
+    params, per-seed loss histories, and (optionally) per-seed final CIDEr."""
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+    crit = make_criterion(opt)
+    tx = make_optimizer(opt)
+
+    seed_keys = jnp.stack(
+        [jax.random.PRNGKey(opt.seed + r) for r in range(n_seeds)]
+    )
+    params = jax.vmap(model.init_params)(seed_keys)
+    opt_state = jax.vmap(tx.init)(params)
+
+    def one_step(params, opt_state, rng, fc, att, labels, masks, top_words, lr, ss):
+        def loss_fn(p):
+            lps, reason = model.forward(
+                p, fc, att, labels, ss_prob=ss, rng=rng, deterministic=False
+            )
+            return crit(lps, labels, masks, reason, top_words)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        direction, opt_state = tx.update(grads, opt_state, params)
+        params = apply_updates(params, direction, lr)
+        return params, opt_state, loss
+
+    # vmap over the seed axis: params/state/rng per-seed, batch shared
+    vstep = jax.jit(
+        jax.vmap(
+            one_step,
+            in_axes=(0, 0, 0, None, None, None, None, None, None, None),
+        )
+    )
+
+    rngs = jax.vmap(jax.random.fold_in)(seed_keys, jnp.arange(n_seeds))
+    iteration, epoch = 0, 0
+    loss_histories = [dict() for _ in range(n_seeds)]
+    lr = opt.optim_lr
+    ss = 0.0
+    update_lr_flag = True
+
+    while True:
+        if update_lr_flag:
+            lr = lr_for_epoch(opt, epoch, opt.optim_lr)
+            ss = ss_prob_for_epoch(opt, epoch)
+            update_lr_flag = False
+        data = loader.get_batch("train")
+        fc, att = batch_feats(data)
+        labels = jnp.asarray(data["labels"])
+        masks = jnp.asarray(data["masks"])
+        top_words = jnp.asarray(data["top_words"])
+        rngs = jax.vmap(lambda k: jax.random.split(k)[0])(rngs)
+        params, opt_state, losses = vstep(
+            params, opt_state, rngs, fc, att, labels, masks, top_words,
+            jnp.float32(lr), jnp.float32(ss),
+        )
+        if data["bounds"]["wrapped"]:
+            epoch += 1
+            update_lr_flag = True
+        if iteration % opt.losses_log_every == 0:
+            for r in range(n_seeds):
+                loss_histories[r][iteration] = float(losses[r])
+            log_fn(
+                f"iter {iteration} (epoch {epoch}) losses: "
+                + " ".join(f"{float(l):.3f}" for l in losses)
+            )
+        iteration += 1
+        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
+            break
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+
+    result = {"params": params, "loss_histories": loss_histories, "model": model}
+
+    per_seed_params = [
+        jax.tree_util.tree_map(lambda x: x[r], params) for r in range(n_seeds)
+    ]
+    if eval_at_end:
+        scores = []
+        for r, p in enumerate(per_seed_params):
+            _, _, stats = eval_split(
+                model, p, loader, opt, split="val", rank=r,
+                language_eval_flag=bool(opt.language_eval),
+            )
+            scores.append(stats["CIDEr"] if stats else float("nan"))
+        result["cider_per_seed"] = scores
+    if save:
+        for r, p in enumerate(per_seed_params):
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "opt": dict(vars(opt)),
+                "loss_history": loss_histories[r],
+                "vocab": loader.get_vocab(),
+            }
+            save_checkpoint(
+                opt.checkpoint_path, opt.id, r, params=p, infos=infos, best=True
+            )
+    return result

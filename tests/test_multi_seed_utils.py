@@ -1,0 +1,163 @@
+"""Multi-seed vmapped trainer + utils tests."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+from recurrent_fusion_network_tpu.ops import losses
+from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+from recurrent_fusion_network_tpu.training.multi_seed import train_multi_seed
+from recurrent_fusion_network_tpu.utils.logging import JsonlLogger, MetricsLog
+from recurrent_fusion_network_tpu.utils.profiling import step_timer
+
+
+def quiet(*a, **k):
+    pass
+
+
+class TestMultiSeed:
+    def test_vmapped_step_matches_single_seed_exactly(self):
+        """Seed r of the vmapped fleet must follow the identical trajectory
+        a solo run of that seed would (vmap is semantics-preserving)."""
+        import jax.numpy as jnp
+
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.criterion import make_criterion
+        from recurrent_fusion_network_tpu.training.eval_split import batch_feats
+        from recurrent_fusion_network_tpu.training.optim import (
+            apply_updates,
+            make_optimizer,
+        )
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model, crit, tx = setup(opt), make_criterion(opt), make_optimizer(opt)
+
+        def one_step(params, opt_state, rng, fc, att, labels, masks, tw, lr):
+            def loss_fn(p):
+                lps, reason = model.forward(p, fc, att, labels)
+                return crit(lps, labels, masks, reason, tw)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            d, opt_state = tx.update(grads, opt_state, params)
+            return apply_updates(params, d, lr), opt_state, loss
+
+        keys = jnp.stack([jax.random.PRNGKey(opt.seed + r) for r in range(3)])
+        ps = jax.vmap(model.init_params)(keys)
+        sts = jax.vmap(tx.init)(ps)
+        vstep = jax.jit(jax.vmap(one_step, in_axes=(0, 0, 0) + (None,) * 6))
+        p1 = model.init_params(jax.random.PRNGKey(opt.seed + 1))
+        st1 = tx.init(p1)
+        step1 = jax.jit(one_step)
+        for _ in range(5):
+            b = loader.get_batch("train")
+            fc, att = batch_feats(b)
+            args = (fc, att, jnp.asarray(b["labels"]), jnp.asarray(b["masks"]),
+                    jnp.asarray(b["top_words"]), jnp.float32(5e-3))
+            ps, sts, lv = vstep(ps, sts, keys, *args)
+            p1, st1, l1 = step1(p1, st1, keys[1], *args)
+            np.testing.assert_allclose(float(lv[1]), float(l1), rtol=1e-5)
+        # f32 reduction-order noise accumulates over steps; atol absorbs it
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(ps)[0][1]),
+            np.asarray(jax.tree_util.tree_leaves(p1)[0]),
+            rtol=1e-4, atol=1e-5,
+        )
+
+    def test_fleet_trains_and_checkpoints(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.losses_log_every = 1
+        opt.optim_lr = 5e-3
+        opt.id = "ms"
+        res = train_multi_seed(
+            opt, loader, 3, max_iterations=8, eval_at_end=False, log_fn=quiet
+        )
+        h = res["loss_histories"]
+        for r in range(3):
+            assert all(np.isfinite(list(h[r].values())))
+        # seeds differ (different inits)
+        assert h[0][0] != h[1][0] or h[1][0] != h[2][0]
+        # per-seed checkpoints exist and load into ensemble-compatible params
+        for r in range(3):
+            params, _, infos = load_checkpoint(str(tmp_path), "ms", r, best=True)
+            assert "embed" in params
+        # checkpoints differ across seeds
+        p0, _, _ = load_checkpoint(str(tmp_path), "ms", 0, best=True)
+        p1, _, _ = load_checkpoint(str(tmp_path), "ms", 1, best=True)
+        assert not np.allclose(p0["embed"], p1["embed"])
+
+    def test_multi_seed_feeds_eval_ensemble(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.eval_results_dir = str(tmp_path / "eval_results")
+        opt.id = "ms2"
+        res = train_multi_seed(
+            opt, loader, 2, max_iterations=4, eval_at_end=False, log_fn=quiet
+        )
+        from recurrent_fusion_network_tpu.training.eval_ensemble import eval_ensemble
+
+        model = res["model"]
+        members = []
+        for r in range(2):
+            p, _, _ = load_checkpoint(str(tmp_path), "ms2", r, best=True)
+            members.append((model, p))
+        preds, stats = eval_ensemble(
+            members, loader, opt, split="val", beam_size=2, val_images_use=8
+        )
+        assert len(preds) == 8 and stats is not None
+
+
+class TestUtils:
+    def test_jsonl_logger(self, tmp_path):
+        p = str(tmp_path / "log.jsonl")
+        lg = JsonlLogger(p)
+        lg.log(event="train", loss=1.5)
+        lg.log(event="val", cider=0.9)
+        lg.close()
+        import json
+
+        rows = [json.loads(l) for l in open(p)]
+        assert rows[0]["loss"] == 1.5 and rows[1]["cider"] == 0.9
+        assert all("ts" in r for r in rows)
+
+    def test_metrics_log(self):
+        m = MetricsLog()
+        m.record_train(0, 2.0, 1e-3)
+        m.record_val(5, 1.5, {"CIDEr": 0.5}, [])
+        infos = m.as_infos()
+        assert infos["loss_history"][0] == 2.0
+        assert infos["val_result_history"][5]["lang_stats"]["CIDEr"] == 0.5
+
+    def test_step_timer(self):
+        with step_timer() as t:
+            sum(range(1000))
+        assert t["seconds"] > 0
+
+    def test_tv_and_ltg_losses(self):
+        import jax.numpy as jnp
+
+        g = np.random.default_rng(0)
+        x = jnp.asarray(g.standard_normal((3, 8)), jnp.float32)
+        y = jnp.full((3, 8), -1, dtype=jnp.int32).at[:, 0].set(2)
+        tv = losses.tv_loss([x, x * 2], y)
+        tv_single = losses.multilabel_margin_loss(x * 2, y)
+        np.testing.assert_allclose(float(tv), float(tv_single), rtol=1e-6)
+
+        lp = jnp.log(jax.nn.softmax(jnp.asarray(g.standard_normal((3, 4, 9)), jnp.float32)))
+        tgt = jnp.asarray(g.integers(0, 9, (3, 4)))
+        msk = jnp.ones((3, 4))
+        out = losses.soft_att_plus_ltg_loss(lp, tgt, msk, x, y, 0.5, 0.001)
+        assert np.isfinite(float(out))
+        # smooth_l1 matches torch
+        import torch
+
+        a = g.standard_normal((5, 7)).astype(np.float32)
+        want = torch.nn.SmoothL1Loss(reduction="sum")(
+            torch.from_numpy(a), torch.zeros(5, 7)
+        )
+        got = losses.smooth_l1(jnp.asarray(a), jnp.zeros((5, 7)))
+        np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
