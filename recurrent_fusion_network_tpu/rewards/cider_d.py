@@ -20,6 +20,7 @@ slow-but-obviously-correct engine it is tested against.
 from __future__ import annotations
 
 import math
+import os
 import pickle
 from typing import Dict, List, Sequence, Tuple
 
@@ -92,7 +93,15 @@ class CiderD:
     pre-hashed {int64: float} dict. ref_len: log(#train images).
     """
 
-    def __init__(self, df: Dict, ref_len: float, n: int = N_MAX, sigma: float = 6.0):
+    def __init__(
+        self,
+        df: Dict,
+        ref_len: float,
+        n: int = N_MAX,
+        sigma: float = 6.0,
+        backend: str = "auto",
+        n_threads: int = 0,
+    ):
         self.n = n
         self.sigma = sigma
         self.ref_len = float(ref_len)
@@ -110,6 +119,39 @@ class CiderD:
         else:
             self._df_keys = np.empty(0, np.int64)
             self._df_vals = np.empty(0, np.float64)
+
+        # optional C++ backend (rewards/native/cider_d.cpp)
+        self._native = None
+        self._native_ctx = None
+        if backend in ("auto", "native"):
+            from .native import load_library
+
+            lib = load_library()
+            if lib is None:
+                if backend == "native":
+                    raise RuntimeError("native CIDEr-D backend unavailable (no g++?)")
+            else:
+                import ctypes
+
+                keys = np.ascontiguousarray(self._df_keys)
+                vals = np.ascontiguousarray(self._df_vals)
+                ctx = lib.cider_init(
+                    keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                    vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    len(keys), self.ref_len, self.n, self.sigma,
+                )
+                self._native = lib
+                self._native_ctx = ctx
+                self._native_refs = (keys, vals)  # keep buffers alive
+                self._n_threads = n_threads or min(8, os.cpu_count() or 1)
+
+    def __del__(self):
+        if getattr(self, "_native", None) is not None and self._native_ctx:
+            try:
+                self._native.cider_free(self._native_ctx)
+            except Exception:
+                pass
+            self._native_ctx = None
 
     @classmethod
     def from_pickle(cls, path: str, **kw):
@@ -169,6 +211,8 @@ class CiderD:
         ref_cache_keys: optional hashable per hyp identifying its reference
         set; duplicated sets (e.g. seq_per_img expansion) are vectorized once.
         """
+        if self._native_ctx is not None:
+            return self._score_native(hyps, refs_per_hyp, ref_cache_keys)
         cache: Dict = {}
         scores = np.zeros(len(hyps))
         for i, hyp in enumerate(hyps):
@@ -180,6 +224,51 @@ class CiderD:
             total = sum(self._sim(hv, rv) for rv in rvs)
             scores[i] = total / self.n / len(rvs) * 10.0
         return scores
+
+    def _score_native(self, hyps, refs_per_hyp, ref_cache_keys):
+        import ctypes
+
+        n_hyp = len(hyps)
+        # group reference sets by cache key (flatten each set once)
+        group_of = {}
+        groups: List = []
+        hyp_group = np.empty(n_hyp, np.int64)
+        for i in range(n_hyp):
+            ck = ref_cache_keys[i] if ref_cache_keys is not None else i
+            if ck not in group_of:
+                group_of[ck] = len(groups)
+                groups.append(refs_per_hyp[i])
+            hyp_group[i] = group_of[ck]
+
+        def flatten(sents):
+            off = np.zeros(len(sents) + 1, np.int64)
+            for i, s in enumerate(sents):
+                off[i + 1] = off[i] + len(np.ravel(s))
+            flat = np.empty(off[-1], np.int32)
+            for i, s in enumerate(sents):
+                flat[off[i] : off[i + 1]] = np.ravel(s)
+            return flat, off
+
+        hyp_flat, hyp_off = flatten(list(hyps))
+        all_refs = [r for g in groups for r in g]
+        ref_flat, ref_off = flatten(all_refs)
+        group_off = np.zeros(len(groups) + 1, np.int64)
+        for g, refs in enumerate(groups):
+            group_off[g + 1] = group_off[g] + len(refs)
+
+        out = np.zeros(n_hyp, np.float64)
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        I32 = ctypes.POINTER(ctypes.c_int32)
+        F64 = ctypes.POINTER(ctypes.c_double)
+        self._native.cider_score(
+            self._native_ctx,
+            hyp_flat.ctypes.data_as(I32), hyp_off.ctypes.data_as(I64), n_hyp,
+            ref_flat.ctypes.data_as(I32), ref_off.ctypes.data_as(I64), len(all_refs),
+            group_off.ctypes.data_as(I64), len(groups),
+            hyp_group.ctypes.data_as(I64),
+            out.ctypes.data_as(F64), self._n_threads,
+        )
+        return out
 
     def compute_score(self, gts: Dict, res: List[Dict]) -> Tuple[float, np.ndarray]:
         """Reference-compatible surface (ciderD.py:27): gts maps entry id ->

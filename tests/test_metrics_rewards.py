@@ -195,3 +195,43 @@ class TestHarness:
         blob = json.load(open(tmp_path / files[0]))
         assert "overall" in blob and "imgToEval" in blob
         assert "99" not in blob["imgToEval"]
+
+
+class TestNativeCiderD:
+    def test_native_matches_python_exactly(self):
+        import shutil
+
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        ds = synthetic_dataset(n_train=40, seed=4)
+        train = ds.splits()["train"]
+        df = compute_doc_freq(ds, train)
+        ref_len = float(np.log(len(train)))
+        py = CiderD(df, ref_len, backend="numpy")
+        nat = CiderD(df, ref_len, backend="native")
+        assert nat._native_ctx is not None
+        g = np.random.default_rng(0)
+        hyps, refs, keys = [], [], []
+        for i in range(32):
+            img = train[int(g.integers(0, len(train)))]
+            caps = ds.captions_for_image(img)
+            hyp = caps[0].copy()
+            flip = g.integers(0, 2, hyp.shape).astype(bool)
+            hyp[flip] = g.integers(0, ds.vocab_size + 1, flip.sum())
+            hyps.append(hyp)
+            refs.append(list(caps))
+            keys.append(img)
+        s_py = py.score_arrays(hyps, refs, keys)
+        s_nat = nat.score_arrays(hyps, refs, keys)
+        np.testing.assert_allclose(s_nat, s_py, rtol=1e-12)
+
+    def test_auto_backend_prefers_native(self):
+        import shutil
+
+        if shutil.which("g++") is None:
+            pytest.skip("no C++ toolchain")
+        ds = synthetic_dataset(seed=5)
+        train = ds.splits()["train"]
+        df = compute_doc_freq(ds, train)
+        scorer = CiderD(df, float(np.log(len(train))))  # backend="auto"
+        assert scorer._native_ctx is not None
