@@ -1,0 +1,127 @@
+"""Feature extraction CLI.
+
+Equivalent of the reference's per-encoder extract_*_feats.py scripts
+(data/feature_extraction/resnet/extract_resnet_feats.py:60-98), redesigned
+TPU-first:
+
+  * images resized to a fixed --image_size (default 448 -> an exact 14x14
+    final-stage grid) and processed in BATCHES under one jitted program,
+    instead of per-image full-resolution graphs;
+  * all 10 augmentation variants are composed on the fly (augment.py) instead
+    of pre-rendering 10 image trees to disk;
+  * output is the packed memory-mapped layout consumed by
+    PackedFeatureSource ({variant}_fc.npy / {variant}_att.npy + ids.json).
+
+Weights: --torch_weights <path to a torchvision resnet*.pth state dict>;
+without it the backbone is randomly initialized (pipeline smoke runs only).
+
+  python -m recurrent_fusion_network_tpu.data.feature_extraction.extract \
+      --images_dir val2014/ --output_dir data/features/resnet/packed \
+      --arch resnet101 --variants original,flip --batch_size 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .augment import VARIANTS, make_variant
+from .resnet_jax import ResNetConfig, load_torch_state_dict, resnet_features, resnet_init
+
+
+def load_image(path: str, size: int) -> np.ndarray:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB").resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32) / 255.0
+
+
+def image_id_from_name(name: str) -> int:
+    """COCO_val2014_000000391895.jpg -> 391895; plain '123.jpg' -> 123."""
+    stem = os.path.splitext(os.path.basename(name))[0]
+    tail = stem.split("_")[-1]
+    return int(tail)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--images_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--arch", default="resnet101",
+                   choices=["resnet50", "resnet101", "resnet152"])
+    p.add_argument("--torch_weights", default=None)
+    p.add_argument("--image_size", type=int, default=448)
+    p.add_argument("--att_size", type=int, default=14)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--variants", default="original",
+                   help=f"comma list from {','.join(VARIANTS)} or 'all'")
+    p.add_argument("--limit", type=int, default=-1)
+    args = p.parse_args(argv)
+
+    config = getattr(ResNetConfig, args.arch)()
+    config = ResNetConfig(blocks=config.blocks, att_size=args.att_size)
+    if args.torch_weights:
+        import torch
+
+        sd = torch.load(args.torch_weights, map_location="cpu", weights_only=True)
+        params = load_torch_state_dict(sd, config)
+        print(f"loaded torchvision weights from {args.torch_weights}")
+    else:
+        params = resnet_init(jax.random.PRNGKey(0), config)
+        print("WARNING: random backbone weights (smoke run only)")
+
+    variants = VARIANTS if args.variants == "all" else tuple(args.variants.split(","))
+
+    names = sorted(
+        f for f in os.listdir(args.images_dir)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+    if args.limit > 0:
+        names = names[: args.limit]
+    ids = [image_id_from_name(n) for n in names]
+    N, B = len(names), args.batch_size
+
+    @jax.jit
+    def run(batch):
+        return resnet_features(params, batch, config)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    C = config.width * 32
+    S = config.att_size
+    for variant in variants:
+        fc_out = np.zeros((N, C), np.float32)
+        att_out = np.zeros((N, S, S, C), np.float32)
+        for start in range(0, N, B):
+            chunk = names[start : start + B]
+            imgs = np.stack(
+                [load_image(os.path.join(args.images_dir, n), args.image_size)
+                 for n in chunk]
+            )
+            var_imgs = jnp.stack([make_variant(jnp.asarray(im), variant) for im in imgs])
+            pad = B - len(chunk)
+            if pad:
+                var_imgs = jnp.concatenate(
+                    [var_imgs, jnp.zeros((pad,) + var_imgs.shape[1:])], 0
+                )
+            fc, att = run(var_imgs)
+            fc_out[start : start + len(chunk)] = np.asarray(fc)[: len(chunk)]
+            att_out[start : start + len(chunk)] = np.asarray(att)[: len(chunk)]
+            if (start // B) % 50 == 0:
+                print(f"{variant}: {start + len(chunk)}/{N}")
+        np.save(os.path.join(args.output_dir, f"{variant}_fc.npy"), fc_out)
+        np.save(
+            os.path.join(args.output_dir, f"{variant}_att.npy"),
+            att_out.reshape(N, S * S, C),
+        )
+    with open(os.path.join(args.output_dir, "ids.json"), "w") as f:
+        json.dump(ids, f)
+    print(f"wrote {N} images x {len(variants)} variants to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,154 @@
+"""Feature-extraction tests: augmentation semantics, adaptive pooling parity
+with torch, backbone shapes, torch state-dict conversion, end-to-end CLI."""
+
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from recurrent_fusion_network_tpu.data.feature_extraction.augment import (
+    VARIANT_BOXES,
+    make_variant,
+    make_variants,
+)
+from recurrent_fusion_network_tpu.data.feature_extraction.resnet_jax import (
+    ResNetConfig,
+    _torch_adaptive_pool,
+    load_torch_state_dict,
+    resnet_features,
+    resnet_init,
+)
+
+
+class TestAugment:
+    def test_flip(self, rng):
+        img = jnp.asarray(rng.random((8, 6, 3)), jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(make_variant(img, "flip")), np.asarray(img)[:, ::-1]
+        )
+
+    def test_crop_box_semantics(self, rng):
+        img = jnp.asarray(rng.random((20, 20, 3)), jnp.float32)
+        out = make_variant(img, "crop_tl")
+        assert out.shape == img.shape
+        # top-left 90% crop resized back: top-left corner pixel preserved
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0]), np.asarray(img[0, 0]), rtol=1e-5
+        )
+
+    def test_flip_crop_composition(self, rng):
+        img = jnp.asarray(rng.random((20, 20, 3)), jnp.float32)
+        manual = make_variant(make_variant(img, "flip"), "crop_br")
+        composed = make_variant(img, "flip_crop_br")
+        np.testing.assert_allclose(np.asarray(composed), np.asarray(manual), rtol=1e-6)
+
+    def test_all_variants(self, rng):
+        img = jnp.asarray(rng.random((16, 16, 3)), jnp.float32)
+        out = make_variants(img)
+        assert len(out) == 10
+        for v, arr in out.items():
+            assert arr.shape == img.shape, v
+
+
+class TestAdaptivePool:
+    @pytest.mark.parametrize("H,W,S", [(7, 7, 7), (13, 17, 14), (20, 20, 14)])
+    def test_matches_torch(self, rng, H, W, S):
+        x = rng.standard_normal((2, H, W, 5)).astype(np.float32)
+        ours = _torch_adaptive_pool(jnp.asarray(x), S)
+        want = F.adaptive_avg_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), (S, S)
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(np.asarray(ours), want, rtol=1e-4, atol=1e-6)
+
+
+class TestResNet:
+    def test_tiny_backbone_shapes(self):
+        cfg = ResNetConfig(blocks=(1, 1, 1, 1), width=8, att_size=2)
+        params = resnet_init(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        fc, att = resnet_features(params, imgs, cfg)
+        assert fc.shape == (2, 256)
+        assert att.shape == (2, 2, 2, 256)
+        assert np.isfinite(np.asarray(fc)).all()
+
+    def test_torch_state_dict_roundtrip(self):
+        """Converted torch weights produce the same structure/shapes as
+        resnet_init, and conv transposition is applied."""
+        cfg = ResNetConfig(blocks=(1, 1, 1, 1), width=8, att_size=2)
+        ours = resnet_init(jax.random.PRNGKey(0), cfg)
+        # synthesize a torch-format state dict matching the tiny config
+        sd = {}
+        g = np.random.default_rng(0)
+
+        def put_conv(name, hwio):
+            sd[name] = torch.from_numpy(
+                np.transpose(g.standard_normal(hwio).astype(np.float32), (3, 2, 0, 1))
+            )
+
+        def put_bn(prefix, c):
+            sd[prefix + ".weight"] = torch.ones(c)
+            sd[prefix + ".bias"] = torch.zeros(c)
+            sd[prefix + ".running_mean"] = torch.zeros(c)
+            sd[prefix + ".running_var"] = torch.ones(c)
+
+        put_conv("conv1.weight", (7, 7, 3, 8))
+        put_bn("bn1", 8)
+        cin = 8
+        for stage in range(1, 5):
+            planes = 8 * 2 ** (stage - 1)
+            cout = planes * 4
+            pre = f"layer{stage}.0"
+            put_conv(pre + ".conv1.weight", (1, 1, cin, planes))
+            put_bn(pre + ".bn1", planes)
+            put_conv(pre + ".conv2.weight", (3, 3, planes, planes))
+            put_bn(pre + ".bn2", planes)
+            put_conv(pre + ".conv3.weight", (1, 1, planes, cout))
+            put_bn(pre + ".bn3", cout)
+            put_conv(pre + ".downsample.0.weight", (1, 1, cin, cout))
+            put_bn(pre + ".downsample.1", cout)
+            cin = cout
+        conv_params = load_torch_state_dict(sd, cfg)
+        ref_tree = jax.tree_util.tree_structure(ours)
+        got_tree = jax.tree_util.tree_structure(conv_params)
+        assert ref_tree == got_tree
+        for a, b in zip(jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(conv_params)):
+            assert a.shape == b.shape
+        # runs
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+        fc, att = resnet_features(conv_params, imgs, cfg)
+        assert np.isfinite(np.asarray(fc)).all()
+
+
+class TestExtractCLI:
+    def test_end_to_end_packed_output(self, tmp_path):
+        from PIL import Image
+
+        from recurrent_fusion_network_tpu.data.dataset import PackedFeatureSource
+        from recurrent_fusion_network_tpu.data.feature_extraction.extract import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        g = np.random.default_rng(0)
+        for i in range(3):
+            arr = (g.random((40, 52, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"COCO_val2014_{1000+i:012d}.jpg")
+        out = tmp_path / "packed"
+        main([
+            "--images_dir", str(img_dir), "--output_dir", str(out),
+            "--arch", "resnet50", "--image_size", "64", "--att_size", "2",
+            "--batch_size", "2", "--variants", "original,flip",
+        ])
+        src = PackedFeatureSource(str(out))
+        fc, att = src.load(1000, "original")
+        assert fc.shape == (2048,)
+        assert att.shape == (4, 2048)
+        fc_f, _ = src.load(1001, "flip")
+        assert np.isfinite(fc_f).all()
+        ids = json.load(open(out / "ids.json"))
+        assert ids == [1000, 1001, 1002]
