@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
-BATCH = 64
+BATCH = 256
 BEAM = 3
 WARMUP = 2
 ITERS = 5

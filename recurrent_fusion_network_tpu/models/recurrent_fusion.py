@@ -161,10 +161,21 @@ class RecurrentFusionModel:
         r1 = None if rng is None else jax.random.fold_in(rng, 1)
         r2 = None if rng is None else jax.random.fold_in(rng, 2)
 
+        # hoist every untied step's h-independent attention-key projection out
+        # of the scan: per encoder one (B*A_j, D_j) x (D_j, R0*H) matmul
+        keys1 = []
+        for j in range(M):
+            a = params["review1"][j]["att"]["att_2_att_h"]
+            keys1.append(
+                jnp.einsum("bad,sdh->sbah", att_feats[j], a["w"])
+                + a["b"][:, None, None, :]
+            )
+        keys1 = tuple(keys1)
+
         # ---- stage I: interacting fusion review --------------------------------
         def stage1(carry, step_in):
             states, i = carry
-            step_params = step_in
+            step_params, step_keys = step_in
             H = jnp.concatenate([st[0] for st in states], axis=1)  # (B, M*R)
             outs, reasons, new_states = [], [], []
             for j in range(M):
@@ -174,6 +185,7 @@ class RecurrentFusionModel:
                     H,
                     att_feats[j],
                     states[j],
+                    keys=step_keys[j],
                     rnn_size=R,
                     maxout=self.fusion_maxout,
                     drop_rate=self.drop_prob_fusion,
@@ -186,7 +198,7 @@ class RecurrentFusionModel:
             return (tuple(new_states), i + 1), (tuple(outs), tuple(reasons))
 
         (states, _), (thought_seqs, reason_seqs) = jax.lax.scan(
-            stage1, (states, 0), params["review1"]
+            stage1, (states, 0), (params["review1"], keys1)
         )
         # thought_seqs: tuple of M arrays (R0, B, R)
         thoughts_i = [jnp.transpose(t, (1, 0, 2)) for t in thought_seqs]  # M x (B,R0,R)
@@ -199,15 +211,21 @@ class RecurrentFusionModel:
 
         # ---- stage II: multi-attention combine ---------------------------------
         thought_stack = jnp.stack(thoughts_i, axis=0)  # (M, B, R0, R)
+        a2 = params["review2"]["att"]["att_2_att_h"]  # w: (S, M, R, H)
+        keys2 = (
+            jnp.einsum("mbar,smrh->smbah", thought_stack, a2["w"])
+            + a2["b"][:, :, None, None, :]
+        )
 
         def stage2(carry, step_in):
             state, i = carry
-            step_params = step_in
+            step_params, step_keys = step_in
             r = None if r2 is None else jax.random.fold_in(r2, i)
             out, state = cells.multi_att_lstm_step(
                 step_params,
                 thought_stack,
                 state,
+                keys_stack=step_keys,
                 rnn_size=R,
                 maxout=self.review_maxout,
                 drop_rate=self.drop_prob_reason,
@@ -218,7 +236,7 @@ class RecurrentFusionModel:
             return (state, i + 1), (out, reason)
 
         (state, _), (comb_outs, comb_reasons) = jax.lax.scan(
-            stage2, (state, 0), params["review2"]
+            stage2, (state, 0), (params["review2"], keys2)
         )
         thoughts_comb = jnp.transpose(comb_outs, (1, 0, 2))  # (B, S, R)
         reason_preds.append(jnp.max(comb_reasons, axis=0))

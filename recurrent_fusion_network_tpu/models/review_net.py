@@ -124,14 +124,24 @@ class ReviewNetModel:
         init_h = apply_linear(params["fc2h"], fc_feats)
         state = (init_h, init_h)
 
+        # hoist the h-independent attention-key projections of ALL untied
+        # review steps out of the scan: one (B*A, D) x (D, S*H) matmul
+        # instead of S sequential (B*A, D) x (D, H) matmuls
+        rev_att = params["review"]["att"]["att_2_att_h"]
+        keys_all = (
+            jnp.einsum("bad,sdh->sbah", att_feats, rev_att["w"])
+            + rev_att["b"][:, None, None, :]
+        )
+
         def review_step(carry, step_in):
             state, i = carry
-            step_params, = step_in
+            step_params, step_keys = step_in
             r = None if rng is None else jax.random.fold_in(rng, i)
             out, state = cells.no_input_lstm_step(
                 step_params,
                 att_feats,
                 state,
+                keys=step_keys,
                 rnn_size=self.rnn_size,
                 maxout=self.review_maxout,
                 drop_rate=self.drop_prob_reason,
@@ -142,7 +152,7 @@ class ReviewNetModel:
             return (state, i + 1), (out, reason)
 
         (state, _), (thoughts, reasons) = jax.lax.scan(
-            review_step, (state, 0), (params["review"],)
+            review_step, (state, 0), (params["review"], keys_all)
         )
         thoughts = jnp.transpose(thoughts, (1, 0, 2))  # (B, S, R)
         reason_pred = jnp.max(reasons, axis=0)  # max over steps -> (B, W)
