@@ -32,7 +32,11 @@ def synthetic_dataset(
     vocab_words: Optional[List[str]] = None,
     top_words_count: int = 12,
     seed: int = 0,
+    correlated: bool = False,
 ) -> Dataset:
+    """correlated=True makes each image's captions near-copies of one base
+    caption of SORTED distinct tokens (order recoverable from content) — a
+    fixture with real learnable signal for training-dynamics tests."""
     g = np.random.default_rng(seed)
     vocab = list(vocab_words or WORDS)
     V = len(vocab)
@@ -46,10 +50,20 @@ def synthetic_dataset(
         image_id = 1000 + i
         images.append({"id": image_id, "split": split, "file_path": f"img/{image_id}.jpg"})
         starts.append(row + 1)  # 1-based like the reference
-        for _ in range(caps_per_image):
-            ln = int(g.integers(3, seq_length + 1))
+        if correlated:
+            ln = int(g.integers(4, min(seq_length, V // 4) + 1))
+            base = np.sort(g.choice(np.arange(1, V + 1), size=ln, replace=False))
+        for c in range(caps_per_image):
             cap = np.zeros(seq_length, dtype=np.int64)
-            cap[:ln] = g.integers(1, V + 1, ln)
+            if correlated:
+                toks = base.copy()
+                if c > 0:  # one-token perturbation, re-sorted
+                    toks[int(g.integers(0, ln))] = int(g.integers(1, V + 1))
+                    toks = np.sort(np.unique(toks))
+                cap[: len(toks)] = toks
+            else:
+                ln = int(g.integers(3, seq_length + 1))
+                cap[:ln] = g.integers(1, V + 1, ln)
             labels.append(cap)
             row += 1
         ends.append(row)
@@ -57,6 +71,74 @@ def synthetic_dataset(
     info = {"ix_to_word": ix_to_word, "images": images}
     top_words = vocab[:top_words_count]
     return Dataset(info, np.stack(labels), np.array(starts), np.array(ends), top_words)
+
+
+class LearnableFeatureSource:
+    """Features that ENCODE the image's caption content: a bag-of-words
+    embedding of the image's first caption plus small noise. A captioner
+    trained on this fixture must learn a real feature->text mapping, so
+    learning-dynamics tests (XE loss down => CIDEr up; SCST reward up) have
+    actual signal — unlike SyntheticFeatureSource's pure noise."""
+
+    def __init__(self, dataset: "Dataset", fc_dim: int, att_num: int, att_dim: int,
+                 seed: int = 0, noise: float = 0.05):
+        self.ds = dataset
+        self.fc_dim, self.att_num, self.att_dim = fc_dim, att_num, att_dim
+        self.noise = noise
+        g = np.random.default_rng(seed)
+        V = dataset.vocab_size + 1
+        self.word_emb_fc = g.standard_normal((V, fc_dim)).astype(np.float32)
+        self.word_emb_att = g.standard_normal((V, att_dim)).astype(np.float32)
+        self.seed = seed
+
+    def load(self, image_id, variant: str = "original"):
+        caps = self.ds.captions_for_image(image_id)
+        toks = caps[0][caps[0] > 0]
+        g = np.random.default_rng(hash((int(image_id), variant, self.seed)) % (2**31))
+        fc = self.word_emb_fc[toks].mean(0) + self.noise * g.standard_normal(self.fc_dim)
+        # att position p holds the embedding of the p-th caption token
+        att = np.zeros((self.att_num, self.att_dim), np.float32)
+        for p in range(self.att_num):
+            if p < len(toks):
+                att[p] = self.word_emb_att[toks[p]]
+        att += self.noise * g.standard_normal(att.shape)
+        return fc.astype(np.float32), att.astype(np.float32)
+
+
+def learnable_setup(
+    caption_model: str = "show_tell",
+    n_train: int = 48,
+    batch_size: int = 8,
+    seq_per_img: int = 5,
+    rnn_size: int = 48,
+    seed: int = 0,
+    **opt_overrides,
+):
+    """(opt, loader) over the learnable fixture (single encoder)."""
+    ds = synthetic_dataset(n_train=n_train, n_val=8, n_test=8, seed=seed,
+                           correlated=True)
+    fc_dim, att_num, att_dim = 24, 8, 16
+    feats = [{"fc_feat_size": fc_dim, "att_feat_size": att_dim, "att_num": att_num}]
+    opt = Options(
+        caption_model=caption_model,
+        feature_type="synthetic_single",
+        feat_array_info=feats,
+        batch_size=batch_size,
+        seq_per_img=seq_per_img,
+        top_words_count=len(ds.top_words),
+        rnn_size=rnn_size,
+        input_encoding_size=rnn_size,
+        att_hid_size=rnn_size,
+        num_review_steps=opt_overrides.pop("num_review_steps", 2),
+        num_review_steps_0=opt_overrides.pop("num_review_steps_0", 2),
+        seed=seed,
+        **opt_overrides,
+    )
+    opt.vocab_size = ds.vocab_size
+    opt.seq_length = ds.seq_length
+    sources = [LearnableFeatureSource(ds, fc_dim, att_num, att_dim, seed=seed)]
+    loader = DataLoader(opt, ds, sources, prefetch=False)
+    return opt, loader
 
 
 def synthetic_setup(
