@@ -40,6 +40,25 @@ def main():
     params, _, infos = load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
     if "opt" in infos:
         merge_checkpoint_opt(opt, infos["opt"])
+
+    if opt.image_folder:
+        # caption raw images end-to-end (reference --image_folder mode)
+        from recurrent_fusion_network_tpu.training.eval_folder import eval_image_folder
+
+        vocab = infos.get("vocab")
+        assert vocab, "checkpoint infos missing vocab (needed for --image_folder)"
+        opt.vocab_size = len(vocab)
+        opt.seq_length = infos.get("opt", {}).get("seq_length") or 16
+        model = setup(opt)
+        preds = eval_image_folder(
+            model, params, vocab, opt.image_folder,
+            beam_size=opt.beam_size, batch_size=opt.batch_size,
+            backbone_weights=getattr(opt, "backbone_weights", None) or None,
+        )
+        for p in preds:
+            print(f"{p['file']}\t{p['caption']}")
+        return
+
     loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length

@@ -62,6 +62,14 @@ def evaluate_captions(
     for k, s in zip(keys, cider_sent):
         img_scores[k]["CIDEr"] = float(s)
 
+    # approximate Java-free METEOR (exact+stem stages; see metrics/meteor.py)
+    from .meteor import compute_meteor
+
+    meteor_mean, meteor_sent = compute_meteor(gts, res)
+    overall["METEOR"] = meteor_mean
+    for k, s in zip(keys, meteor_sent):
+        img_scores[k]["METEOR"] = s
+
     for name, fn in (extra_scorers or {}).items():
         mean, sent = fn(gts, res)
         overall[name] = mean

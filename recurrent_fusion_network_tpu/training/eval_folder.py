@@ -1,0 +1,86 @@
+"""Caption a folder of raw images end-to-end.
+
+Implements the reference's --image_folder eval mode (eval.py flags at
+opts.py:227-230): extract CNN features with the in-framework JAX backbone
+(data/feature_extraction) and decode captions with a trained captioner, all
+on-device — no precomputed feature files needed.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..data.feature_extraction.extract import image_id_from_name, load_image
+from ..data.feature_extraction.resnet_jax import (
+    ResNetConfig,
+    load_torch_state_dict,
+    resnet_features,
+    resnet_init,
+)
+from ..data.vocab import decode_sequence
+from ..decoding.api import model_sample
+
+
+def eval_image_folder(
+    model,
+    params,
+    vocab,
+    image_folder: str,
+    *,
+    beam_size: int = 3,
+    batch_size: int = 16,
+    image_size: int = 448,
+    backbone_arch: str = "resnet101",
+    backbone_weights: Optional[str] = None,
+    att_size: int = 14,
+) -> List[dict]:
+    """Returns [{'image_id', 'file', 'caption'}] for every image in the folder."""
+    cfg = getattr(ResNetConfig, backbone_arch)()
+    cfg = ResNetConfig(blocks=cfg.blocks, att_size=att_size)
+    if backbone_weights:
+        import torch
+
+        sd = torch.load(backbone_weights, map_location="cpu", weights_only=True)
+        bb_params = load_torch_state_dict(sd, cfg)
+    else:
+        bb_params = resnet_init(jax.random.PRNGKey(0), cfg)
+        print("WARNING: random backbone weights — captions will be noise")
+
+    names = sorted(
+        f for f in os.listdir(image_folder)
+        if f.lower().endswith((".jpg", ".jpeg", ".png"))
+    )
+
+    @jax.jit
+    def extract(batch):
+        fc, att = resnet_features(bb_params, batch, cfg)
+        return fc, att.reshape(att.shape[0], -1, att.shape[-1])
+
+    @jax.jit
+    def caption(fc, att):
+        return model_sample(model, params, fc, att, beam_size=beam_size).seq
+
+    out = []
+    B = batch_size
+    for start in range(0, len(names), B):
+        chunk = names[start : start + B]
+        imgs = np.stack(
+            [load_image(os.path.join(image_folder, n), image_size) for n in chunk]
+        )
+        pad = B - len(chunk)
+        if pad:
+            imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+        fc, att = extract(imgs)
+        seq = np.asarray(caption(fc, att))[: len(chunk)]
+        sents = decode_sequence(vocab, seq)
+        for name, sent in zip(chunk, sents):
+            try:
+                image_id = image_id_from_name(name)
+            except ValueError:
+                image_id = name
+            out.append({"image_id": image_id, "file": name, "caption": sent})
+    return out

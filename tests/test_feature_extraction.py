@@ -152,3 +152,36 @@ class TestExtractCLI:
         assert np.isfinite(fc_f).all()
         ids = json.load(open(out / "ids.json"))
         assert ids == [1000, 1001, 1002]
+
+
+class TestImageFolderEval:
+    def test_caption_raw_images_end_to_end(self, tmp_path):
+        """--image_folder mode: raw images -> backbone features -> captions."""
+        from PIL import Image
+
+        from recurrent_fusion_network_tpu.models import ReviewNetModel
+        from recurrent_fusion_network_tpu.training.eval_folder import eval_image_folder
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        g = np.random.default_rng(0)
+        for i in range(3):
+            arr = (g.random((32, 32, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"{i+1}.jpg")
+
+        vocab = {str(i + 1): w for i, w in enumerate("a man dog park runs".split())}
+        m = ReviewNetModel(
+            vocab_size=len(vocab), seq_length=6, input_encoding_size=12,
+            rnn_size=12, att_hid_size=12, fc_feat_size=2048,
+            att_feat_size=2048, att_num=4, num_review_steps=2, top_words_count=4,
+        )
+        params = m.init_params(jax.random.PRNGKey(0))
+        preds = eval_image_folder(
+            m, params, vocab, str(img_dir),
+            beam_size=2, batch_size=2, image_size=64,
+            backbone_arch="resnet50", att_size=2,
+        )
+        assert len(preds) == 3
+        assert {p["image_id"] for p in preds} == {1, 2, 3}
+        for p in preds:
+            assert isinstance(p["caption"], str)

@@ -235,3 +235,43 @@ class TestNativeCiderD:
         df = compute_doc_freq(ds, train)
         scorer = CiderD(df, float(np.log(len(train))))  # backend="auto"
         assert scorer._native_ctx is not None
+
+
+class TestMeteor:
+    def test_stemmer_known_values(self):
+        from recurrent_fusion_network_tpu.metrics.stemmer import stem
+
+        for w, s in [
+            ("caresses", "caress"), ("ponies", "poni"), ("cats", "cat"),
+            ("agreed", "agre"), ("plastered", "plaster"), ("motoring", "motor"),
+            ("sing", "sing"), ("happy", "happi"), ("relational", "relat"),
+            ("conditional", "condit"), ("rational", "ration"),
+            ("adjustable", "adjust"), ("effective", "effect"),
+        ]:
+            assert stem(w) == s, (w, stem(w), s)
+
+    def test_meteor_perfect_and_orderings(self):
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            compute_meteor,
+            meteor_sentence,
+        )
+
+        perfect = meteor_sentence("a b c d".split(), ["a b c d".split()])
+        # perfect match: F=1, one chunk, penalty = 0.5*(1/4)^3
+        assert perfect == pytest.approx(1 - 0.5 * (1 / 4) ** 3, rel=1e-6)
+        # scrambled order scores lower (fragmentation penalty)
+        scrambled = meteor_sentence("d c b a".split(), ["a b c d".split()])
+        assert scrambled < perfect
+        # stem stage matches morphological variants
+        stemmed = meteor_sentence("the dog is running".split(),
+                                  ["the dog is run".split()])
+        assert stemmed > 0.8
+        mean, per = compute_meteor({0: ["a man rides"]}, {0: ["a man rides"]})
+        assert mean > 0.9 and len(per) == 1
+
+    def test_meteor_in_harness(self):
+        out = evaluate_captions(
+            {1: ["a man rides a bike"]}, {1: ["a man riding a bike"]}
+        )
+        assert "METEOR" in out["overall"]
+        assert out["overall"]["METEOR"] > 0.5
