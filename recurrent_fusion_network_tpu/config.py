@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import argparse
 from types import SimpleNamespace
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from . import feat_registry
 

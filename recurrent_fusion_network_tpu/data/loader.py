@@ -24,7 +24,7 @@ from __future__ import annotations
 import queue
 import random
 import threading
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -8,10 +8,9 @@ batch/lane dimension on axis 0 (required by the beam engine's lane gather).
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 
 def make_step_fn(model, params, memory):

@@ -7,13 +7,11 @@ handled by ``training/checkpoint.py`` at the call site.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, List, NamedTuple, Optional
+from typing import Any, List, NamedTuple
 
 import jax
 import jax.numpy as jnp
 
-from ..ops import cells
 from ..ops.initializers import linear, uniform
 
 

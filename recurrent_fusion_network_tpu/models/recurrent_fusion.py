@@ -23,7 +23,7 @@ attention with precomputed keys.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

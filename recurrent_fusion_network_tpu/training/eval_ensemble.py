@@ -14,7 +14,6 @@ loop:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -19,7 +19,6 @@ ramp (train.py:102-106).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import optax
 
 

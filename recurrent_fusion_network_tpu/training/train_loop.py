@@ -14,7 +14,6 @@ no TPU analogue).
 
 from __future__ import annotations
 
-import sys
 import time
 from typing import Optional
 
