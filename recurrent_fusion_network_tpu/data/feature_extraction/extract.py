@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .augment import VARIANTS, make_variant
-from .resnet_jax import ResNetConfig, load_torch_state_dict, resnet_features, resnet_init
+from .backbones import ARCHS, build_backbone
 
 
 def load_image(path: str, size: int) -> np.ndarray:
@@ -52,8 +52,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--images_dir", required=True)
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--arch", default="resnet101",
-                   choices=["resnet50", "resnet101", "resnet152"])
+    p.add_argument("--arch", default="resnet101", choices=list(ARCHS))
     p.add_argument("--torch_weights", default=None)
     p.add_argument("--image_size", type=int, default=448)
     p.add_argument("--att_size", type=int, default=14)
@@ -63,17 +62,7 @@ def main(argv=None):
     p.add_argument("--limit", type=int, default=-1)
     args = p.parse_args(argv)
 
-    config = getattr(ResNetConfig, args.arch)()
-    config = ResNetConfig(blocks=config.blocks, att_size=args.att_size)
-    if args.torch_weights:
-        import torch
-
-        sd = torch.load(args.torch_weights, map_location="cpu", weights_only=True)
-        params = load_torch_state_dict(sd, config)
-        print(f"loaded torchvision weights from {args.torch_weights}")
-    else:
-        params = resnet_init(jax.random.PRNGKey(0), config)
-        print("WARNING: random backbone weights (smoke run only)")
+    params, feats_fn, C = build_backbone(args.arch, args.att_size, args.torch_weights)
 
     variants = VARIANTS if args.variants == "all" else tuple(args.variants.split(","))
 
@@ -88,11 +77,10 @@ def main(argv=None):
 
     @jax.jit
     def run(batch):
-        return resnet_features(params, batch, config)
+        return feats_fn(params, batch)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    C = config.width * 32
-    S = config.att_size
+    S = args.att_size
     for variant in variants:
         fc_out = np.zeros((N, C), np.float32)
         att_out = np.zeros((N, S, S, C), np.float32)

@@ -14,13 +14,8 @@ from typing import List, Optional
 import jax
 import numpy as np
 
+from ..data.feature_extraction.backbones import build_backbone
 from ..data.feature_extraction.extract import image_id_from_name, load_image
-from ..data.feature_extraction.resnet_jax import (
-    ResNetConfig,
-    load_torch_state_dict,
-    resnet_features,
-    resnet_init,
-)
 from ..data.vocab import decode_sequence
 from ..decoding.api import model_sample
 
@@ -39,16 +34,7 @@ def eval_image_folder(
     att_size: int = 14,
 ) -> List[dict]:
     """Returns [{'image_id', 'file', 'caption'}] for every image in the folder."""
-    cfg = getattr(ResNetConfig, backbone_arch)()
-    cfg = ResNetConfig(blocks=cfg.blocks, att_size=att_size)
-    if backbone_weights:
-        import torch
-
-        sd = torch.load(backbone_weights, map_location="cpu", weights_only=True)
-        bb_params = load_torch_state_dict(sd, cfg)
-    else:
-        bb_params = resnet_init(jax.random.PRNGKey(0), cfg)
-        print("WARNING: random backbone weights — captions will be noise")
+    bb_params, feats_fn, _ = build_backbone(backbone_arch, att_size, backbone_weights)
 
     names = sorted(
         f for f in os.listdir(image_folder)
@@ -57,7 +43,7 @@ def eval_image_folder(
 
     @jax.jit
     def extract(batch):
-        fc, att = resnet_features(bb_params, batch, cfg)
+        fc, att = feats_fn(bb_params, batch)
         return fc, att.reshape(att.shape[0], -1, att.shape[-1])
 
     @jax.jit

@@ -185,3 +185,73 @@ class TestImageFolderEval:
         assert {p["image_id"] for p in preds} == {1, 2, 3}
         for p in preds:
             assert isinstance(p["caption"], str)
+
+
+class TestDenseNet:
+    def test_densenet161_feature_width(self):
+        from recurrent_fusion_network_tpu.data.feature_extraction.densenet_jax import (
+            DenseNetConfig,
+        )
+
+        assert DenseNetConfig.densenet161().out_features == 2208  # registry dim
+        assert DenseNetConfig.densenet121().out_features == 1024
+
+    def test_tiny_densenet_shapes(self):
+        from recurrent_fusion_network_tpu.data.feature_extraction.densenet_jax import (
+            DenseNetConfig,
+            densenet_features,
+            densenet_init,
+        )
+
+        cfg = DenseNetConfig(blocks=(2, 2, 2, 2), growth=8, init_features=16,
+                             att_size=2)
+        p = densenet_init(jax.random.PRNGKey(0), cfg)
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (2, 64, 64, 3))
+        fc, att = densenet_features(p, imgs, cfg)
+        assert fc.shape == (2, cfg.out_features)
+        assert att.shape == (2, 2, 2, cfg.out_features)
+        assert np.isfinite(np.asarray(fc)).all()
+
+    def test_torch_state_dict_structure(self):
+        from recurrent_fusion_network_tpu.data.feature_extraction.densenet_jax import (
+            DenseNetConfig,
+            densenet_init,
+            load_torch_state_dict,
+        )
+
+        cfg = DenseNetConfig(blocks=(2, 2), growth=8, init_features=16, att_size=2)
+        ours = densenet_init(jax.random.PRNGKey(0), cfg)
+        sd = {}
+        g = np.random.default_rng(0)
+
+        def put_conv(name, hwio):
+            sd[name] = torch.from_numpy(
+                np.transpose(g.standard_normal(hwio).astype(np.float32), (3, 2, 0, 1))
+            )
+
+        def put_bn(prefix, c):
+            sd[prefix + ".weight"] = torch.ones(c)
+            sd[prefix + ".bias"] = torch.zeros(c)
+            sd[prefix + ".running_mean"] = torch.zeros(c)
+            sd[prefix + ".running_var"] = torch.ones(c)
+
+        put_conv("features.conv0.weight", (7, 7, 3, 16))
+        put_bn("features.norm0", 16)
+        c = 16
+        for bi, n in enumerate(cfg.blocks, start=1):
+            for li in range(1, n + 1):
+                pre = f"features.denseblock{bi}.denselayer{li}"
+                put_bn(pre + ".norm1", c)
+                put_conv(pre + ".conv1.weight", (1, 1, c, 32))
+                put_bn(pre + ".norm2", 32)
+                put_conv(pre + ".conv2.weight", (3, 3, 32, 8))
+                c += 8
+            if bi < len(cfg.blocks):
+                put_bn(f"features.transition{bi}.norm", c)
+                put_conv(f"features.transition{bi}.conv.weight", (1, 1, c, c // 2))
+                c //= 2
+        put_bn("features.norm5", c)
+        converted = load_torch_state_dict(sd, cfg)
+        assert jax.tree_util.tree_structure(ours) == jax.tree_util.tree_structure(converted)
+        for a, b in zip(jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(converted)):
+            assert a.shape == b.shape
