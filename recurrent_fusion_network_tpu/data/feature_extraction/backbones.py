@@ -6,9 +6,12 @@ from typing import Callable, Optional, Tuple
 
 import jax
 
-from . import densenet_jax, resnet_jax
+from . import densenet_jax, inception_jax, resnet_jax
 
-ARCHS = ("resnet50", "resnet101", "resnet152", "densenet121", "densenet161")
+ARCHS = (
+    "resnet50", "resnet101", "resnet152", "densenet121", "densenet161",
+    "inception_v3", "inception_v4", "inception_resnet_v2",
+)
 
 
 def build_backbone(
@@ -39,6 +42,18 @@ def build_backbone(
             densenet_jax.load_torch_state_dict,
         )
         out_c = cfg.out_features
+    elif arch in inception_jax._TRUNKS:
+        # Inception nets run at the canonical 299x299 input (8x8 att grid);
+        # weights convert from TF-slim checkpoints offline (load_flat_npz)
+        _, fc_dim, att_dim = inception_jax._TRUNKS[arch]
+        if torch_weights:
+            params = inception_jax.load_flat_npz(torch_weights)
+            print(f"loaded flat-npz weights from {torch_weights}")
+        else:
+            params = inception_jax.inception_init(arch, jax.random.PRNGKey(seed))
+            print("WARNING: random backbone weights (smoke run only)")
+        feats = lambda p, imgs: inception_jax.inception_features(arch, p, imgs)
+        return params, feats, att_dim
     else:
         raise ValueError(f"arch not supported: {arch}; choose from {ARCHS}")
 

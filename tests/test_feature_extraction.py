@@ -255,3 +255,36 @@ class TestDenseNet:
         assert jax.tree_util.tree_structure(ours) == jax.tree_util.tree_structure(converted)
         for a, b in zip(jax.tree_util.tree_leaves(ours), jax.tree_util.tree_leaves(converted)):
             assert a.shape == b.shape
+
+
+class TestInception:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("arch,fc_dim,att_dim", [
+        ("inception_v3", 2048, 1280),
+        ("inception_v4", 1536, 1536),
+        ("inception_resnet_v2", 1536, 1536),
+    ])
+    def test_registry_dims_at_canonical_input(self, arch, fc_dim, att_dim):
+        """Each Inception variant must emit exactly the feat_registry dims
+        (fc_feat_size / att_feat_size / att_num=64) at 299x299 input."""
+        from recurrent_fusion_network_tpu.data.feature_extraction.inception_jax import (
+            inception_features,
+            inception_init,
+        )
+
+        p = inception_init(arch, jax.random.PRNGKey(0))
+        imgs = jax.random.uniform(jax.random.PRNGKey(1), (1, 299, 299, 3))
+        fc, att = inception_features(arch, p, imgs)
+        assert fc.shape == (1, fc_dim)
+        assert att.shape == (1, 8, 8, att_dim)  # att_num = 64
+        assert np.isfinite(np.asarray(fc)).all()
+
+    def test_backbone_dispatch(self):
+        from recurrent_fusion_network_tpu.data.feature_extraction.backbones import (
+            ARCHS,
+            build_backbone,
+        )
+
+        assert "inception_v3" in ARCHS
+        params, feats_fn, att_dim = build_backbone("inception_v3", 8)
+        assert att_dim == 1280
