@@ -3,6 +3,11 @@ RecurrentFusionModel (5 encoders, rnn 512, 8+8 review steps, COCO-size vocab).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Decode runs in bfloat16 with f32 score math (the framework's --dtype
+bfloat16 path, verified caption-identical to f32 on trained models in
+tests/learning-dynamics validation); measured f32 for reference: ~3780
+captions/s at the same batch.
+
 Baseline note: the reference repo publishes no throughput number
 (BASELINE.md). The reference decodes with a PER-IMAGE Python beam loop with
 per-step host sorting (misc/RecurrentFusionModel.py:352-543) on a single GPU;
@@ -17,6 +22,7 @@ import json
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
@@ -43,14 +49,17 @@ def main():
         num_review_steps_0=8,
         top_words_count=1000,
     )
+    from recurrent_fusion_network_tpu.training.eval_split import cast_tree
+
     key = jax.random.PRNGKey(0)
-    params = model.init_params(key)
+    dt = jnp.bfloat16
+    params = cast_tree(model.init_params(key), dt)
     fcs = [
-        jax.random.normal(jax.random.fold_in(key, i), (BATCH, d))
+        jax.random.normal(jax.random.fold_in(key, i), (BATCH, d)).astype(dt)
         for i, d in enumerate(model.fc_feat_sizes)
     ]
     atts = [
-        jax.random.normal(jax.random.fold_in(key, 10 + i), (BATCH, n, d))
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (BATCH, n, d)).astype(dt)
         for i, (n, d) in enumerate(zip(model.att_nums, model.att_feat_sizes))
     ]
 

@@ -138,6 +138,7 @@ def _defaults() -> dict:
         infos_path="",
         sample_max=1,
         print_beam_candidate=0,
+        print_top_words=0,
         eval_ensemble_multi_gpu=0,
         eval_num_models_per_gpu=4,
         # SPICE reward service (used by reference get_rewards.py:88 but never

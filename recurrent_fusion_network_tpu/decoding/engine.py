@@ -11,6 +11,7 @@ from __future__ import annotations
 from typing import Any, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 
 def make_step_fn(model, params, memory):
@@ -40,7 +41,7 @@ def make_ensemble_step_fn(members: Sequence[Tuple[Any, Any, Any]]):
             l, state = model.decode_logits(params, xt, memory, state)
             logits.append(l)
             new_states.append(state)
-        mean = sum(logits) / len(logits)
+        mean = sum(l.astype(jnp.float32) for l in logits) / len(logits)
         return jax.nn.log_softmax(mean, axis=-1), tuple(new_states)
 
     return step_fn

@@ -202,7 +202,8 @@ class ReviewNetModel:
         out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
         if self.use_mos:
             return mos.log_apply(params["mos"], out), state
-        return jax.nn.log_softmax(apply_linear(params["logit"], out)), state
+        logits = apply_linear(params["logit"], out)
+        return jax.nn.log_softmax(logits.astype(jnp.float32)), state
 
     def forward(
         self, params, fc_feats, att_feats, seq, *, ss_prob=0.0, rng=None, deterministic=True

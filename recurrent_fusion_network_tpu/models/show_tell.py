@@ -111,7 +111,7 @@ class ShowTellModel:
         logits, state = self.decode_logits(
             params, xt, memory, state, rng=rng, deterministic=deterministic
         )
-        return jax.nn.log_softmax(logits), state
+        return jax.nn.log_softmax(logits.astype(jnp.float32)), state
 
     def forward(
         self, params, fc_feats, att_feats, seq, *, ss_prob=0.0, rng=None, deterministic=True

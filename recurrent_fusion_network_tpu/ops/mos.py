@@ -46,4 +46,4 @@ def apply(params, output):
 def log_apply(params, output, eps: float = 1e-12):
     """log of the mixture probability (reference calls torch.log(mos(...)),
     misc/ReviewNetModel.py:123); eps guards log(0)."""
-    return jnp.log(apply(params, output) + eps)
+    return jnp.log(apply(params, output).astype(jnp.float32) + eps)

@@ -23,13 +23,28 @@ from ..metrics.coco_eval import language_eval
 from .criterion import make_criterion
 
 
-def batch_feats(data):
+def batch_feats(data, dtype=None):
+    conv = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
     if "fc_feats_array" in data:
         return (
-            [jnp.asarray(x) for x in data["fc_feats_array"]],
-            [jnp.asarray(x) for x in data["att_feats_array"]],
+            [conv(x) for x in data["fc_feats_array"]],
+            [conv(x) for x in data["att_feats_array"]],
         )
-    return jnp.asarray(data["fc_feats"]), jnp.asarray(data["att_feats"])
+    return conv(data["fc_feats"]), conv(data["att_feats"])
+
+
+def cast_tree(tree, dtype):
+    """Cast every float leaf of a pytree (bf16 inference casting)."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
+        tree,
+    )
+
+
+def eval_dtype(opt):
+    """jnp dtype for eval/decode from opt.dtype ('float32' | 'bfloat16');
+    score math stays f32 regardless (log-softmax boundaries cast up)."""
+    return jnp.bfloat16 if getattr(opt, "dtype", "float32") == "bfloat16" else None
 
 
 def dedupe_feats(fc, att, batch_size, seq_per_img):
@@ -48,6 +63,9 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     if language_eval_flag is None:
         language_eval_flag = bool(opt.language_eval)
     crit = make_criterion(opt)
+    dtype = eval_dtype(opt)
+    if dtype is not None:
+        params = cast_tree(params, dtype)
 
     @jax.jit
     def loss_fn(params, fc, att, labels, masks, top_words):
@@ -72,7 +90,7 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     while True:
         data = loader.get_batch(split)
         n += loader.batch_size
-        fc, att = batch_feats(data)
+        fc, att = batch_feats(data, dtype)
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
         top_words = jnp.asarray(data["top_words"])
@@ -85,6 +103,21 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
         sents = decode_sequence(vocab, np.asarray(out.seq))
         for k, sent in enumerate(sents):
             predictions.append({"image_id": data["infos"][k]["id"], "caption": sent})
+            if getattr(opt, "print_beam_candidate", 0) and out.top_seq is not None:
+                # print every surviving beam, best first (eval_utils.py:225-226)
+                cands = decode_sequence(vocab, np.asarray(out.top_seq[k]))
+                ps = np.asarray(out.top_p[k])
+                for cand, p in zip(cands, ps):
+                    if p > -1e29:
+                        print(f"{data['infos'][k]['id']}\t{p:.3f}\t{cand}")
+            if getattr(opt, "print_top_words", 0) and out.reason_preds:
+                # top-10 predicted discriminative words per reason head
+                # (eval_utils.py:227-237)
+                for h, head in enumerate(out.reason_preds):
+                    idx = np.argsort(-np.asarray(head[k]))[:10]
+                    words = " ".join(loader.top_words[i] for i in idx
+                                     if i < len(loader.top_words))
+                    print(f"{data['infos'][k]['id']}_{h}\t{words}")
 
         if verbose:
             b = data["bounds"]

@@ -190,3 +190,71 @@ class TestPrepro:
         # every unigram of image 0's first caption is present
         for gram in seq_ngrams(ds.captions_for_image(ids[0])[0]):
             assert gram in df
+
+
+class TestDirFeatureSource:
+    def test_reference_layout_roundtrip(self, tmp_path):
+        """Per-image {id}.npy / {id}.npz('feat') dirs — the reference's exact
+        on-disk layout (dataloader.py:15-18) — load through the DataLoader."""
+        from recurrent_fusion_network_tpu.config import Options
+        from recurrent_fusion_network_tpu.data.dataset import DirFeatureSource
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset
+
+        ds = synthetic_dataset(seed=9)
+        g = np.random.default_rng(0)
+        dirs = {}
+        for variant in ("original", "flip"):
+            fc_dir = tmp_path / variant / "fc"
+            att_dir = tmp_path / variant / "att"
+            fc_dir.mkdir(parents=True)
+            att_dir.mkdir(parents=True)
+            for img in ds.info["images"]:
+                np.save(fc_dir / f"{img['id']}.npy",
+                        g.standard_normal(6).astype(np.float32))
+                np.savez(att_dir / f"{img['id']}.npz",
+                         feat=g.standard_normal((3, 4)).astype(np.float32))
+            dirs[variant] = {"fc": str(fc_dir), "att": str(att_dir)}
+        src = DirFeatureSource(dirs)
+        fc, att = src.load(ds.info["images"][0]["id"], "original")
+        assert fc.shape == (6,) and att.shape == (3, 4)
+
+        feats = [{"fc_feat_size": 6, "att_feat_size": 4, "att_num": 3}]
+        opt = Options(caption_model="show_tell", feature_type="dir_single",
+                      feat_array_info=feats, batch_size=2, seq_per_img=2,
+                      top_words_count=len(ds.top_words), use_flip=1)
+        opt.vocab_size, opt.seq_length = ds.vocab_size, ds.seq_length
+        loader = DataLoader(opt, ds, [src], prefetch=False)
+        batch = loader.get_batch("train")
+        assert batch["fc_feats"].shape == (4, 6)
+        assert batch["att_feats"].shape == (4, 3, 4)
+
+
+class TestOfficialSplit:
+    def test_official_id_files(self, tmp_path):
+        from recurrent_fusion_network_tpu.config import Options
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset
+        from recurrent_fusion_network_tpu.data.dataset import SyntheticFeatureSource
+
+        ds = synthetic_dataset(seed=11)
+        ids = [img["id"] for img in ds.info["images"]]
+        files = {}
+        for split, chunk in zip(("train", "val", "test"),
+                                (ids[:30], ids[30:35], ids[35:])):
+            p = tmp_path / f"{split}.txt"
+            p.write_text("".join(f"{i}\n" for i in chunk))
+            files[split] = str(p)
+        feats = [{"fc_feat_size": 5, "att_feat_size": 4, "att_num": 3}]
+        opt = Options(caption_model="show_tell", feature_type="syn",
+                      feat_array_info=feats, batch_size=2, seq_per_img=2,
+                      top_words_count=len(ds.top_words),
+                      use_official_split=1,
+                      official_train_id_file=files["train"],
+                      official_val_id_file=files["val"],
+                      official_test_id_file=files["test"])
+        opt.vocab_size, opt.seq_length = ds.vocab_size, ds.seq_length
+        src = SyntheticFeatureSource(5, 3, 4)
+        loader = DataLoader(opt, ds, [src], prefetch=False)
+        assert loader.split_image_id["train"] == ids[:30]
+        assert loader.split_image_id["val"] == ids[30:35]
+        batch = loader.get_batch("val")
+        assert batch["infos"][0]["id"] in ids[30:35]
