@@ -45,3 +45,37 @@ def with_dp_sharding(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+# --------------------------------------------------------------- 2-D dp x mp
+
+
+def make_mesh_2d(dp: int, mp: int, devices: Optional[Sequence] = None) -> Mesh:
+    """('dp', 'mp') mesh: batch sharded over dp, the widest parameters
+    (vocab-dim projections) sharded over mp. At this model's 512-dim core TP
+    is optional (SURVEY §2.5), but the vocab projection (rnn x V+1) and token
+    embedding are the largest matmuls and shard cleanly."""
+    devs = list(devices if devices is not None else jax.devices())
+    assert dp * mp <= len(devs), f"need {dp * mp} devices, have {len(devs)}"
+    return Mesh(np.array(devs[: dp * mp]).reshape(dp, mp), ("dp", "mp"))
+
+
+def shard_params_2d(mesh: Mesh, params):
+    """device_put params with vocab-dim sharding over 'mp':
+
+      logit w (R, V+1) -> P(None, 'mp');  logit b (V+1,) -> P('mp')
+      embed   (V+1, E) -> P('mp', None)
+
+    everything else replicated. GSPMD inserts the all-gathers/reductions
+    (e.g. the log-softmax over the sharded vocab axis) automatically.
+    """
+    rep = replicated(mesh)
+    out = jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+    if isinstance(out, dict) and "logit" in out and "embed" in out:
+        out = dict(out)
+        out["logit"] = {
+            "w": jax.device_put(params["logit"]["w"], NamedSharding(mesh, P(None, "mp"))),
+            "b": jax.device_put(params["logit"]["b"], NamedSharding(mesh, P("mp"))),
+        }
+        out["embed"] = jax.device_put(params["embed"], NamedSharding(mesh, P("mp", None)))
+    return out

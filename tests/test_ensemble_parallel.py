@@ -160,3 +160,49 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         g.dryrun_multichip(8)
+
+
+class TestModelParallel:
+    def test_2d_mesh_matches_unsharded_loss(self, tmp_path):
+        """dp x mp mesh with vocab-sharded logit/embedding: same loss as the
+        unsharded step (GSPMD inserts the vocab-axis collectives)."""
+        import jax.numpy as jnp
+
+        from recurrent_fusion_network_tpu.parallel.mesh import (
+            make_mesh_2d,
+            replicate,
+            shard_params_2d,
+            with_dp_sharding,
+        )
+        from recurrent_fusion_network_tpu.training.criterion import make_criterion
+        from recurrent_fusion_network_tpu.training.eval_split import batch_feats
+        from recurrent_fusion_network_tpu.training.optim import make_optimizer
+        from recurrent_fusion_network_tpu.training.train_loop import make_train_step
+
+        # default synthetic vocab has V=35 -> V+1=36, divisible by mp=4
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                      seq_per_img=2)
+        assert (loader.vocab_size + 1) % 4 == 0
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        from recurrent_fusion_network_tpu.models import setup
+
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        crit, tx = make_criterion(opt), make_optimizer(opt)
+        opt_state = tx.init(params)
+        data = loader.get_batch("train")
+        fc, att = batch_feats(data)
+        args = (jnp.asarray(data["labels"]), jnp.asarray(data["masks"]),
+                jnp.asarray(data["top_words"]), jnp.float32(1e-3),
+                jnp.float32(0.0), jax.random.PRNGKey(1))
+
+        step_plain = make_train_step(model, crit, tx)
+        _, _, loss_plain = step_plain(params, opt_state, fc, att, *args)
+
+        mesh = make_mesh_2d(2, 4)
+        p2 = shard_params_2d(mesh, params)
+        s2 = replicate(mesh, opt_state)
+        fc2, att2 = with_dp_sharding(mesh, (fc, att))
+        step_mesh = make_train_step(model, crit, tx, mesh)
+        _, _, loss_mesh = step_mesh(p2, s2, fc2, att2, *args)
+        np.testing.assert_allclose(float(loss_mesh), float(loss_plain), rtol=2e-4)
