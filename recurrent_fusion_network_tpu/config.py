@@ -149,6 +149,7 @@ def _defaults() -> dict:
         synthetic_features=0,  # use deterministic random features (smoke runs)
         backbone_weights="",  # torchvision state dict for --image_folder eval
         backbone_arch="resnet101",
+        json_log="",  # JSONL event log path (utils/logging.py)
         data_root="data/features",
         num_dp_devices=1,  # data-parallel mesh size for pjit training
         dtype="float32",  # compute dtype: float32 | bfloat16

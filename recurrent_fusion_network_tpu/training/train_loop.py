@@ -112,6 +112,10 @@ def train(
 
     train_step = make_train_step(model, crit, tx, mesh)
 
+    from ..utils.logging import JsonlLogger
+
+    jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
+
     num_period_best = 0
     current_score = 0.0
     update_lr_flag = True
@@ -144,6 +148,8 @@ def train(
             loss_history[iteration] = train_loss
             lr_history[iteration] = lr
             ss_prob_history[iteration] = ss_prob
+            jlog.log(event="train", iter=iteration, epoch=epoch, loss=train_loss,
+                     lr=lr, ss_prob=ss_prob, seconds=elapsed)
 
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             val_loss, predictions, lang_stats = eval_split(
@@ -155,6 +161,8 @@ def train(
             current_score = (
                 lang_stats["CIDEr"] if (opt.language_eval and lang_stats) else -val_loss
             )
+            jlog.log(event="val", iter=iteration, loss=val_loss,
+                     **(lang_stats or {}))
             best_flag = best_val_score is None or current_score > best_val_score
             if best_flag:
                 best_val_score = current_score
@@ -200,6 +208,7 @@ def train(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
+    jlog.close()
     infos["iter"] = iteration
     infos["epoch"] = epoch
     infos["final_params"] = params

@@ -145,6 +145,10 @@ def train_rl(
     rollout_fn = make_rollout_fn(model)
     rl_step, old_logprobs_fn = make_rl_step(model, rl_crit, tx)
 
+    from ..utils.logging import JsonlLogger
+
+    jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
+
     num_period_best = 0
     current_score = 0.0
     update_lr_flag = True
@@ -201,6 +205,9 @@ def train_rl(
         if iteration % opt.losses_log_every == 0:
             loss_history[iteration] = float(np.mean(rewards[:, 0]))
             lr_history[iteration] = lr
+            jlog.log(event="rl_train", iter=iteration, epoch=epoch,
+                     avg_reward=float(np.mean(rewards[:, 0])),
+                     loss=train_loss, lr=lr, seconds=elapsed)
 
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             val_loss, predictions, lang_stats = eval_split(
@@ -256,6 +263,7 @@ def train_rl(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
+    jlog.close()
     infos["iter"] = iteration
     infos["epoch"] = epoch
     infos["final_params"] = params

@@ -161,3 +161,48 @@ class TestUtils:
         )
         got = losses.smooth_l1(jnp.asarray(a), jnp.zeros((5, 7)))
         np.testing.assert_allclose(float(got), float(want), rtol=1e-5)
+
+
+class TestJsonLogWiring:
+    def test_train_loop_emits_jsonl(self, tmp_path):
+        import json
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.training.train_loop import train
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.json_log = str(tmp_path / "events.jsonl")
+        opt.losses_log_every = 1
+        train(opt, loader, max_iterations=3, log_fn=quiet)
+        rows = [json.loads(l) for l in open(opt.json_log)]
+        assert len(rows) >= 3
+        assert rows[0]["event"] == "train" and "loss" in rows[0]
+
+
+class TestSpiceHook:
+    def test_spice_fn_plumbs_through_reward(self):
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+        from recurrent_fusion_network_tpu.rewards.self_critical import compute_reward
+
+        ds = synthetic_dataset(seed=6)
+        train_ids = ds.splits()["train"]
+        scorer = CiderD(compute_doc_freq(ds, train_ids),
+                        float(np.log(len(train_ids))))
+        gts = [ds.captions_for_image(train_ids[i]) for i in range(2)]
+        gen = np.stack([gts[0][0][:6], gts[1][0][:6]])
+
+        calls = {}
+
+        def fake_spice(hyps, refs):
+            calls["n"] = len(hyps)
+            # content-dependent score (same hyp -> same score)
+            return np.array([float(h.sum() % 7) / 7 for h in hyps])
+
+        r = compute_reward(scorer, gen, gen, gts, spice_weight=0.5,
+                           spice_fn=fake_spice, cider_weight=0.0)
+        assert calls["n"] == 4  # 2 sampled + 2 greedy
+        # sampled==greedy -> spice baseline-subtracts to zero
+        np.testing.assert_allclose(r, 0.0, atol=1e-12)
