@@ -6,7 +6,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Decode runs in bfloat16 with f32 score math (the framework's --dtype
 bfloat16 path, verified caption-identical to f32 on trained models in
 tests/learning-dynamics validation); measured f32 for reference: ~3780
-captions/s at the same batch.
+captions/s at B=256.
 
 Baseline note: the reference repo publishes no throughput number
 (BASELINE.md). The reference decodes with a PER-IMAGE Python beam loop with
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
-BATCH = 256
+BATCH = 512
 BEAM = 3
 WARMUP = 2
 ITERS = 5

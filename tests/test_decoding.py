@@ -224,3 +224,57 @@ class TestModelDecode:
             z = np.where(g_seq[i] == 0)[0]
             score = g_lp[i, : (z[0] + 1 if len(z) else 6)].sum()
             assert float(b.top_p[i, 0]) >= score - 1e-4
+
+
+class TestBeamAdversarial:
+    """Fuzz the batched beam engine against the NumPy reference spec on
+    degenerate decoders: EOS-dominant (most beams die immediately), and
+    near-tie logit tables."""
+
+    def _compare(self, W, K, L, B=3):
+        init_states = np.arange(B, dtype=np.int64) + 1
+        out = beam_search(jax_step(W), jnp.asarray(init_states), B, K, L, V)
+        for b in range(B):
+            done = np_beam_reference(W, init_states[b], K, L)
+            np.testing.assert_allclose(
+                float(out.top_p[b, 0]), done[0]["p"], rtol=1e-5)
+            np.testing.assert_array_equal(np.asarray(out.seq[b]), done[0]["seq"])
+
+    def test_eos_dominant_machine(self):
+        """Token 0 carries most probability mass: beams finish at step 1-2
+        and the done-set bookkeeping dominates."""
+        g = np.random.default_rng(21)
+        logits = g.standard_normal((S, V)).astype(np.float32)
+        logits[:, 0] += 3.0  # EOS strongly favored everywhere
+        W = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        self._compare(W, K=3, L=6)
+
+    def test_eos_suppressed_machine(self):
+        """EOS almost never sampled: every beam runs to the length cutoff."""
+        g = np.random.default_rng(22)
+        logits = g.standard_normal((S, V)).astype(np.float32)
+        logits[:, 0] -= 10.0
+        W = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        self._compare(W, K=4, L=5)
+
+    def test_wide_beam_equals_vocab(self):
+        """beam_size == vocab width (the reference's assert boundary)."""
+        g = np.random.default_rng(23)
+        logits = g.standard_normal((S, V)).astype(np.float32)
+        W = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        self._compare(W, K=V, L=4)
+
+    def test_beam_one_matches_greedy(self):
+        """K=1 beam must follow the greedy path until EOS."""
+        W = make_machine(24)
+        B, L = 4, 6
+        init = np.arange(B, dtype=np.int64)
+        b1 = beam_search(jax_step(W), jnp.asarray(init), B, 1, L, V)
+        gr = sample(jax_step(W), jnp.asarray(init), B, L, V, sample_max=True)
+        # identical until (and including) the first EOS position
+        for i in range(B):
+            bs, gs = np.asarray(b1.seq[i]), np.asarray(gr.seq[i])
+            for a, c in zip(bs, gs):
+                assert a == c
+                if a == 0:
+                    break
