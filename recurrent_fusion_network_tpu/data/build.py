@@ -15,7 +15,6 @@ from .loader import DataLoader
 
 
 def _source_for(info, data_root: str, seed: int = 0):
-    name = info["name"] if "name" in dir(info) or hasattr(info, "name") else None
     packed = os.path.join(data_root, getattr(info, "name", ""), "packed")
     if getattr(info, "name", None) and os.path.isdir(packed):
         return PackedFeatureSource(packed)
