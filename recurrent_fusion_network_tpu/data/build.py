@@ -19,9 +19,9 @@ def _source_for(info, data_root: str, seed: int = 0):
     if getattr(info, "name", None) and os.path.isdir(packed):
         return PackedFeatureSource(packed)
     if hasattr(info, "variant_dirs"):
-        dirs = {v: info.variant_dirs(v) for v in
-                ("original", "flip", "crop_tr", "crop_tl", "crop_bl", "crop_br",
-                 "flip_crop_tr", "flip_crop_tl", "flip_crop_bl", "flip_crop_br")}
+        from ..feat_registry import VARIANTS
+
+        dirs = {v: info.variant_dirs(v) for v in VARIANTS}
         return DirFeatureSource(dirs)
     # plain dict entry (tests / synthetic)
     return SyntheticFeatureSource(

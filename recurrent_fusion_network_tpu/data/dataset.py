@@ -19,18 +19,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-VARIANTS = (
-    "original",
-    "flip",
-    "crop_tr",
-    "crop_tl",
-    "crop_bl",
-    "crop_br",
-    "flip_crop_tr",
-    "flip_crop_tl",
-    "flip_crop_bl",
-    "flip_crop_br",
-)
+from ..feat_registry import VARIANTS  # single source for the 10 variants
 
 # reference flip_type integer -> variant name (dataloader.py:432-443 with the
 # branch order at :463-543: 0 origin, 1 flip, 2 crop_tr, 3 flip_crop_tr,

@@ -14,6 +14,8 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
+from ...feat_registry import VARIANTS  # single source for the 10 variants
+
 # normalized (y1, x1, y2, x2) boxes, reference generate_crop_images.py:18-27
 VARIANT_BOXES: Dict[str, tuple] = {
     "crop_tr": (0.0, 0.1, 0.9, 1.0),
@@ -21,19 +23,6 @@ VARIANT_BOXES: Dict[str, tuple] = {
     "crop_br": (0.1, 0.1, 1.0, 1.0),
     "crop_bl": (0.1, 0.0, 1.0, 0.9),
 }
-
-VARIANTS = (
-    "original",
-    "flip",
-    "crop_tr",
-    "crop_tl",
-    "crop_bl",
-    "crop_br",
-    "flip_crop_tr",
-    "flip_crop_tl",
-    "flip_crop_bl",
-    "flip_crop_br",
-)
 
 
 def crop_and_resize(img, box):

@@ -66,7 +66,18 @@ def _bn_init(c):
     }
 
 
-def conv(x, w, stride=1, padding="SAME"):
+def conv(x, w, stride=1, padding="TORCH"):
+    """Conv with TORCH padding semantics by default: symmetric pad (k-1)//2.
+
+    XLA's 'SAME' pads asymmetrically for stride-2 on even inputs ((0,1) for
+    3x3, (2,3) for 7x7) while torch pads symmetrically — with pretrained
+    torchvision weights the two diverge badly at every stride-2 layer, so
+    explicit symmetric padding is the correct default here.
+    """
+    if padding == "TORCH":
+        ph = (w.shape[0] - 1) // 2
+        pw = (w.shape[1] - 1) // 2
+        padding = [(ph, ph), (pw, pw)]
     return jax.lax.conv_general_dilated(
         x, w, (stride, stride), padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
     )
@@ -78,9 +89,11 @@ def bn(x, p, eps=1e-5):
 
 
 def max_pool(x, window=3, stride=2):
+    """torch MaxPool2d(window, stride, padding=(window-1)//2) semantics."""
+    p = (window - 1) // 2
     return jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, window, window, 1), (1, stride, stride, 1),
-        "SAME",
+        [(0, 0), (p, p), (p, p), (0, 0)],
     )
 
 

@@ -28,22 +28,14 @@ import numpy as np
 from .dataset import Dataset
 
 
-def trim_with_eos(ids):
-    """Tokens up to and INCLUDING the first 0 — the reference appends <eos>=0
-    to every caption before n-gram counting (scripts/prepro_ngrams.py:100) and
-    its reward strings include the trailing 0 (get_rewards.py:20-26)."""
-    toks = []
-    for t in ids:
-        toks.append(int(t))
-        if int(t) == 0:
-            break
-    return toks
+# single implementation shared with the reward scorer
+from ..rewards.cider_d import trim_with_eos  # noqa: E402
 
 
 def seq_ngrams(ids, n_max: int = 4):
     """All 1..n_max-grams of a 0-terminated id sequence (EOS included),
     as int tuples."""
-    toks = trim_with_eos(ids)
+    toks = [int(t) for t in trim_with_eos(ids)]
     out = set()
     for n in range(1, n_max + 1):
         for i in range(len(toks) - n + 1):

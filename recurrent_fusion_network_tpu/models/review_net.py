@@ -162,8 +162,13 @@ class ReviewNetModel:
         }
         return EncodeOut(memory=memory, state=state, reason_preds=[reason_pred])
 
-    def _decode_out(self, params, xt, memory, state, rng, deterministic):
-        if self.use_pallas and deterministic and not self.decoder_maxout:
+    def _decode_out(self, params, xt, memory, state, rng, deterministic,
+                    allow_pallas=True):
+        # the fused kernel has no autodiff rule: forward() (the XE / SCST
+        # gradient path) passes allow_pallas=False so --use_pallas never
+        # routes a differentiated step through it (code-review finding)
+        if (self.use_pallas and allow_pallas and deterministic
+                and not self.decoder_maxout):
             from ..ops.pallas_kernels import fused_att_lstm_step, pack_att_lstm_params
 
             dec = params["decoder"]
@@ -190,16 +195,20 @@ class ReviewNetModel:
             deterministic=deterministic,
         )
 
-    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True):
+    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True,
+                      allow_pallas=True):
         """Ensemble hook; for MoS models this returns mixture PROBABILITIES,
         matching the reference's one_time_step (misc/ReviewNetModel.py:156-165)."""
-        out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
+        out, state = self._decode_out(params, xt, memory, state, rng, deterministic,
+                                      allow_pallas)
         if self.use_mos:
             return mos.apply(params["mos"], out), state
         return apply_linear(params["logit"], out), state
 
-    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True):
-        out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
+    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True,
+                        allow_pallas=True):
+        out, state = self._decode_out(params, xt, memory, state, rng, deterministic,
+                                      allow_pallas)
         if self.use_mos:
             return mos.log_apply(params["mos"], out), state
         logits = apply_linear(params["logit"], out)
@@ -216,7 +225,8 @@ class ReviewNetModel:
 
         def step(xt, state, r):
             return self.decode_logprobs(
-                params, xt, enc.memory, state, rng=r, deterministic=deterministic
+                params, xt, enc.memory, state, rng=r, deterministic=deterministic,
+                allow_pallas=False,
             )
 
         lps = xe_decode(

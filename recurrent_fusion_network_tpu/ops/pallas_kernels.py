@@ -62,10 +62,11 @@ def _kernel(xh_ref, c_ref, att_ref, keys_ref, wq_ref, bq_ref, wv_ref, bv_ref,
     forget_gate = sig[:, rnn_size : 2 * rnn_size]
     out_gate = sig[:, 2 * rnn_size : 3 * rnn_size]
     g = jnp.tanh(sums[:, 3 * rnn_size : 4 * rnn_size])
-    c_new = forget_gate * c_ref[:] + in_gate * g
+    c_new = forget_gate * c_ref[:].astype(jnp.float32) + in_gate * g
     h_new = out_gate * jnp.tanh(c_new)
-    h_out_ref[:] = h_new
-    c_out_ref[:] = c_new
+    # outputs follow the input state dtype (bf16 decode keeps a bf16 carry)
+    h_out_ref[:] = h_new.astype(h_out_ref.dtype)
+    c_out_ref[:] = c_new.astype(c_out_ref.dtype)
 
 
 def _pick_tile(B: int, A: int, D: int) -> int:
@@ -122,8 +123,8 @@ def fused_att_lstm_step(
         ],
         out_specs=[row_spec(rnn_size), row_spec(rnn_size)],
         out_shape=[
-            jax.ShapeDtypeStruct((B, rnn_size), jnp.float32),
-            jax.ShapeDtypeStruct((B, rnn_size), jnp.float32),
+            jax.ShapeDtypeStruct((B, rnn_size), h.dtype),
+            jax.ShapeDtypeStruct((B, rnn_size), h.dtype),
         ],
         interpret=interpret,
     )(

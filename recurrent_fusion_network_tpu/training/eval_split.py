@@ -54,6 +54,38 @@ def dedupe_feats(fc, att, batch_size, seq_per_img):
     return fc[rows], att[rows]
 
 
+# jitted-closure caches: jax.jit caches per function OBJECT, so rebuilding
+# the closures every eval_split call would recompile the full forward and
+# decode programs at every periodic eval (code-review finding). Keyed by the
+# hashable frozen model dataclass + the criterion/decoding knobs.
+_LOSS_FN_CACHE = {}
+_SAMPLE_FN_CACHE = {}
+
+
+def _cached_loss_fn(model, opt):
+    key = (model, opt.caption_model, bool(opt.use_label_smoothing),
+           opt.label_smoothing_epsilon, opt.reason_weight, opt.seq_length)
+    if key not in _LOSS_FN_CACHE:
+        crit = make_criterion(opt)
+
+        @jax.jit
+        def loss_fn(params, fc, att, labels, masks, top_words):
+            lps, reason = model.forward(params, fc, att, labels)
+            return crit(lps, labels, masks, reason, top_words)
+
+        _LOSS_FN_CACHE[key] = loss_fn
+    return _LOSS_FN_CACHE[key]
+
+
+def _cached_sample_fn(model, beam_size, sample_max):
+    key = (model, beam_size, bool(sample_max))
+    if key not in _SAMPLE_FN_CACHE:
+        _SAMPLE_FN_CACHE[key] = jax.jit(
+            partial(model_sample, model, beam_size=beam_size, sample_max=sample_max)
+        )
+    return _SAMPLE_FN_CACHE[key]
+
+
 def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
                beam_size=None, language_eval_flag=None, sample_max=True,
                gts_lookup=None, rank=0, verbose=False):
@@ -62,24 +94,11 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     beam_size = opt.beam_size if beam_size is None else beam_size
     if language_eval_flag is None:
         language_eval_flag = bool(opt.language_eval)
-    crit = make_criterion(opt)
     dtype = eval_dtype(opt)
     if dtype is not None:
         params = cast_tree(params, dtype)
-
-    @jax.jit
-    def loss_fn(params, fc, att, labels, masks, top_words):
-        lps, reason = model.forward(params, fc, att, labels)
-        return crit(lps, labels, masks, reason, top_words)
-
-    sample_fn = jax.jit(
-        partial(
-            model_sample, model,
-            beam_size=beam_size, sample_max=sample_max,
-        )
-    ) if beam_size > 1 else jax.jit(
-        partial(model_sample, model, beam_size=1, sample_max=sample_max)
-    )
+    loss_fn = _cached_loss_fn(model, opt)
+    sample_fn = _cached_sample_fn(model, beam_size, sample_max)
 
     loader.reset_iterator(split)
     n = 0

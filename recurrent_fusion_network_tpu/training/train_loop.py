@@ -80,8 +80,9 @@ def train(
     params = model.init_params(init_rng)
 
     infos = {}
+    saved_opt_state = None
     if opt.start_from is not None:
-        params, _, infos = load_checkpoint(
+        params, saved_opt_state, infos = load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=False
         )
         saved_opt = infos.get("opt", {})
@@ -104,6 +105,11 @@ def train(
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
     opt_state = tx.init(params)
+    if saved_opt_state is not None:
+        # restore optimizer moments on resume (train.py:87-88 contract)
+        assert jax.tree_util.tree_structure(saved_opt_state) == \
+            jax.tree_util.tree_structure(opt_state), "optimizer state mismatch"
+        opt_state = saved_opt_state
     if mesh is not None:
         from ..parallel.mesh import replicate
 

@@ -121,8 +121,9 @@ def train_rl(
     params = model.init_params(init_rng)
 
     infos = {}
+    saved_opt_state = None
     if opt.start_from is not None:
-        params, _, infos = load_checkpoint(
+        params, saved_opt_state, infos = load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=True
         )
         if "iterators" in infos:
@@ -142,6 +143,15 @@ def train_rl(
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
     opt_state = tx.init(params)
+    if opt.load_lr and saved_opt_state is not None:
+        # the reference restores the optimizer only under --load_lr
+        # (train_rl.py:96-98)
+        try:
+            assert jax.tree_util.tree_structure(saved_opt_state) == \
+                jax.tree_util.tree_structure(opt_state)
+            opt_state = saved_opt_state
+        except AssertionError:
+            print("warning: checkpoint optimizer state incompatible; re-initialized")
     rollout_fn = make_rollout_fn(model)
     rl_step, old_logprobs_fn = make_rl_step(model, rl_crit, tx)
 

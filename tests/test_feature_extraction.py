@@ -288,3 +288,34 @@ class TestInception:
         assert "inception_v3" in ARCHS
         params, feats_fn, att_dim = build_backbone("inception_v3", 8)
         assert att_dim == 1280
+
+
+class TestTorchPaddingParity:
+    """Stride-2 convs/pools must match torch's symmetric padding — XLA 'SAME'
+    pads asymmetrically on even inputs and silently diverges with pretrained
+    weights (code-review finding, verified)."""
+
+    def test_stride2_conv_matches_torch(self, rng):
+        from recurrent_fusion_network_tpu.data.feature_extraction.resnet_jax import conv
+
+        for k, s in [(3, 2), (7, 2), (3, 1), (1, 2)]:
+            x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+            w = rng.standard_normal((k, k, 4, 6)).astype(np.float32)
+            pad = (k - 1) // 2
+            want = torch.nn.functional.conv2d(
+                torch.from_numpy(x.transpose(0, 3, 1, 2)),
+                torch.from_numpy(w.transpose(3, 2, 0, 1)),
+                stride=s, padding=pad,
+            ).numpy().transpose(0, 2, 3, 1)
+            got = np.asarray(conv(jnp.asarray(x), jnp.asarray(w), stride=s))
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_maxpool_matches_torch(self, rng):
+        from recurrent_fusion_network_tpu.data.feature_extraction.resnet_jax import max_pool
+
+        x = rng.standard_normal((1, 8, 8, 4)).astype(np.float32)
+        want = torch.nn.functional.max_pool2d(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 3, stride=2, padding=1
+        ).numpy().transpose(0, 2, 3, 1)
+        got = np.asarray(max_pool(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
