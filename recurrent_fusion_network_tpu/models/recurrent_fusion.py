@@ -289,7 +289,8 @@ class RecurrentFusionModel:
     def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True,
                         allow_pallas=True):
         logits, state = self.decode_logits(
-            params, xt, memory, state, rng=rng, deterministic=deterministic
+            params, xt, memory, state, rng=rng, deterministic=deterministic,
+            allow_pallas=allow_pallas,
         )
         return jax.nn.log_softmax(logits.astype(jnp.float32)), state
 

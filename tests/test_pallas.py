@@ -51,3 +51,57 @@ def test_pallas_decode_path_matches_reference_path():
     pal = model_sample(dataclasses.replace(m, use_pallas=True), p, fc, att, beam_size=3)
     np.testing.assert_array_equal(np.asarray(ref.seq), np.asarray(pal.seq))
     np.testing.assert_allclose(np.asarray(ref.top_p), np.asarray(pal.top_p), rtol=1e-4)
+
+
+@pytest.mark.parametrize("family", ["review_net", "recurrent_fusion_model"])
+def test_grad_paths_bypass_pallas(family):
+    """--use_pallas must never route a differentiated forward through the
+    fused kernel (it has no autodiff rule) — covers the XE and SCST gradient
+    paths of BOTH attention model families (regression: RFNet's
+    decode_logprobs used to drop the allow_pallas gate)."""
+    import jax.numpy as jnp
+
+    from recurrent_fusion_network_tpu.models import RecurrentFusionModel
+
+    if family == "review_net":
+        m = ReviewNetModel(
+            vocab_size=20, seq_length=5, input_encoding_size=8, rnn_size=8,
+            att_hid_size=8, fc_feat_size=6, att_feat_size=6, att_num=4,
+            num_review_steps=2, top_words_count=5, use_pallas=True,
+        )
+        p = m.init_params(jax.random.PRNGKey(0))
+        fc = jax.random.normal(jax.random.PRNGKey(1), (3, 6))
+        att = jax.random.normal(jax.random.PRNGKey(2), (3, 4, 6))
+    else:
+        m = RecurrentFusionModel(
+            vocab_size=20, seq_length=5, fc_feat_sizes=(6, 5),
+            att_feat_sizes=(6, 4), att_nums=(4, 3), input_encoding_size=8,
+            rnn_size=8, att_hid_size=8, num_review_steps=2,
+            num_review_steps_0=2, top_words_count=5, use_pallas=True,
+        )
+        p = m.init_params(jax.random.PRNGKey(0))
+        fc = [jax.random.normal(jax.random.PRNGKey(1), (3, d)) for d in (6, 5)]
+        att = [jax.random.normal(jax.random.PRNGKey(2), (3, n, d))
+               for n, d in ((4, 6), (3, 4))]
+    seq = jax.random.randint(jax.random.PRNGKey(3), (3, 7), 0, 21)
+    g = jax.grad(lambda p: float(0) + jnp.sum(m.forward(p, fc, att, seq)[0]))(p)
+    assert np.isfinite(np.asarray(jax.tree_util.tree_leaves(g)[0])).all()
+
+
+def test_bf16_decode_through_pallas():
+    """--dtype bfloat16 + --use_pallas: the kernel's outputs must follow the
+    bf16 state dtype (regression: fixed f32 out_shape broke the scan carry)."""
+    from recurrent_fusion_network_tpu.training.eval_split import cast_tree
+
+    m = ReviewNetModel(
+        vocab_size=20, seq_length=5, input_encoding_size=8, rnn_size=8,
+        att_hid_size=8, fc_feat_size=6, att_feat_size=6, att_num=4,
+        num_review_steps=2, top_words_count=5, use_pallas=True,
+    )
+    import jax.numpy as jnp
+
+    p = cast_tree(m.init_params(jax.random.PRNGKey(0)), jnp.bfloat16)
+    fc = jax.random.normal(jax.random.PRNGKey(1), (3, 6), jnp.bfloat16)
+    att = jax.random.normal(jax.random.PRNGKey(2), (3, 4, 6), jnp.bfloat16)
+    out = model_sample(m, p, fc, att, beam_size=2)
+    assert np.asarray(out.seq).shape == (3, 5)
