@@ -195,3 +195,14 @@ class Dataset:
         i1 = self.label_start_ix[ix] - 1
         i2 = self.label_end_ix[ix]
         return self.labels[i1:i2]
+
+    def raw_sentences_for_image(self, image_id) -> Optional[List[str]]:
+        """Untruncated reference sentences from the info JSON, when the
+        prepro step recorded them ('raw_sentences'); None otherwise. This is
+        the gts source matching the reference's coco-caption protocol, which
+        scores against annotation text rather than the seq_length-truncated
+        UNK-substituted label matrix."""
+        if image_id not in self.image_id_to_index:
+            return None
+        img = self.info["images"][self.image_id_to_index[image_id]]
+        return img.get("raw_sentences")

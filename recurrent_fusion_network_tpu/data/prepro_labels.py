@@ -56,6 +56,13 @@ def preprocess(
                 "id": img.get("cocoid", img.get("imgid")),
                 "split": split,
                 "file_path": (img.get("filepath", "") + "/" + img["filename"]).lstrip("/"),
+                # Raw (untruncated, un-UNKed) reference sentences, kept so
+                # language_eval can score against the annotation text the way
+                # the reference's coco-caption protocol does (its gts come
+                # from the annotations JSON, not the label matrix).
+                "raw_sentences": [
+                    s.get("raw") or " ".join(s["tokens"]) for s in img["sentences"]
+                ],
             }
         )
         starts.append(row + 1)

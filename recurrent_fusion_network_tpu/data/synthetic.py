@@ -48,7 +48,9 @@ def synthetic_dataset(
     for i in range(n):
         split = "train" if i < n_train else ("val" if i < n_train + n_val else "test")
         image_id = 1000 + i
-        images.append({"id": image_id, "split": split, "file_path": f"img/{image_id}.jpg"})
+        img = {"id": image_id, "split": split, "file_path": f"img/{image_id}.jpg",
+               "raw_sentences": []}
+        images.append(img)
         starts.append(row + 1)  # 1-based like the reference
         if correlated:
             ln = int(g.integers(4, min(seq_length, V // 4) + 1))
@@ -64,6 +66,9 @@ def synthetic_dataset(
             else:
                 ln = int(g.integers(3, seq_length + 1))
                 cap[:ln] = g.integers(1, V + 1, ln)
+            img["raw_sentences"].append(
+                " ".join(ix_to_word[str(t)] for t in cap if t > 0)
+            )
             labels.append(cap)
             row += 1
         ends.append(row)

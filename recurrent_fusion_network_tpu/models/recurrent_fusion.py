@@ -98,6 +98,11 @@ class RecurrentFusionModel:
         embed, logit = init_embed_logit(k_el, self.vocab_size, self.input_encoding_size, R)
 
         # Stage I: per-encoder stack of num_review_steps_0 untied fusion cells.
+        # Deliberate divergence: --fusion_maxout reaches the stage-I cells
+        # here, whereas the reference's FeatArrayFusionNoInputCore never
+        # forwards it to LSTMFusionNoInputCore (RecurrentFusionModel.py:93-97)
+        # so its stage I is always tanh. That is dropped plumbing, not a
+        # semantic choice; the flag default (0) keeps strict-parity behavior.
         review1 = []
         for i in range(M):
             step_keys = jax.random.split(jax.random.fold_in(k_r1, i), self.num_review_steps_0)

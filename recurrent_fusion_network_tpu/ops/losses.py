@@ -187,6 +187,13 @@ def reward_loss(
     sample_logprobs: (B, T) log-prob of each sampled token.
     seq: (B, T) sampled ids (0 once finished). reward: (B, T).
     logprobs_all: (B, >=T, V) full per-step log-distributions (entropy reg).
+
+    PPO note (deliberate divergence): the clipped surrogate here clamps the
+    RATIO for every model — the standard PPO objective and what the
+    reference's show_tell RewardCriterion does (misc/utils.py:110-113). The
+    reference's ReviewNetRewardCriterion instead clamps surr1 = ratio*reward
+    (misc/utils.py:68), which inverts the trust region whenever reward < 0;
+    that is a reference bug, not a semantic choice, so it is not replicated.
     """
     B, T = sample_logprobs.shape
     mask_0, mask = _rl_masks(seq)

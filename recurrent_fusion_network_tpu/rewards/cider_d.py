@@ -211,6 +211,17 @@ class CiderD:
         ref_cache_keys: optional hashable per hyp identifying its reference
         set; duplicated sets (e.g. seq_per_img expansion) are vectorized once.
         """
+        # n-gram key packing allots KEY_BASE slots per token position; a
+        # vocabulary beyond that would silently alias keys and corrupt scores
+        hi = max(
+            (int(np.max(h)) for h in hyps if np.size(h)),
+            default=0,
+        )
+        if hi >= KEY_BASE:
+            raise ValueError(
+                f"token id {hi} >= KEY_BASE ({int(KEY_BASE)}); n-gram hashing "
+                "would alias — raise KEY_BASE in rewards/cider_d.py"
+            )
         if self._native_ctx is not None:
             return self._score_native(hyps, refs_per_hyp, ref_cache_keys)
         cache: Dict = {}

@@ -157,6 +157,15 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
             ds = loader.dataset
 
             def gts_lookup(image_id):
+                # Prefer the raw annotation sentences (reference protocol:
+                # coco-caption scores against the annotations JSON). Fall back
+                # to decoding the label matrix only when the info JSON predates
+                # raw_sentences — that fallback is seq_length-truncated and
+                # UNK-substituted, so absolute scores are not comparable to
+                # the reference's, though best-checkpoint gating still works.
+                raw = ds.raw_sentences_for_image(image_id)
+                if raw:
+                    return raw
                 if image_id not in ds.image_id_to_index:
                     return []
                 return decode_sequence(vocab, ds.captions_for_image(image_id))

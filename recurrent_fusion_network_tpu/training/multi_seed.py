@@ -76,9 +76,36 @@ def train_multi_seed(
     rngs = jax.vmap(jax.random.fold_in)(seed_keys, jnp.arange(n_seeds))
     iteration, epoch = 0, 0
     loss_histories = [dict() for _ in range(n_seeds)]
+    # per-seed best-by-validation tracking: the '-best' checkpoints must hold
+    # the best-scoring params (train.py:200-236 contract per seed), not the
+    # final-iteration ones — a fleet that degrades late must not ship
+    # degraded ensemble members
+    best_scores = [None] * n_seeds
+    best_params = [None] * n_seeds
+    val_histories = [dict() for _ in range(n_seeds)]
     lr = opt.optim_lr
     ss = 0.0
     update_lr_flag = True
+
+    def seed_slice(r):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), params)
+
+    def eval_seeds(at_iter):
+        for r in range(n_seeds):
+            p = seed_slice(r)
+            val_loss, _, stats = eval_split(
+                model, p, loader, opt, split="val", rank=r,
+                language_eval_flag=bool(opt.language_eval),
+            )
+            score = stats["CIDEr"] if stats else -val_loss
+            val_histories[r][at_iter] = {"loss": val_loss, "lang_stats": stats}
+            if best_scores[r] is None or score > best_scores[r]:
+                best_scores[r] = score
+                best_params[r] = p
+        log_fn(
+            f"iter {at_iter} fleet val scores: "
+            + " ".join(f"{s:.3f}" for s in best_scores)
+        )
 
     while True:
         if update_lr_flag:
@@ -105,6 +132,8 @@ def train_multi_seed(
                 f"iter {iteration} (epoch {epoch}) losses: "
                 + " ".join(f"{float(l):.3f}" for l in losses)
             )
+        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+            eval_seeds(iteration)
         iteration += 1
         if opt.max_epochs != -1 and epoch >= opt.max_epochs:
             break
@@ -113,28 +142,25 @@ def train_multi_seed(
 
     result = {"params": params, "loss_histories": loss_histories, "model": model}
 
-    per_seed_params = [
-        jax.tree_util.tree_map(lambda x: x[r], params) for r in range(n_seeds)
-    ]
-    if eval_at_end:
-        scores = []
-        for r, p in enumerate(per_seed_params):
-            _, _, stats = eval_split(
-                model, p, loader, opt, split="val", rank=r,
-                language_eval_flag=bool(opt.language_eval),
-            )
-            scores.append(stats["CIDEr"] if stats else float("nan"))
-        result["cider_per_seed"] = scores
+    # the saved '-best' artifacts need at least one scored snapshot per seed
+    if eval_at_end or (save and any(p is None for p in best_params)):
+        eval_seeds(iteration)
+    result["cider_per_seed"] = list(best_scores)
+    result["val_histories"] = val_histories
+    result["best_params"] = best_params
     if save:
-        for r, p in enumerate(per_seed_params):
+        for r in range(n_seeds):
             infos = {
                 "iter": iteration,
                 "epoch": epoch,
                 "opt": dict(vars(opt)),
                 "loss_history": loss_histories[r],
+                "val_result_history": val_histories[r],
+                "best_val_score": best_scores[r],
                 "vocab": loader.get_vocab(),
             }
             save_checkpoint(
-                opt.checkpoint_path, opt.id, r, params=p, infos=infos, best=True
+                opt.checkpoint_path, opt.id, r,
+                params=best_params[r], infos=infos, best=True,
             )
     return result

@@ -180,6 +180,31 @@ class TestPrepro:
         for s in sents:
             assert all(w in vocab for w in s.split())
 
+    def test_raw_sentences_recorded_and_preferred(self):
+        """prepro records untruncated annotation text; eval gts must score
+        against it (reference protocol: coco-caption reads the annotations
+        JSON), not the truncated/UNKed label matrix."""
+        fix = self.karpathy_fixture()
+        # a sentence longer than max_length with a below-threshold word:
+        # label matrix truncates + UNKs it, raw_sentences must not
+        long_toks = ["a", "man", "dog", "park", "ball", "runs", "big",
+                     "man", "dog", "rare2"]
+        fix["images"][0]["sentences"][0] = {"tokens": long_toks}
+        info, labels, starts, ends, top = preprocess(
+            fix, max_length=6, word_count_threshold=2
+        )
+        ds = Dataset(info, labels, starts, ends, top)
+        raw = ds.raw_sentences_for_image(500)
+        assert raw is not None and len(raw) == 5
+        assert raw[0] == " ".join(long_toks)  # untruncated, no UNK
+        # truncated label decode would differ
+        sents = decode_sequence(info["ix_to_word"], ds.captions_for_image(500))
+        assert sents[0] != raw[0]
+        # images without the field (legacy info JSON) return None
+        del info["images"][0]["raw_sentences"]
+        ds2 = Dataset(info, labels, starts, ends, top)
+        assert ds2.raw_sentences_for_image(500) is None
+
     def test_ngram_doc_freq(self):
         ds = synthetic_dataset(seed=1)
         ids = ds.splits()["train"]
