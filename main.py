@@ -4,8 +4,9 @@ CLI equivalent of the reference's main.py + train.py, same flag surface
 (see recurrent_fusion_network_tpu/config.py). The reference's Hogwild
 `--async_opt` path (main.py:45-61) maps to synchronous data parallelism:
 pass --num_dp_devices N to shard batches over an N-device mesh. Multi-seed
-fleets (train_recurrent_fusion_model.sh) are launched by running this script
-once per seed (see scripts/).
+fleets (train_recurrent_fusion_model.sh) run vmapped in ONE program with
+--n_seeds N (per-seed best checkpoints land under ranks 0..N-1), or as one
+process per seed via scripts/.
 
 Example (synthetic smoke run):
   python main.py --caption_model recurrent_fusion_model \
@@ -29,7 +30,14 @@ def main():
         mesh = make_mesh(opt.num_dp_devices)
     try:
         max_it = opt.max_iterations if opt.max_iterations > 0 else None
-        train(opt, loader, rank=0, mesh=mesh, max_iterations=max_it)
+        if opt.n_seeds > 1:
+            from recurrent_fusion_network_tpu.training.multi_seed import (
+                train_multi_seed,
+            )
+
+            train_multi_seed(opt, loader, opt.n_seeds, max_iterations=max_it)
+        else:
+            train(opt, loader, rank=0, mesh=mesh, max_iterations=max_it)
     finally:
         loader.close()
 

@@ -36,9 +36,23 @@ def main():
         ids = loader.split_image_id["train"]
         df = compute_doc_freq(loader.dataset, ids)
         scorer = CiderD(df, float(np.log(len(ids))))
+    mesh = None
+    if opt.num_dp_devices > 1:
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(opt.num_dp_devices)
     try:
         max_it = opt.max_iterations if opt.max_iterations > 0 else None
-        train_rl(opt, loader, scorer, rank=0, max_iterations=max_it)
+        if opt.n_seeds > 1:
+            from recurrent_fusion_network_tpu.training.multi_seed import (
+                train_multi_seed_rl,
+            )
+
+            train_multi_seed_rl(opt, loader, scorer, opt.n_seeds,
+                                max_iterations=max_it)
+        else:
+            train_rl(opt, loader, scorer, rank=0, mesh=mesh,
+                     max_iterations=max_it)
     finally:
         loader.close()
 

@@ -152,6 +152,8 @@ def _defaults() -> dict:
         json_log="",  # JSONL event log path (utils/logging.py)
         data_root="data/features",
         num_dp_devices=1,  # data-parallel mesh size for pjit training
+        n_seeds=1,  # vmapped multi-seed fleet size (replaces the per-GPU
+        # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_pallas=0,  # use fused Pallas attention-LSTM kernels
         # Runtime-derived (set by the data loader before model construction)
@@ -198,6 +200,20 @@ def _wire_features(opt) -> None:
     """Feature-path expansion from the registry (reference: opts.py:260-313)."""
     if getattr(opt, "feat_array_info", None):
         # Caller supplied an explicit encoder list (tests / synthetic data).
+        return
+    if opt.feature_type == "synthetic":
+        # files-free smoke runs: small fabricated encoder dims (one encoder,
+        # or M=3 heterogeneous ones for the fusion model)
+        if opt.caption_model == "recurrent_fusion_model":
+            opt.feat_array_info = [
+                {"fc_feat_size": 64, "att_feat_size": 48, "att_num": 8},
+                {"fc_feat_size": 48, "att_feat_size": 32, "att_num": 6},
+                {"fc_feat_size": 56, "att_feat_size": 40, "att_num": 7},
+            ]
+        else:
+            opt.feat_array_info = [
+                {"fc_feat_size": 64, "att_feat_size": 48, "att_num": 8}
+            ]
         return
     if opt.feature_type == "feat_array":
         opt.feat_array_info = feat_registry.feat_array_info(opt.data_root)

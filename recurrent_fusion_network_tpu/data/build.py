@@ -30,9 +30,17 @@ def _source_for(info, data_root: str, seed: int = 0):
 
 
 def build_loader(opt, *, prefetch: bool = True, synthetic: bool = False) -> DataLoader:
-    dataset = Dataset.from_files(
-        opt.input_json, opt.input_label_h5, opt.top_words_path, opt.top_words_count
-    )
+    if (synthetic or opt.feature_type == "synthetic") and not os.path.exists(
+        opt.input_json
+    ):
+        # files-free smoke run: in-memory learnable corpus
+        from .synthetic import synthetic_dataset
+
+        dataset = synthetic_dataset(seed=opt.seed, correlated=True)
+    else:
+        dataset = Dataset.from_files(
+            opt.input_json, opt.input_label_h5, opt.top_words_path, opt.top_words_count
+        )
     feats = opt.feat_array_info
     if not feats:
         raise ValueError("opt.feat_array_info is empty; set feature_type")

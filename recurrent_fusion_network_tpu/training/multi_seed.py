@@ -23,8 +23,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import setup
-from .checkpoint import save_checkpoint
-from .criterion import make_criterion
+from .checkpoint import load_checkpoint, save_checkpoint
+from .criterion import make_criterion, make_rl_criterion
 from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
 
@@ -162,5 +162,208 @@ def train_multi_seed(
             save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
                 params=best_params[r], infos=infos, best=True,
+            )
+    return result
+
+
+def train_multi_seed_rl(
+    opt,
+    loader,
+    cider_scorer,
+    n_seeds: int,
+    *,
+    max_iterations: Optional[int] = None,
+    eval_at_end: bool = True,
+    save: bool = True,
+    log_fn=print,
+):
+    """Vmapped multi-seed SCST fleet — the ensemble-production phase.
+
+    The reference produces its 8 RL ensemble members as 8 sequential
+    single-GPU jobs (train_recurrent_fusion_model_rl.sh:16-36), each warm-
+    started from its seed's XE best checkpoint. Here all N seeds run as ONE
+    program: per-seed params/optimizer states carry a leading seed axis, the
+    multinomial + greedy rollouts are vmapped over it (per-seed RNG streams,
+    shared feature batch), rewards are scored per seed on the host, and the
+    policy-gradient step is vmapped back over the seed axis.
+
+    Warm start: when opt.start_from is set, seed r loads the XE '-best'
+    checkpoint of rank r (same per-rank naming the reference uses).
+
+    Seed r's trajectory is identical to a solo train_rl run with rank=r on
+    the same data stream (vmap is semantics-preserving; verified in tests).
+    Returns a dict with stacked params, per-seed reward histories, and best
+    checkpoints gated on validation score like the solo loop.
+    """
+    from .train_rl_loop import make_rl_step
+    from ..rewards.self_critical import compute_reward
+
+    opt.vocab_size = loader.vocab_size
+    opt.seq_length = loader.seq_length
+    model = setup(opt)
+    rl_crit = make_rl_criterion(opt)
+    tx = make_optimizer(opt)
+
+    # Per-seed RNG discipline mirrors train_rl: key(seed+r) -> split(init, run)
+    base_keys = jnp.stack(
+        [jax.random.PRNGKey(opt.seed + r) for r in range(n_seeds)]
+    )
+    split_keys = jax.vmap(jax.random.split)(base_keys)  # (S, 2, key)
+    run_rngs, init_rngs = split_keys[:, 0], split_keys[:, 1]
+    params = jax.vmap(model.init_params)(init_rngs)
+
+    rl_lr_bases = np.full(n_seeds, opt.optim_rl_lr, np.float64)
+    if opt.start_from is not None:
+        per_seed, lr_hists = [], []
+        for r in range(n_seeds):
+            p, _, infos_r = load_checkpoint(
+                opt.start_from, opt.load_model_id, r, best=True
+            )
+            per_seed.append(p)
+            lr_hists.append(infos_r.get("lr_history", {}))
+        params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
+        )
+        if opt.load_lr:
+            for r, h in enumerate(lr_hists):
+                if h:
+                    rl_lr_bases[r] = min(h.values()) / opt.optim_rl_lr_ratio
+    opt_state = jax.vmap(tx.init)(params)
+
+    # build unjitted single-seed fns and vmap them (jit on the outside)
+    from ..decoding.engine import make_step_fn
+    from ..decoding.sample import sample as sample_tokens
+
+    def rollout(params, fc, att, rng):
+        enc = model.encode(params, fc, att)
+        step = make_step_fn(model, params, enc.memory)
+        fc0 = fc[0] if isinstance(fc, (list, tuple)) else fc
+        B = fc0.shape[0]
+        V1 = model.vocab_size + 1
+        samp = sample_tokens(step, enc.state, B, model.seq_length, V1,
+                             sample_max=False, rng=rng)
+        greedy = sample_tokens(step, enc.state, B, model.seq_length, V1,
+                               sample_max=True)
+        return samp.seq, greedy.seq
+
+    vrollout = jax.jit(jax.vmap(rollout, in_axes=(0, None, None, 0)))
+
+    step_fun, old_fun = make_rl_step(model, rl_crit, tx, jit=False)
+    vstep = jax.jit(
+        jax.vmap(step_fun, in_axes=(0, 0, None, None, 0, 0, None, 0, 0))
+    )
+    vold = jax.jit(jax.vmap(old_fun, in_axes=(0, None, None, 0)))
+
+    iteration, epoch = 0, 0
+    reward_histories = [dict() for _ in range(n_seeds)]
+    best_scores = [None] * n_seeds
+    best_params = [None] * n_seeds
+    val_histories = [dict() for _ in range(n_seeds)]
+    update_lr_flag = True
+    lrs = jnp.asarray(rl_lr_bases, jnp.float32)
+
+    def seed_slice(r):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), params)
+
+    def eval_seeds(at_iter):
+        for r in range(n_seeds):
+            p = seed_slice(r)
+            val_loss, _, stats = eval_split(
+                model, p, loader, opt, split="val", rank=r,
+                language_eval_flag=bool(opt.language_eval),
+            )
+            score = stats["CIDEr"] if stats else -val_loss
+            val_histories[r][at_iter] = {"loss": val_loss, "lang_stats": stats}
+            if best_scores[r] is None or score > best_scores[r]:
+                best_scores[r] = score
+                best_params[r] = p
+        log_fn(
+            f"iter {at_iter} rl fleet val scores: "
+            + " ".join(f"{s:.3f}" for s in best_scores)
+        )
+
+    while True:
+        if update_lr_flag:
+            lrs = jnp.asarray(
+                [lr_for_epoch(opt, epoch, b) for b in rl_lr_bases], jnp.float32
+            )
+            update_lr_flag = False
+        data = loader.get_batch("train")
+        fc, att = batch_feats(data)
+        top_words = jnp.asarray(data["top_words"])
+
+        sk = jax.vmap(jax.random.split)(run_rngs)
+        run_rngs, roll_rngs = sk[:, 0], sk[:, 1]
+        seqs, greedy_seqs = vrollout(params, fc, att, roll_rngs)
+        seqs_np, greedy_np = np.asarray(seqs), np.asarray(greedy_seqs)
+
+        rewards = np.stack([
+            compute_reward(
+                cider_scorer, seqs_np[r], greedy_np[r], data["gts"],
+                use_baseline=bool(opt.use_baseline),
+                cider_weight=opt.cider_weight,
+                bleu4_weight=opt.bleu4_weight,
+                spice_weight=opt.spice_weight,
+            )
+            for r in range(n_seeds)
+        ])
+        reward_dev = jnp.asarray(rewards, jnp.float32)
+
+        if opt.use_ppo:
+            slp_old = jax.lax.stop_gradient(vold(params, fc, att, seqs))
+            for _ in range(1 + opt.ppo_k):
+                params, opt_state, losses = vstep(
+                    params, opt_state, fc, att, seqs, reward_dev, top_words,
+                    lrs, slp_old,
+                )
+        else:
+            params, opt_state, losses = vstep(
+                params, opt_state, fc, att, seqs, reward_dev, top_words,
+                lrs, jnp.zeros_like(reward_dev),
+            )
+
+        if data["bounds"]["wrapped"]:
+            epoch += 1
+            update_lr_flag = True
+        if iteration % opt.losses_log_every == 0:
+            avg_r = rewards[:, :, 0].mean(axis=1)
+            for r in range(n_seeds):
+                reward_histories[r][iteration] = float(avg_r[r])
+            log_fn(
+                f"rl iter {iteration} (epoch {epoch}) avg rewards: "
+                + " ".join(f"{v:.3f}" for v in avg_r)
+            )
+        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+            eval_seeds(iteration)
+        iteration += 1
+        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
+            break
+        if max_iterations is not None and iteration >= max_iterations:
+            break
+
+    result = {
+        "params": params,
+        "reward_histories": reward_histories,
+        "model": model,
+    }
+    if eval_at_end or (save and any(p is None for p in best_params)):
+        eval_seeds(iteration)
+    result["cider_per_seed"] = list(best_scores)
+    result["val_histories"] = val_histories
+    result["best_params"] = best_params
+    if save:
+        for r in range(n_seeds):
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "opt": dict(vars(opt)),
+                "loss_history": reward_histories[r],
+                "val_result_history": val_histories[r],
+                "best_val_score": best_scores[r],
+                "vocab": loader.get_vocab(),
+            }
+            save_checkpoint(
+                opt.checkpoint_path, opt.id, r,
+                params=best_params[r], infos=infos, best=True, prefix="rl_",
             )
     return result

@@ -67,8 +67,10 @@ def make_rollout_fn(model):
     return jax.jit(rollout)
 
 
-def make_rl_step(model, rl_crit, tx):
-    """Jitted: teacher-forced re-evaluation + policy-gradient update."""
+def make_rl_step(model, rl_crit, tx, jit: bool = True):
+    """Teacher-forced re-evaluation + policy-gradient update. Returns
+    (step, old_logprobs); jit=False returns the raw functions so callers can
+    vmap them first (multi_seed.train_multi_seed_rl)."""
 
     def seq_to_inputs(seq):
         B, L = seq.shape
@@ -99,6 +101,8 @@ def make_rl_step(model, rl_crit, tx):
         L = seq.shape[1]
         return jnp.take_along_axis(lps[:, :L, :], seq[..., None], axis=2)[..., 0]
 
+    if not jit:
+        return step, old_logprobs
     return jax.jit(step), jax.jit(old_logprobs)
 
 
@@ -109,9 +113,18 @@ def train_rl(
     *,
     rank: int = 0,
     max_iterations: Optional[int] = None,
+    mesh=None,
     log_fn=print,
 ):
-    """Run SCST training. Returns the infos dict."""
+    """Run SCST training. Returns the infos dict.
+
+    mesh: optional jax.sharding.Mesh with a 'dp' axis — same contract as the
+    XE loop (train_loop.train): parameters replicated, the rollout batch and
+    the gradient step's inputs sharded over 'dp', gradient all-reduce inserted
+    by GSPMD. Reward scoring stays host-side on the gathered sampled ids (the
+    device->host readback of the sampled sequences is required anyway for the
+    n-gram scorer, so DP adds no extra transfer).
+    """
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
@@ -152,6 +165,11 @@ def train_rl(
             opt_state = saved_opt_state
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; re-initialized")
+    if mesh is not None:
+        from ..parallel.mesh import replicate
+
+        params = replicate(mesh, params)
+        opt_state = replicate(mesh, opt_state)
     rollout_fn = make_rollout_fn(model)
     rl_step, old_logprobs_fn = make_rl_step(model, rl_crit, tx)
 
@@ -175,6 +193,10 @@ def train_rl(
         data = loader.get_batch("train")
         fc, att = batch_feats(data)
         top_words = jnp.asarray(data["top_words"])
+        if mesh is not None:
+            from ..parallel.mesh import with_dp_sharding
+
+            fc, att, top_words = with_dp_sharding(mesh, (fc, att, top_words))
 
         rng, roll_rng = jax.random.split(rng)
         seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
@@ -188,6 +210,10 @@ def train_rl(
             spice_weight=opt.spice_weight,
         )
         reward_dev = jnp.asarray(rewards, jnp.float32)
+        if mesh is not None:
+            from ..parallel.mesh import shard_batch_spec
+
+            reward_dev = jax.device_put(reward_dev, shard_batch_spec(mesh))
 
         if opt.use_ppo:
             slp_old = old_logprobs_fn(params, fc, att, seq)

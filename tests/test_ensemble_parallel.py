@@ -147,6 +147,41 @@ class TestDataParallel:
             rtol=2e-4,
         )
 
+    def test_dp_rl_matches_single_device_trajectory(self, tmp_path):
+        """SCST on the 8-device CPU mesh follows the same reward/loss
+        trajectory as the unsharded loop: the rollout is sharded over 'dp',
+        rewards are scored host-side on the gathered ids, and the gradient
+        all-reduce is inserted by GSPMD."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+        from recurrent_fusion_network_tpu.training.train_rl_loop import train_rl
+
+        assert len(jax.devices()) >= 8
+
+        def run(mesh):
+            opt, loader = synthetic_setup(
+                caption_model="recurrent_fusion_model", batch_size=8, seq_per_img=2
+            )
+            opt.checkpoint_path = str(tmp_path)
+            opt.losses_log_every = 1
+            from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+                compute_doc_freq,
+            )
+            from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+
+            ids = loader.dataset.splits()["train"]
+            scorer = CiderD(compute_doc_freq(loader.dataset, ids),
+                            float(np.log(len(ids))))
+            return train_rl(opt, loader, scorer, max_iterations=3,
+                            mesh=mesh, log_fn=quiet)
+
+        infos_a = run(None)
+        infos_b = run(make_mesh(8))
+        np.testing.assert_allclose(
+            list(infos_a["loss_history"].values()),
+            list(infos_b["loss_history"].values()),
+            rtol=2e-4, atol=1e-6,
+        )
+
 
 class TestGraftEntry:
     def test_entry_compiles(self):

