@@ -1,42 +1,64 @@
-"""Benchmark: captions/sec/chip at beam width 3 on the full-size flagship
+"""Benchmark: decode + train throughput on the full-size flagship
 RecurrentFusionModel (5 encoders, rnn 512, 8+8 review steps, COCO-size vocab).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline",   <- headline: beam-3 decode
+   "train": {...}}                             <- XE train-step metrics + MFU
 
-Decode runs in bfloat16 with f32 score math (the framework's --dtype
-bfloat16 path, verified caption-identical to f32 on trained models in
-tests/learning-dynamics validation); measured f32 for reference: ~3780
+Headline decode runs in bfloat16 with f32 score math (the framework's
+--dtype bfloat16 path, verified caption-identical to f32 on trained models
+in tests/learning-dynamics validation); measured f32 for reference: ~3780
 captions/s at B=256.
+
+Train metrics: one full jitted XE train step (forward + criterion + grads +
+optimizer update) at flagship dims, f32 and bf16; FLOPs per step come from
+XLA's compiled-executable cost analysis, so the achieved-TFLOP/s and MFU
+numbers are measured against what the compiler actually scheduled, not a
+hand model. Peak for MFU is v5e bf16 (197 TFLOP/s) unless overridden via
+BENCH_PEAK_TFLOPS.
 
 Baseline note: the reference repo publishes no throughput number
 (BASELINE.md). The reference decodes with a PER-IMAGE Python beam loop with
 per-step host sorting (misc/RecurrentFusionModel.py:352-543) on a single GPU;
 we use 10 captions/sec as the documented baseline estimate for that loop
 (per-image sequential decode at ~17 steps x ~6 host syncs each; the
-BASELINE.json target is >=10x that, i.e. >=100 captions/sec/chip).
+BASELINE.json target is >=10x that, i.e. >=100 captions/sec/chip). The
+reference's only training-cadence instrument is a per-iteration wall-clock
+print (train.py:242-243).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the flagship beam graph takes minutes to compile
+# on the remote-compile service; phases run as subprocesses and reruns of the
+# bench must not pay that again
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_CACHE_DIR", "/tmp/rfnet_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
+PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))  # v5e bf16
 BATCH = 512
 BEAM = 3
+TRAIN_ROWS = 256  # batch rows (images x seq_per_img) for the train-step bench
+# (B=384 bf16 exceeds this chip's HBM with full activations; remat would
+# raise the ceiling further)
 WARMUP = 2
 ITERS = 5
 
 
-def main():
-    from recurrent_fusion_network_tpu.decoding.api import model_sample
+def flagship():
     from recurrent_fusion_network_tpu.models import RecurrentFusionModel
 
-    model = RecurrentFusionModel(
+    return RecurrentFusionModel(
         vocab_size=9487,
         seq_length=16,
         fc_feat_sizes=(2048, 1536, 2048, 2208, 1536),
@@ -49,36 +71,157 @@ def main():
         num_review_steps_0=8,
         top_words_count=1000,
     )
+
+
+def make_inputs(model, key, B, dt):
+    fcs = [
+        jax.random.normal(jax.random.fold_in(key, i), (B, d)).astype(dt)
+        for i, d in enumerate(model.fc_feat_sizes)
+    ]
+    atts = [
+        jax.random.normal(jax.random.fold_in(key, 10 + i), (B, n, d)).astype(dt)
+        for i, (n, d) in enumerate(zip(model.att_nums, model.att_feat_sizes))
+    ]
+    return fcs, atts
+
+
+def _median_time(fn, readback):
+    for _ in range(WARMUP):
+        readback(fn())
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        # time to results-on-host — block_until_ready alone is not a reliable
+        # barrier on tunneled backends, a D2H readback is
+        readback(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_decode(model):
+    from recurrent_fusion_network_tpu.decoding.api import model_sample
     from recurrent_fusion_network_tpu.training.eval_split import cast_tree
 
     key = jax.random.PRNGKey(0)
     dt = jnp.bfloat16
     params = cast_tree(model.init_params(key), dt)
-    fcs = [
-        jax.random.normal(jax.random.fold_in(key, i), (BATCH, d)).astype(dt)
-        for i, d in enumerate(model.fc_feat_sizes)
-    ]
-    atts = [
-        jax.random.normal(jax.random.fold_in(key, 10 + i), (BATCH, n, d)).astype(dt)
-        for i, (n, d) in enumerate(zip(model.att_nums, model.att_feat_sizes))
-    ]
-
+    fcs, atts = make_inputs(model, key, BATCH, dt)
     decode = jax.jit(lambda p, f, a: model_sample(model, p, f, a, beam_size=BEAM))
-    for _ in range(WARMUP):
-        out = decode(params, fcs, atts)
-        np.asarray(out.seq)  # host readback: forces real completion
+    sec = _median_time(lambda: decode(params, fcs, atts),
+                       lambda out: np.asarray(out.seq))
+    return BATCH / sec
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = decode(params, fcs, atts)
-        # time to tokens-on-host — block_until_ready alone is not a reliable
-        # barrier on tunneled backends, a D2H readback is
-        np.asarray(out.seq)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    cps = BATCH / dt
 
+def bench_train(model, dtype_name):
+    """One full jitted XE train step at flagship dims; returns metrics."""
+    from recurrent_fusion_network_tpu.config import Options
+    from recurrent_fusion_network_tpu.training.criterion import make_criterion
+    from recurrent_fusion_network_tpu.training.optim import make_optimizer
+    from recurrent_fusion_network_tpu.training.train_loop import make_train_step
+    from recurrent_fusion_network_tpu.training.eval_split import cast_tree
+
+    dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    opt = Options(
+        caption_model="recurrent_fusion_model",
+        feature_type="feat_array",
+        feat_array_info=[
+            {"fc_feat_size": f, "att_feat_size": a, "att_num": n}
+            for f, a, n in zip(model.fc_feat_sizes, model.att_feat_sizes, model.att_nums)
+        ],
+        rnn_size=model.rnn_size,
+        input_encoding_size=model.input_encoding_size,
+        att_hid_size=model.att_hid_size,
+        num_review_steps=model.num_review_steps,
+        num_review_steps_0=model.num_review_steps_0,
+        top_words_count=model.top_words_count,
+    )
+    opt.vocab_size = model.vocab_size
+    opt.seq_length = model.seq_length
+
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    if dt is not jnp.float32:
+        params = cast_tree(params, dt)
+    crit = make_criterion(opt)
+    tx = make_optimizer(opt)
+    opt_state = tx.init(params)
+
+    B = TRAIN_ROWS
+    fcs, atts = make_inputs(model, key, B, dt)
+    L = model.seq_length + 2
+    labels = jax.random.randint(key, (B, L), 0, model.vocab_size + 1)
+    masks = jnp.ones((B, L), dt)
+    top_words = jnp.full((B, model.top_words_count), -1, jnp.int32)
+    top_words = top_words.at[:, 0].set(1)
+    lr = jnp.float32(5e-4)
+    ss = jnp.float32(0.0)
+    rng = jax.random.PRNGKey(1)
+
+    step = make_train_step(model, crit, tx, None)
+    args = (params, opt_state, fcs, atts, labels, masks, top_words, lr, ss, rng)
+
+    # FLOPs as scheduled by XLA for the whole step (fwd+bwd+update);
+    # make_train_step returns a jitted fn, so lower() shares its cache
+    compiled = step.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops = float(ca.get("flops", 0.0)) if ca else 0.0
+
+    state = {"p": params, "o": opt_state}
+
+    def run():
+        p, o, loss = step(state["p"], state["o"], fcs, atts, labels, masks,
+                          top_words, lr, ss, rng)
+        state["p"], state["o"] = p, o
+        return loss
+
+    sec = _median_time(run, lambda loss: np.asarray(loss))
+    tokens = B * (model.seq_length + 1)
+    achieved_tflops = flops / sec / 1e12 if flops else None
+    return {
+        "dtype": dtype_name,
+        "batch_rows": B,
+        "step_seconds": round(sec, 4),
+        "captions_per_sec": round(B / sec, 2),
+        "tokens_per_sec": round(tokens / sec, 1),
+        "xla_flops_per_step": flops,
+        "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
+        "mfu_vs_bf16_peak": (
+            round(achieved_tflops / PEAK_TFLOPS, 4) if achieved_tflops else None
+        ),
+    }
+
+
+def _run_phase(phase: str):
+    model = flagship()
+    if phase == "decode":
+        return {"captions_per_sec": bench_decode(model)}
+    return bench_train(model, "bfloat16" if phase == "train_bf16" else "float32")
+
+
+def main():
+    import subprocess
+    import sys
+
+    # Each phase runs in its own subprocess so it gets a fresh TPU memory
+    # state — the decode graph's buffers and the f32 training step do not
+    # both fit on one chip otherwise.
+    results = {}
+    for phase in ("decode", "train_f32", "train_bf16"):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--phase", phase],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode != 0 or not line.startswith("{"):
+            print(f"# phase {phase} failed:\n{proc.stderr[-2000:]}", file=sys.stderr)
+            results[phase] = None
+            continue
+        results[phase] = json.loads(line)
+        print(f"# phase {phase} ok", file=sys.stderr)
+
+    cps = results["decode"]["captions_per_sec"] if results["decode"] else 0.0
     print(
         json.dumps(
             {
@@ -86,10 +229,18 @@ def main():
                 "value": round(cps, 2),
                 "unit": "captions/s",
                 "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+                "train": {"f32": results["train_f32"],
+                          "bf16": results["train_bf16"],
+                          "peak_tflops_assumed": PEAK_TFLOPS},
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        print(json.dumps(_run_phase(sys.argv[2])))
+    else:
+        main()

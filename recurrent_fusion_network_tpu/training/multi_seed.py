@@ -70,7 +70,8 @@ def train_multi_seed(
         jax.vmap(
             one_step,
             in_axes=(0, 0, 0, None, None, None, None, None, None, None),
-        )
+        ),
+        donate_argnums=(0, 1),  # in-place param/opt-state update
     )
 
     rngs = jax.vmap(jax.random.fold_in)(seed_keys, jnp.arange(n_seeds))
@@ -248,9 +249,18 @@ def train_multi_seed_rl(
 
     vrollout = jax.jit(jax.vmap(rollout, in_axes=(0, None, None, 0)))
 
+    spice_fn = None
+    if opt.spice_weight > 0:
+        from ..metrics.spice import SpiceHTTPScorer, spice_fn_from_scorer
+
+        spice_fn = spice_fn_from_scorer(
+            SpiceHTTPScorer(opt.ip, opt.port), loader.get_vocab()
+        )
+
     step_fun, old_fun = make_rl_step(model, rl_crit, tx, jit=False)
     vstep = jax.jit(
-        jax.vmap(step_fun, in_axes=(0, 0, None, None, 0, 0, None, 0, 0))
+        jax.vmap(step_fun, in_axes=(0, 0, None, None, 0, 0, None, 0, 0)),
+        donate_argnums=(0, 1),  # in-place param/opt-state update
     )
     vold = jax.jit(jax.vmap(old_fun, in_axes=(0, None, None, 0)))
 
@@ -304,6 +314,7 @@ def train_multi_seed_rl(
                 cider_weight=opt.cider_weight,
                 bleu4_weight=opt.bleu4_weight,
                 spice_weight=opt.spice_weight,
+                spice_fn=spice_fn,
             )
             for r in range(n_seeds)
         ])

@@ -44,7 +44,9 @@ def make_train_step(model, crit, tx, mesh=None):
         params = apply_updates(params, direction, lr)
         return params, opt_state, loss
 
-    return jax.jit(step)
+    # donate params + opt_state: at flagship scale (~490M params) the
+    # in-place update halves the step's peak HBM vs double-buffering
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def _device_batch(data, mesh=None):

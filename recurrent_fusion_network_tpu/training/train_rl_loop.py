@@ -103,7 +103,8 @@ def make_rl_step(model, rl_crit, tx, jit: bool = True):
 
     if not jit:
         return step, old_logprobs
-    return jax.jit(step), jax.jit(old_logprobs)
+    # donate params + opt_state (in-place update; see make_train_step)
+    return jax.jit(step, donate_argnums=(0, 1)), jax.jit(old_logprobs)
 
 
 def train_rl(
@@ -152,6 +153,16 @@ def train_rl(
     rl_lr_base = opt.optim_rl_lr
     if opt.load_lr and lr_history:
         rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
+
+    # SPICE reward hook: reference get_rewards.py:75-94 calls the external
+    # SPICE service at opt.ip/opt.port when spice_weight > 0
+    spice_fn = None
+    if opt.spice_weight > 0:
+        from ..metrics.spice import SpiceHTTPScorer, spice_fn_from_scorer
+
+        spice_fn = spice_fn_from_scorer(
+            SpiceHTTPScorer(opt.ip, opt.port), loader.get_vocab()
+        )
 
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
@@ -208,6 +219,7 @@ def train_rl(
             cider_weight=opt.cider_weight,
             bleu4_weight=opt.bleu4_weight,
             spice_weight=opt.spice_weight,
+            spice_fn=spice_fn,
         )
         reward_dev = jnp.asarray(rewards, jnp.float32)
         if mesh is not None:

@@ -231,13 +231,19 @@ class TestModelParallel:
                 jnp.asarray(data["top_words"]), jnp.float32(1e-3),
                 jnp.float32(0.0), jax.random.PRNGKey(1))
 
+        # the train step DONATES params/opt_state, and device_put may alias
+        # rather than copy on the same device — give each step its own deep
+        # copies
+        copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jnp.array(np.asarray(x)), t)
+        mesh = make_mesh_2d(2, 4)
+        p2 = shard_params_2d(mesh, copy(params))
+        s2 = replicate(mesh, copy(opt_state))
+        fc2, att2 = with_dp_sharding(mesh, (fc, att))
+
         step_plain = make_train_step(model, crit, tx)
         _, _, loss_plain = step_plain(params, opt_state, fc, att, *args)
 
-        mesh = make_mesh_2d(2, 4)
-        p2 = shard_params_2d(mesh, params)
-        s2 = replicate(mesh, opt_state)
-        fc2, att2 = with_dp_sharding(mesh, (fc, att))
         step_mesh = make_train_step(model, crit, tx, mesh)
         _, _, loss_mesh = step_mesh(p2, s2, fc2, att2, *args)
         np.testing.assert_allclose(float(loss_mesh), float(loss_plain), rtol=2e-4)

@@ -124,6 +124,101 @@ class TestResNet:
         fc, att = resnet_features(conv_params, imgs, cfg)
         assert np.isfinite(np.asarray(fc)).all()
 
+    def test_torch_numeric_golden(self):
+        """NUMERIC converter validation (VERDICT round-1 item 8): build a
+        real torch ResNet (torchvision architecture + the reference's
+        myResnet feature taps, resnet_utils.py:12-40) at tiny dims with
+        random weights, push its state_dict through load_torch_state_dict,
+        and require the JAX forward to match torch's fc/att features."""
+        import torch.nn as tnn
+
+        width = 8
+
+        class Bottleneck(tnn.Module):
+            def __init__(self, cin, planes, stride):
+                super().__init__()
+                cout = planes * 4
+                self.conv1 = tnn.Conv2d(cin, planes, 1, bias=False)
+                self.bn1 = tnn.BatchNorm2d(planes)
+                self.conv2 = tnn.Conv2d(planes, planes, 3, stride=stride,
+                                        padding=1, bias=False)
+                self.bn2 = tnn.BatchNorm2d(planes)
+                self.conv3 = tnn.Conv2d(planes, cout, 1, bias=False)
+                self.bn3 = tnn.BatchNorm2d(cout)
+                self.downsample = None
+                if stride != 1 or cin != cout:
+                    self.downsample = tnn.Sequential(
+                        tnn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                        tnn.BatchNorm2d(cout),
+                    )
+
+            def forward(self, x):
+                out = torch.relu(self.bn1(self.conv1(x)))
+                out = torch.relu(self.bn2(self.conv2(out)))
+                out = self.bn3(self.conv3(out))
+                idn = x if self.downsample is None else self.downsample(x)
+                return torch.relu(out + idn)
+
+        class TinyResNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv1 = tnn.Conv2d(3, width, 7, stride=2, padding=3,
+                                        bias=False)
+                self.bn1 = tnn.BatchNorm2d(width)
+                self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+                cin = width
+                for stage in range(1, 5):
+                    planes = width * 2 ** (stage - 1)
+                    stride = 1 if stage == 1 else 2
+                    setattr(self, f"layer{stage}",
+                            tnn.Sequential(Bottleneck(cin, planes, stride)))
+                    cin = planes * 4
+
+            def forward(self, x):
+                x = torch.relu(self.bn1(self.conv1(x)))
+                x = self.maxpool(x)
+                for stage in range(1, 5):
+                    x = getattr(self, f"layer{stage}")(x)
+                # myResnet taps (resnet_utils.py:30-36): fc = spatial mean,
+                # att = adaptive avg pool to SxS
+                fc = x.mean(3).mean(2)
+                att = F.adaptive_avg_pool2d(x, (2, 2))
+                return fc, att
+
+        torch.manual_seed(0)
+        net = TinyResNet().eval()
+        # non-trivial BN statistics so the test catches mean/var swaps
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+                    m.weight.uniform_(0.5, 1.5)
+                    m.bias.uniform_(-0.2, 0.2)
+
+        cfg = ResNetConfig(blocks=(1, 1, 1, 1), width=width, att_size=2)
+        params = load_torch_state_dict(net.state_dict(), cfg)
+
+        g = np.random.default_rng(3)
+        imgs = g.random((2, 64, 64, 3)).astype(np.float32)
+        fc_j, att_j = resnet_features(params, jnp.asarray(imgs), cfg)
+
+        from recurrent_fusion_network_tpu.data.feature_extraction.resnet_jax import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        x_t = ((imgs - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+               ).astype(np.float32)
+        with torch.no_grad():
+            fc_t, att_t = net(torch.from_numpy(x_t.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(np.asarray(fc_j), fc_t.numpy(),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(att_j), att_t.numpy().transpose(0, 2, 3, 1),
+            rtol=2e-4, atol=2e-5,
+        )
+
 
 class TestExtractCLI:
     def test_end_to_end_packed_output(self, tmp_path):

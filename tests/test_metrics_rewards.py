@@ -275,3 +275,61 @@ class TestMeteor:
         )
         assert "METEOR" in out["overall"]
         assert out["overall"]["METEOR"] > 0.5
+
+    def test_alignment_minimizes_chunks_like_the_jar(self):
+        """The meteor jar selects the alignment that maximizes matches then
+        MINIMIZES chunks. Greedy first-fit gets this wrong on duplicated
+        words: hyp 'the cat sat on the mat' vs ref 'on the mat the cat sat'
+        — greedy matches hyp's first 'the' to ref position 1 (breaking both
+        runs), the optimal alignment keeps two contiguous runs."""
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            _align,
+            _align_greedy,
+            _chunks,
+        )
+
+        hyp = "the cat sat on the mat".split()
+        ref = "on the mat the cat sat".split()
+        greedy = _align_greedy(hyp, ref)
+        optimal = _align(hyp, ref)
+        assert sum(j >= 0 for j in optimal) == 6  # full match both ways
+        assert sum(j >= 0 for j in greedy) == 6
+        assert _chunks(optimal) == 2  # [the cat sat] + [on the mat]
+        assert _chunks(greedy) > 2  # first-fit splits the runs
+
+    def test_greedy_vs_optimal_gap_quantified(self):
+        """Quantify the score gap the round-1 greedy alignment carried
+        (VERDICT item 7): on a random duplicated-word fixture the optimal
+        alignment never scores lower, and the measured mean gap stays small
+        — recorded here as the documented bound."""
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.metrics import meteor as M
+
+        g = np.random.default_rng(0)
+        vocab = ["the", "a", "cat", "dog", "sat", "on", "mat", "runs", "big"]
+        gaps = []
+        for _ in range(200):
+            n_h = int(g.integers(3, 10))
+            n_r = int(g.integers(3, 10))
+            hyp = [vocab[int(g.integers(0, len(vocab)))] for _ in range(n_h)]
+            ref = [vocab[int(g.integers(0, len(vocab)))] for _ in range(n_r)]
+
+            def score(align_fn):
+                match = align_fn(hyp, ref)
+                m = sum(1 for j in match if j >= 0)
+                if m == 0:
+                    return 0.0
+                p, r = m / len(hyp), m / len(ref)
+                f = p * r / (M.ALPHA * p + (1 - M.ALPHA) * r)
+                return f * (1 - M.GAMMA * (M._chunks(match) / m) ** M.BETA)
+
+            s_greedy, s_opt = score(M._align_greedy), score(M._align)
+            assert s_opt >= s_greedy - 1e-12  # optimal never scores lower
+            gaps.append(s_opt - s_greedy)
+        mean_gap = float(np.mean(gaps))
+        max_gap = float(np.max(gaps))
+        # measured on this fixture: mean 0.0204, max 0.287 (duplicate-heavy
+        # adversarial vocab); real captions duplicate mostly articles, so the
+        # practical gap is below these bounds
+        assert mean_gap < 0.05 and max_gap < 0.45, (mean_gap, max_gap)
