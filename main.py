@@ -21,6 +21,15 @@ from recurrent_fusion_network_tpu.training.train_loop import train
 
 
 def main():
+    import os
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        # multi-host run: join the cluster BEFORE any backend use; the mesh
+        # below then spans every process's devices and the loader shards the
+        # input stream per host (parallel/distributed.py)
+        from recurrent_fusion_network_tpu.parallel.distributed import initialize
+
+        initialize()
     opt = parse_opt()
     loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
     mesh = None

@@ -55,4 +55,8 @@ def build_loader(opt, *, prefetch: bool = True, synthetic: bool = False) -> Data
         sources = [_source_for(f, opt.data_root, seed=opt.seed + i) for i, f in enumerate(feats)]
     if opt.feature_type not in ("feat_array",):
         sources = sources[:1]
-    return DataLoader(opt, dataset, sources, prefetch=prefetch)
+    import jax
+
+    host_shard = (jax.process_index(), jax.process_count())
+    return DataLoader(opt, dataset, sources, prefetch=prefetch,
+                      host_shard=host_shard)

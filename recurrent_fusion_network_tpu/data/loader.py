@@ -39,12 +39,20 @@ class DataLoader:
         sources: Sequence,  # one FeatureSource per encoder
         *,
         prefetch: bool = True,
+        host_shard: tuple = (0, 1),
     ):
         self.opt = opt
         self.dataset = dataset
         self.sources = list(sources)
         self.num_feat_array = len(self.sources)
         self.feature_type = opt.feature_type
+        # multi-host input sharding: (process_index, process_count). Every
+        # host walks the SAME global image stream (identical cursors, shuffle
+        # and augmentation RNG), but materializes features/labels only for
+        # its contiguous block of the global batch — the rows its local
+        # devices own under a process-major 1-D dp mesh
+        # (parallel/distributed.global_dp_batch).
+        self.host_index, self.host_count = host_shard
 
         self.batch_size = opt.batch_size
         self.seq_per_img = opt.seq_per_img
@@ -154,24 +162,26 @@ class DataLoader:
         spi = seq_per_img or self.seq_per_img
         L = self.seq_length
         ds = self.dataset
+        hi, hc = self.host_index, self.host_count
+        if hc > 1:
+            assert B % hc == 0, (
+                f"batch_size {B} must divide by host count {hc}"
+            )
+        B_local = B // hc
+        lo = hi * B_local  # this host's contiguous block of the global batch
 
         fc_batch = [[] for _ in range(self.num_feat_array)]
         att_batch = [[] for _ in range(self.num_feat_array)]
-        label_batch = np.zeros((B * spi, L + 2), dtype=np.int64)
+        label_batch = np.zeros((B_local * spi, L + 2), dtype=np.int64)
         gts, infos = [], []
         wrapped = False
 
         for i in range(B):
+            # cursor + every RNG draw advances for ALL global rows so hosts
+            # stay in lockstep; only local rows materialize data
             image_id, w = self._next_image(split)
             wrapped = wrapped or w
             v = variant or self._pick_variant()
-            for m, src in enumerate(self.sources):
-                fc, att = src.load(image_id, v)
-                if att.ndim == 3:
-                    att = att.reshape(-1, att.shape[-1])
-                fc_batch[m].append(fc)
-                att_batch[m].append(att)
-
             caps = ds.captions_for_image(image_id)
             ncap = caps.shape[0]
             assert ncap > 0, "an image does not have any label"
@@ -182,8 +192,17 @@ class DataLoader:
             else:
                 start = self._rng.randint(0, ncap - spi)
                 seq = caps[start : start + spi, :L]
-            label_batch[i * spi : (i + 1) * spi, 1 : L + 1] = seq
 
+            li = i - lo  # local row index
+            if not (0 <= li < B_local):
+                continue
+            for m, src in enumerate(self.sources):
+                fc, att = src.load(image_id, v)
+                if att.ndim == 3:
+                    att = att.reshape(-1, att.shape[-1])
+                fc_batch[m].append(fc)
+                att_batch[m].append(att)
+            label_batch[li * spi : (li + 1) * spi, 1 : L + 1] = seq
             gts.append(caps)
             ix = ds.image_id_to_index[image_id]
             infos.append(
@@ -195,15 +214,15 @@ class DataLoader:
             )
 
         # masks: ones through (#nonzero tokens + 2) (dataloader.py:309-314)
-        mask_batch = np.zeros((B * spi, L + 2), dtype=np.float32)
+        mask_batch = np.zeros((B_local * spi, L + 2), dtype=np.float32)
         nonzeros = (label_batch != 0).sum(axis=1) + 2
         for r, n in enumerate(nonzeros):
             mask_batch[r, :n] = 1.0
 
         # top-word targets, -1 padded (dataloader.py:317-332), vectorized
-        top = np.full((B * spi, self.top_words_count), -1, dtype=np.int64)
+        top = np.full((B_local * spi, self.top_words_count), -1, dtype=np.int64)
         top_map = ds.vocab_ix_to_top_ix
-        for r in range(B * spi):
+        for r in range(B_local * spi):
             ids = top_map[label_batch[r]]
             ids = np.unique(ids[ids >= 0])
             top[r, : len(ids)] = ids

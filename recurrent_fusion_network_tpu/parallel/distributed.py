@@ -1,0 +1,89 @@
+"""Multi-host (multi-process) scaffolding.
+
+The reference is strictly single-host (SURVEY §2.5: no NCCL/MPI anywhere;
+its only cross-process transport is shared memory and pipes). The TPU-native
+equivalent of "more hosts" is a multi-process JAX runtime: one process per
+host, `jax.distributed.initialize` for the coordination plane, a GLOBAL mesh
+over all processes' devices, per-host input shards assembled into global
+arrays, and XLA collectives riding ICI within a slice / DCN across slices.
+
+Pieces:
+  initialize()            — env/args wrapper over jax.distributed.initialize
+  global_dp_mesh()        — 1-D 'dp' mesh over every device of every process
+  global_dp_batch(mesh,t) — turn per-process batch shards into global arrays
+                            (jax.make_array_from_process_local_data); on a
+                            single process this is plain dp device_put
+  host_shard()            — (process_index, process_count) for the DataLoader
+                            `host_shard` argument so each host loads only its
+                            slice of the global batch
+
+Axis-layout note (scaling-book recipe): keep the mesh-major axis over ICI
+(devices within a slice are contiguous in jax.devices()) and the
+process/slice axis outer-most so gradient all-reduces decompose into
+intra-slice ICI reductions followed by a small inter-slice DCN phase — this
+is what GSPMD emits for a 1-D dp mesh ordered by process.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+    local_device_ids: Optional[Sequence[int]] = None,
+) -> None:
+    """Join the multi-process runtime. Arguments fall back to the standard
+    env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID,
+    or the cloud-TPU metadata autodetection when none are set)."""
+    kw = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw["coordinator_address"] = addr
+    n = num_processes if num_processes is not None else os.environ.get("JAX_NUM_PROCESSES")
+    if n is not None:
+        kw["num_processes"] = int(n)
+    pid = process_id if process_id is not None else os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    if local_device_ids is not None:
+        kw["local_device_ids"] = list(local_device_ids)
+    jax.distributed.initialize(**kw)
+
+
+def host_shard():
+    """(process_index, process_count) — the DataLoader host_shard tuple."""
+    return jax.process_index(), jax.process_count()
+
+
+def global_dp_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """1-D 'dp' mesh over ALL devices (every process's). jax.devices() is
+    ordered process-major, so the dp axis decomposes into intra-process
+    (ICI) segments with the inter-process (DCN) dimension outermost."""
+    devs = list(devices if devices is not None else jax.devices())
+    return Mesh(np.array(devs), ("dp",))
+
+
+def global_dp_batch(mesh: Mesh, tree):
+    """Assemble per-process local batch shards into global dp-sharded arrays.
+
+    Each process passes ITS rows only (batch leading axis = global_rows /
+    process_count); the result behaves like one global array of the full
+    batch. Single-process meshes take the plain device_put path.
+    """
+    sharding = NamedSharding(mesh, P("dp"))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), tree
+        )
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )

@@ -55,9 +55,11 @@ def _device_batch(data, mesh=None):
     masks = jnp.asarray(data["masks"])
     top_words = jnp.asarray(data["top_words"])
     if mesh is not None:
-        from ..parallel.mesh import with_dp_sharding
+        from ..parallel.distributed import global_dp_batch
 
-        fc, att, labels, masks, top_words = with_dp_sharding(
+        # single-process: plain dp device_put; multi-process: this host's
+        # local rows become its shard of the global batch arrays
+        fc, att, labels, masks, top_words = global_dp_batch(
             mesh, (fc, att, labels, masks, top_words)
         )
     return fc, att, labels, masks, top_words

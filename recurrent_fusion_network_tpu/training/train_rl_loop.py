@@ -177,6 +177,14 @@ def train_rl(
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; re-initialized")
     if mesh is not None:
+        if jax.process_count() > 1:
+            # multi-host SCST needs per-host reward scoring of local rollout
+            # rows (the sampled ids of remote shards are not addressable);
+            # only the XE loop is multi-host-ready this round
+            raise NotImplementedError(
+                "train_rl supports single-process meshes only; use the XE "
+                "loop for multi-host training"
+            )
         from ..parallel.mesh import replicate
 
         params = replicate(mesh, params)
@@ -205,9 +213,9 @@ def train_rl(
         fc, att = batch_feats(data)
         top_words = jnp.asarray(data["top_words"])
         if mesh is not None:
-            from ..parallel.mesh import with_dp_sharding
+            from ..parallel.distributed import global_dp_batch
 
-            fc, att, top_words = with_dp_sharding(mesh, (fc, att, top_words))
+            fc, att, top_words = global_dp_batch(mesh, (fc, att, top_words))
 
         rng, roll_rng = jax.random.split(rng)
         seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
@@ -223,9 +231,9 @@ def train_rl(
         )
         reward_dev = jnp.asarray(rewards, jnp.float32)
         if mesh is not None:
-            from ..parallel.mesh import shard_batch_spec
+            from ..parallel.distributed import global_dp_batch
 
-            reward_dev = jax.device_put(reward_dev, shard_batch_spec(mesh))
+            reward_dev = global_dp_batch(mesh, reward_dev)
 
         if opt.use_ppo:
             slp_old = old_logprobs_fn(params, fc, att, seq)

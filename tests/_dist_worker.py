@@ -1,0 +1,48 @@
+"""Worker for the multi-host XE training test (launched by
+tests/test_distributed.py): joins a 2-process CPU cluster, trains a few
+DP-sharded steps over the GLOBAL mesh with a host-sharded loader, and prints
+its loss trajectory as JSON."""
+
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def main():
+    pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    jax.distributed.initialize(
+        coordinator_address=f"127.0.0.1:{port}", num_processes=n, process_id=pid
+    )
+    from recurrent_fusion_network_tpu.data.loader import DataLoader
+    from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+    from recurrent_fusion_network_tpu.parallel.distributed import (
+        global_dp_mesh,
+        host_shard,
+    )
+    from recurrent_fusion_network_tpu.training.train_loop import train
+
+    assert host_shard() == (pid, n)
+    assert len(jax.devices()) == 2 * n and len(jax.local_devices()) == 2
+
+    opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                seq_per_img=2)
+    opt.checkpoint_path = "/tmp/dist_test_ckpt"
+    opt.losses_log_every = 1
+    loader = DataLoader(opt, base.dataset, base.sources, prefetch=False,
+                        host_shard=host_shard())
+    mesh = global_dp_mesh()
+    infos = train(opt, loader, max_iterations=3, mesh=mesh,
+                  log_fn=lambda *a, **k: None)
+    print("LOSSES:" + json.dumps(list(infos["loss_history"].values())),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

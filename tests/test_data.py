@@ -7,6 +7,8 @@ import pickle
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from recurrent_fusion_network_tpu.data import (
     DataLoader,
     Dataset,

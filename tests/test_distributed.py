@@ -1,0 +1,116 @@
+"""Multi-host (multi-process) scaffolding tests.
+
+The reference has no distributed runtime at all (SURVEY §2.5); the TPU-native
+framework adds one: jax.distributed initialization, a global mesh over every
+process's devices, and per-host input sharding in the DataLoader. These tests
+validate the full multi-host XE path on a 2-process CPU cluster (2 local
+devices each -> 4 global) against the single-process result — the
+hardware-free-distributed-test pattern of SURVEY §4.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.quick
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+class TestHostShardedLoader:
+    def test_shards_partition_the_global_batch(self):
+        """Hosts walking the same stream must produce disjoint contiguous
+        blocks whose concatenation equals the unsharded batch."""
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                    seq_per_img=2)
+        loaders = [
+            DataLoader(opt, base.dataset, base.sources, prefetch=False,
+                       host_shard=(k, 2))
+            for k in range(2)
+        ]
+        full = DataLoader(opt, base.dataset, base.sources, prefetch=False)
+        for _ in range(3):  # across epoch wrap + shuffles
+            parts = [ld.get_batch("train") for ld in loaders]
+            whole = full.get_batch("train")
+            np.testing.assert_array_equal(
+                np.concatenate([p["labels"] for p in parts]), whole["labels"]
+            )
+            np.testing.assert_allclose(
+                np.concatenate([p["fc_feats"] for p in parts]),
+                whole["fc_feats"],
+            )
+            assert [i["id"] for p in parts for i in p["infos"]] == [
+                i["id"] for i in whole["infos"]
+            ]
+            # iterator state stays in lockstep
+            assert parts[0]["bounds"] == parts[1]["bounds"] == whole["bounds"]
+
+    def test_batch_must_divide_by_hosts(self):
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=5)
+        ld = DataLoader(opt, base.dataset, base.sources, prefetch=False,
+                        host_shard=(0, 2))
+        with pytest.raises(AssertionError, match="divide"):
+            ld.get_batch("train")
+
+
+class TestTwoProcessCluster:
+    def test_dp_train_matches_single_process(self, tmp_path):
+        """2 processes x 2 CPU devices, global 4-device dp mesh, host-sharded
+        input: every process sees the identical loss trajectory, equal to a
+        single-process 4-device run on the same stream."""
+        port = _free_port()
+        worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(k), "2", str(port)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                env=env,
+            )
+            for k in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+            line = [l for l in out.splitlines() if l.startswith("LOSSES:")][-1]
+            outs.append(json.loads(line[len("LOSSES:"):]))
+        # both processes observe the same (global) losses
+        np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6)
+
+        # reference: single process, 4 virtual devices, same stream
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+        from recurrent_fusion_network_tpu.training.train_loop import train
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                    seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.losses_log_every = 1
+        loader = DataLoader(opt, base.dataset, base.sources, prefetch=False)
+        infos = train(opt, loader, max_iterations=3, mesh=make_mesh(4),
+                      log_fn=lambda *a, **k: None)
+        # cross-process allreduce (gloo) reduces in a different order than
+        # the single-process fused reduction: f32 noise ~2e-4 after 3 steps
+        np.testing.assert_allclose(
+            outs[0], list(infos["loss_history"].values()), rtol=1e-3
+        )

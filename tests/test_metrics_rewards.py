@@ -8,6 +8,8 @@ directly from the reference scorer's equations (ciderD_scorer.py:114-199).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
 from recurrent_fusion_network_tpu.data.synthetic import synthetic_dataset
 from recurrent_fusion_network_tpu.metrics.bleu import compute_bleu

@@ -10,6 +10,8 @@ import threading
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick
+
 from recurrent_fusion_network_tpu.metrics.spice import (
     SpiceHTTPScorer,
     SpiceJavaScorer,
