@@ -40,6 +40,7 @@ def sample(
     sample_max: bool = True,
     temperature: float = 1.0,
     rng=None,
+    greedy_mask=None,
 ):
     """Roll out seq_length tokens for a batch.
 
@@ -49,6 +50,12 @@ def sample(
       vocab_width: V+1, the log-distribution width produced by step_fn.
       sample_max: greedy argmax if True, multinomial otherwise.
       rng: required when sample_max is False.
+      greedy_mask: optional (B,) bool — rows where True decode greedily, the
+        rest multinomially, in ONE scan. This is the fused SCST rollout: the
+        sampled rollout and its greedy baseline share the per-step decode
+        (train_rl_loop.make_rollout_fn stacks the two lanes). Overrides
+        sample_max per row; greedy rows match a pure sample_max run exactly
+        (argmax is draw-independent).
     """
     B, L = batch_size, seq_length
     if rng is None:
@@ -57,7 +64,14 @@ def sample(
     def body(carry, t):
         state, prev_lp, unfinished, rng = carry
         rng, r = jax.random.split(rng)
-        if sample_max:
+        if greedy_mask is not None:
+            drawn = jax.random.categorical(
+                r, prev_lp / temperature, axis=-1
+            ).astype(jnp.int32)
+            it_raw = jnp.where(
+                greedy_mask, jnp.argmax(prev_lp, axis=-1).astype(jnp.int32), drawn
+            )
+        elif sample_max:
             it_raw = jnp.argmax(prev_lp, axis=-1).astype(jnp.int32)
         else:
             it_raw = jax.random.categorical(r, prev_lp / temperature, axis=-1).astype(

@@ -231,21 +231,28 @@ def train_multi_seed_rl(
                     rl_lr_bases[r] = min(h.values()) / opt.optim_rl_lr_ratio
     opt_state = jax.vmap(tx.init)(params)
 
-    # build unjitted single-seed fns and vmap them (jit on the outside)
+    # build unjitted single-seed fns and vmap them (jit on the outside);
+    # the rollout is the same fused 2B-lane sampled+greedy scan as the solo
+    # loop (make_rollout_fn) so fleet seed trajectories match solo runs
     from ..decoding.engine import make_step_fn
     from ..decoding.sample import sample as sample_tokens
 
     def rollout(params, fc, att, rng):
         enc = model.encode(params, fc, att)
-        step = make_step_fn(model, params, enc.memory)
+        state2 = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x], axis=0), enc.state
+        )
+        mem2 = jax.tree_util.tree_map(
+            lambda x: jnp.concatenate([x, x], axis=0), enc.memory
+        )
+        step = make_step_fn(model, params, mem2)
         fc0 = fc[0] if isinstance(fc, (list, tuple)) else fc
         B = fc0.shape[0]
         V1 = model.vocab_size + 1
-        samp = sample_tokens(step, enc.state, B, model.seq_length, V1,
-                             sample_max=False, rng=rng)
-        greedy = sample_tokens(step, enc.state, B, model.seq_length, V1,
-                               sample_max=True)
-        return samp.seq, greedy.seq
+        greedy_mask = jnp.arange(2 * B) >= B
+        out = sample_tokens(step, state2, 2 * B, model.seq_length, V1,
+                            rng=rng, greedy_mask=greedy_mask)
+        return out.seq[:B], out.seq[B:]
 
     vrollout = jax.jit(jax.vmap(rollout, in_axes=(0, None, None, 0)))
 

