@@ -56,9 +56,12 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
     """Learnable 3-encoder corpus: each encoder is an independent random
     'view' (different embedding bases) of the caption content — the
     multi-encoder setting RFNet's fusion stages exist for."""
+    # diversity creates the likelihood/metric mismatch SCST exploits on COCO
+    # (references disagree on content -> consensus decode beats ML decode)
     ds = synthetic_dataset(
         n_train=n_train, n_val=n_val, n_test=n_test, seq_length=10,
         vocab_words=WORD_BANK, top_words_count=60, seed=seed, correlated=True,
+        diversity=0.35,
     )
     feats = [
         {"fc_feat_size": 48, "att_feat_size": 32, "att_num": 10},
@@ -94,7 +97,7 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
     sources = [
         LearnableFeatureSource(
             ds, f["fc_feat_size"], f["att_num"], f["att_feat_size"],
-            seed=seed + 17 * (i + 1), noise=0.05,
+            seed=seed + 17 * (i + 1), noise=0.1,
         )
         for i, f in enumerate(feats)
     ]

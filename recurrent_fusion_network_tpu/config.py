@@ -156,6 +156,7 @@ def _defaults() -> dict:
         # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_pallas=0,  # use fused Pallas attention-LSTM kernels
+        use_remat=0,  # rematerialize scan steps in backward (bigger batches)
         # Runtime-derived (set by the data loader before model construction)
         vocab_size=None,
         seq_length=None,

@@ -33,10 +33,18 @@ def synthetic_dataset(
     top_words_count: int = 12,
     seed: int = 0,
     correlated: bool = False,
+    diversity: float = 0.0,
 ) -> Dataset:
     """correlated=True makes each image's captions near-copies of one base
     caption of SORTED distinct tokens (order recoverable from content) — a
-    fixture with real learnable signal for training-dynamics tests."""
+    fixture with real learnable signal for training-dynamics tests.
+
+    diversity>0 (correlated mode only) drops each base token from captions
+    1..k-1 with that probability (caption 0 stays the full base). This
+    creates the likelihood/metric mismatch SCST exploits on COCO: the
+    references disagree on content, so the maximum-likelihood decode differs
+    from the consensus-n-gram (CIDEr-optimal) decode and reward optimization
+    has headroom above converged XE."""
     g = np.random.default_rng(seed)
     vocab = list(vocab_words or WORDS)
     V = len(vocab)
@@ -59,7 +67,13 @@ def synthetic_dataset(
             cap = np.zeros(seq_length, dtype=np.int64)
             if correlated:
                 toks = base.copy()
-                if c > 0:  # one-token perturbation, re-sorted
+                if c > 0 and diversity > 0:
+                    # random token drops, sorted order kept, >=3 survivors
+                    keep = g.random(len(toks)) >= diversity
+                    if keep.sum() < min(3, len(toks)):
+                        keep[: min(3, len(toks))] = True
+                    toks = toks[keep]
+                elif c > 0:  # one-token perturbation, re-sorted
                     toks[int(g.integers(0, ln))] = int(g.integers(1, V + 1))
                     toks = np.sort(np.unique(toks))
                 cap[: len(toks)] = toks

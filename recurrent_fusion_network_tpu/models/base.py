@@ -64,6 +64,7 @@ def xe_decode(
     rng=None,
     deterministic=True,
     vocab_size: int,
+    remat: bool = False,
 ):
     """Teacher-forced decode over time with scheduled sampling.
 
@@ -100,6 +101,10 @@ def xe_decode(
         lp, state = decode_logprobs_fn(xt, state, r_drop)
         return (state, lp, rng), lp
 
+    if remat:
+        # recompute each step's activations in the backward pass (saves the
+        # per-step attention/gate intermediates; carries alone are stored)
+        step = jax.checkpoint(step)
     init_lp = jnp.zeros((B, vocab_size + 1))
     xs = (seq_in.T, jnp.arange(T))
     (_, _, _), lps = jax.lax.scan(step, (state, init_lp, rng), xs)

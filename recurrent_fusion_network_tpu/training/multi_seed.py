@@ -214,6 +214,8 @@ def train_multi_seed_rl(
     params = jax.vmap(model.init_params)(init_rngs)
 
     rl_lr_bases = np.full(n_seeds, opt.optim_rl_lr, np.float64)
+    warm_start_params = [None] * n_seeds
+    warm_start_scores = [None] * n_seeds
     if opt.start_from is not None:
         per_seed, lr_hists = [], []
         for r in range(n_seeds):
@@ -222,6 +224,13 @@ def train_multi_seed_rl(
             )
             per_seed.append(p)
             lr_hists.append(infos_r.get("lr_history", {}))
+            # reference semantics (train_rl.py + --load_best_score): the RL
+            # phase's best gate starts from the XE best score, so an RL run
+            # that never improves ships the warm-start weights, not a
+            # degraded late checkpoint
+            warm_start_params[r] = p
+            if opt.load_best_score:
+                warm_start_scores[r] = infos_r.get("best_val_score", None)
         params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
         )
@@ -273,8 +282,8 @@ def train_multi_seed_rl(
 
     iteration, epoch = 0, 0
     reward_histories = [dict() for _ in range(n_seeds)]
-    best_scores = [None] * n_seeds
-    best_params = [None] * n_seeds
+    best_scores = list(warm_start_scores)
+    best_params = list(warm_start_params)
     val_histories = [dict() for _ in range(n_seeds)]
     update_lr_flag = True
     lrs = jnp.asarray(rl_lr_bases, jnp.float32)

@@ -163,3 +163,46 @@ def test_rfnet_grad_flows_to_all_params():
     flat, _ = jax.tree_util.tree_flatten(g)
     nonzero = sum(float(jnp.abs(x).sum()) > 0 for x in flat)
     assert nonzero / len(flat) > 0.9, f"only {nonzero}/{len(flat)} params got grads"
+
+
+def test_remat_is_numerically_identical():
+    """--use_remat rematerializes scan steps in the backward pass — loss and
+    gradients must be bit-for-bit compatible with the non-remat path (it only
+    trades recompute FLOPs for activation memory)."""
+    import numpy as np
+
+    from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+    from recurrent_fusion_network_tpu.models import setup
+    from recurrent_fusion_network_tpu.training.criterion import make_criterion
+    from recurrent_fusion_network_tpu.training.eval_split import batch_feats
+
+    opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
+                                  batch_size=4)
+    opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+    m0 = setup(opt)
+    opt.use_remat = 1
+    m1 = setup(opt)
+    assert m1.use_remat and not m0.use_remat
+    params = m0.init_params(jax.random.PRNGKey(0))
+    crit = make_criterion(opt)
+    d = loader.get_batch("train")
+    fc, att = batch_feats(d)
+    lab = jnp.asarray(d["labels"])
+    msk = jnp.asarray(d["masks"])
+    tw = jnp.asarray(d["top_words"])
+
+    def loss(m):
+        def f(p):
+            lps, reason = m.forward(p, fc, att, lab, ss_prob=0.3,
+                                    rng=jax.random.PRNGKey(5),
+                                    deterministic=False)
+            return crit(lps, lab, msk, reason, tw)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(m0))(params)
+    l1, g1 = jax.value_and_grad(loss(m1))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=1e-6)
