@@ -157,6 +157,8 @@ def _defaults() -> dict:
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_pallas=0,  # use fused Pallas attention-LSTM kernels
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
+        checkpoint_backend="pickle",  # 'pickle' (reference triple-file
+        # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
         # Runtime-derived (set by the data loader before model construction)
         vocab_size=None,
         seq_length=None,

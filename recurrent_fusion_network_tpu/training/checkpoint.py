@@ -9,6 +9,10 @@ Mirrors the reference's triple-file contract per eval (train.py:214-236):
 
 plus non-best rolling copies. RL checkpoints are prefixed 'rl_'
 (train_rl.py:262-272) via the `prefix` argument.
+
+For multi-host / sharded checkpointing select the Orbax backend
+(--checkpoint_backend orbax, training/orbax_ckpt.py) via `backend(opt)` —
+same save/load surface, per-process shard writes, sharding-aware restore.
 """
 
 from __future__ import annotations
@@ -19,6 +23,41 @@ from typing import Any, Optional, Tuple
 
 import jax
 import numpy as np
+
+
+def backend(opt=None):
+    """Checkpoint module for opt.checkpoint_backend: this module ('pickle',
+    the reference-contract default) or training.orbax_ckpt ('orbax')."""
+    import sys
+
+    name = getattr(opt, "checkpoint_backend", opt if isinstance(opt, str) else "pickle")
+    if name == "orbax":
+        from . import orbax_ckpt
+
+        return orbax_ckpt
+    return sys.modules[__name__]
+
+
+def adopt_structure(target, saved):
+    """Fit a restored pytree into `target`'s structure.
+
+    Pickle checkpoints round-trip optax NamedTuple states exactly; Orbax
+    serializes them as plain containers, so a restored optimizer state is
+    re-threaded onto the freshly-initialized state's treedef (leaf order is
+    preserved by both backends). Shape mismatches raise.
+    """
+    t_leaves = jax.tree_util.tree_leaves(target)
+    s_leaves = jax.tree_util.tree_leaves(saved)
+    if jax.tree_util.tree_structure(saved) == jax.tree_util.tree_structure(target):
+        return saved
+    assert len(s_leaves) == len(t_leaves), "optimizer state mismatch"
+    for a, b in zip(t_leaves, s_leaves):
+        assert np.shape(a) == np.shape(b), (
+            f"optimizer state mismatch: {np.shape(a)} vs {np.shape(b)}"
+        )
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(target), s_leaves
+    )
 
 
 def _to_numpy(tree):

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import setup
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import backend as checkpoint_backend
 from .criterion import make_criterion, make_rl_criterion
 from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
@@ -44,6 +44,7 @@ def train_multi_seed(
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
+    _ckpt = checkpoint_backend(opt)
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
 
@@ -160,7 +161,7 @@ def train_multi_seed(
                 "best_val_score": best_scores[r],
                 "vocab": loader.get_vocab(),
             }
-            save_checkpoint(
+            _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
                 params=best_params[r], infos=infos, best=True,
             )
@@ -202,6 +203,7 @@ def train_multi_seed_rl(
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
+    _ckpt = checkpoint_backend(opt)
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
 
@@ -219,7 +221,7 @@ def train_multi_seed_rl(
     if opt.start_from is not None:
         per_seed, lr_hists = [], []
         for r in range(n_seeds):
-            p, _, infos_r = load_checkpoint(
+            p, _, infos_r = _ckpt.load_checkpoint(
                 opt.start_from, opt.load_model_id, r, best=True
             )
             per_seed.append(p)
@@ -389,7 +391,7 @@ def train_multi_seed_rl(
                 "best_val_score": best_scores[r],
                 "vocab": loader.get_vocab(),
             }
-            save_checkpoint(
+            _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
                 params=best_params[r], infos=infos, best=True, prefix="rl_",
             )

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import setup
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import backend as checkpoint_backend
 from .criterion import make_criterion
 from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
@@ -78,6 +78,7 @@ def train(
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
+    _ckpt = checkpoint_backend(opt)
 
     rng = jax.random.PRNGKey(opt.seed + rank)
     rng, init_rng = jax.random.split(rng)
@@ -86,7 +87,7 @@ def train(
     infos = {}
     saved_opt_state = None
     if opt.start_from is not None:
-        params, saved_opt_state, infos = load_checkpoint(
+        params, saved_opt_state, infos = _ckpt.load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=False
         )
         saved_opt = infos.get("opt", {})
@@ -111,9 +112,9 @@ def train(
     opt_state = tx.init(params)
     if saved_opt_state is not None:
         # restore optimizer moments on resume (train.py:87-88 contract)
-        assert jax.tree_util.tree_structure(saved_opt_state) == \
-            jax.tree_util.tree_structure(opt_state), "optimizer state mismatch"
-        opt_state = saved_opt_state
+        from .checkpoint import adopt_structure
+
+        opt_state = adopt_structure(opt_state, saved_opt_state)
     if mesh is not None:
         from ..parallel.mesh import replicate
 
@@ -193,12 +194,12 @@ def train(
                 "ss_prob_history": ss_prob_history,
                 "vocab": loader.get_vocab(),
             }
-            save_checkpoint(
+            _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, rank,
                 params=params, opt_state=opt_state, infos=infos, best=False,
             )
             if best_flag:
-                save_checkpoint(
+                _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, rank,
                     params=params, opt_state=opt_state, infos=infos, best=True,
                 )

@@ -44,7 +44,7 @@ from ..decoding.sample import sample
 from ..models import setup
 from ..rewards.cider_d import CiderD
 from ..rewards.self_critical import compute_reward
-from .checkpoint import load_checkpoint, save_checkpoint
+from .checkpoint import backend as checkpoint_backend
 from .criterion import make_rl_criterion
 from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer
@@ -142,6 +142,7 @@ def train_rl(
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
+    _ckpt = checkpoint_backend(opt)
 
     rng = jax.random.PRNGKey(opt.seed + rank)
     rng, init_rng = jax.random.split(rng)
@@ -150,7 +151,7 @@ def train_rl(
     infos = {}
     saved_opt_state = None
     if opt.start_from is not None:
-        params, saved_opt_state, infos = load_checkpoint(
+        params, saved_opt_state, infos = _ckpt.load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=True
         )
         if "iterators" in infos:
@@ -183,10 +184,10 @@ def train_rl(
     if opt.load_lr and saved_opt_state is not None:
         # the reference restores the optimizer only under --load_lr
         # (train_rl.py:96-98)
+        from .checkpoint import adopt_structure
+
         try:
-            assert jax.tree_util.tree_structure(saved_opt_state) == \
-                jax.tree_util.tree_structure(opt_state)
-            opt_state = saved_opt_state
+            opt_state = adopt_structure(opt_state, saved_opt_state)
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; re-initialized")
     if mesh is not None:
@@ -307,12 +308,12 @@ def train_rl(
                 "lr_history": lr_history,
                 "vocab": loader.get_vocab(),
             }
-            save_checkpoint(
+            _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, rank,
                 params=params, opt_state=opt_state, infos=infos, best=False, prefix="rl_",
             )
             if best_flag:
-                save_checkpoint(
+                _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, rank,
                     params=params, opt_state=opt_state, infos=infos, best=True, prefix="rl_",
                 )

@@ -94,6 +94,52 @@ class TestXETraining:
             train(opt2, loader2, max_iterations=1, log_fn=quiet)
 
 
+class TestOrbaxCheckpoints:
+    def test_train_save_resume_with_orbax_backend(self, tmp_path):
+        """--checkpoint_backend orbax writes sharded (TensorStore) checkpoints
+        through the same triple-artifact surface and the trainer resumes from
+        them exactly like the pickle backend."""
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4,
+                                      seed=9)
+        opt.checkpoint_path = str(tmp_path)
+        opt.checkpoint_backend = "orbax"
+        opt.save_checkpoint_every = 3
+        opt.val_images_use = 8
+        opt.id = "ox"
+        infos = train(opt, loader, max_iterations=4, log_fn=quiet)
+        assert (tmp_path / "model_ox_0.orbax").is_dir()
+        assert (tmp_path / "model_ox_0-best.orbax").is_dir()
+
+        from recurrent_fusion_network_tpu.training import orbax_ckpt
+
+        p, o, i = orbax_ckpt.load_checkpoint(str(tmp_path), "ox", 0, best=True)
+        assert "embed" in p and o is not None and i["iter"] == 3
+
+        # sharding-aware restore onto the 8-device mesh
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        p2, _, _ = orbax_ckpt.load_checkpoint(
+            str(tmp_path), "ox", 0, best=True,
+            shardings=NamedSharding(mesh, P()),
+        )
+        np.testing.assert_allclose(np.asarray(p2["embed"]),
+                                   np.asarray(p["embed"]))
+
+        # resume continues from the saved state
+        opt2, loader2 = synthetic_setup(caption_model="show_tell",
+                                        batch_size=4, seed=9)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.checkpoint_backend = "orbax"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "ox"
+        opt2.id = "ox"
+        infos2 = train(opt2, loader2, max_iterations=6, log_fn=quiet)
+        assert infos2["iter"] == 6
+
+
 class TestEvalSplit:
     def test_contract(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="recurrent_fusion_model")
