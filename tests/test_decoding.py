@@ -278,3 +278,63 @@ class TestBeamAdversarial:
                 assert a == c
                 if a == 0:
                     break
+
+    def test_exact_tie_tables(self):
+        """All-equal logits: every candidate score ties at every step, so the
+        result is pure tie-breaking; the batched engine must keep the same
+        best-score as the reference's stable column-major candidate sort."""
+        W = np.full((S, V), -np.log(V), dtype=np.float32)
+        init_states = np.arange(3, dtype=np.int64) + 1
+        out = beam_search(jax_step(W), jnp.asarray(init_states), 3, 3, 5, V)
+        for b in range(3):
+            done = np_beam_reference(W, init_states[b], 3, 5)
+            np.testing.assert_allclose(float(out.top_p[b, 0]), done[0]["p"],
+                                       rtol=1e-6)
+
+    def test_two_way_tie_blocks(self):
+        """Pairs of tokens share identical log-probs (partial ties)."""
+        g = np.random.default_rng(31)
+        logits = g.standard_normal((S, (V + 1) // 2)).astype(np.float32)
+        logits = np.repeat(logits, 2, axis=1)[:, :V]  # duplicate columns
+        W = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        init_states = np.arange(4, dtype=np.int64)
+        out = beam_search(jax_step(W), jnp.asarray(init_states), 4, 3, 6, V)
+        for b in range(4):
+            done = np_beam_reference(W, init_states[b], 3, 6)
+            np.testing.assert_allclose(float(out.top_p[b, 0]), done[0]["p"],
+                                       rtol=1e-5)
+
+    def test_single_real_token_vocab(self):
+        """Vocab of {EOS, one word}: beams can only extend with token 1 or
+        die; done-set handling at the K > usable-candidates boundary."""
+
+        def machine(eos_bias):
+            logits = np.zeros((S, 2), dtype=np.float32)
+            logits[:, 0] += eos_bias
+            return (logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+                    ).astype(np.float32)
+
+        for eos_bias in (-4.0, 0.0, 2.0):
+            W = machine(eos_bias)
+            init_states = np.arange(2, dtype=np.int64) + 3
+            out = beam_search(jax_step(W), jnp.asarray(init_states), 2, 2, 4,
+                              2)
+            for b in range(2):
+                done = np_beam_reference(W, init_states[b], 2, 4)
+                np.testing.assert_allclose(
+                    float(out.top_p[b, 0]), done[0]["p"], rtol=1e-5,
+                    err_msg=f"eos_bias={eos_bias}",
+                )
+                np.testing.assert_array_equal(np.asarray(out.seq[b]),
+                                              done[0]["seq"])
+
+    @pytest.mark.parametrize("seed", range(25, 45))
+    def test_randomized_sweep(self, seed):
+        """20-seed randomized fuzz over (K, L, peakiness) against the spec."""
+        g = np.random.default_rng(seed)
+        K = int(g.integers(1, V + 1))
+        L = int(g.integers(2, 9))
+        scale = float(g.uniform(0.3, 4.0))
+        logits = g.standard_normal((S, V)).astype(np.float32) * scale
+        W = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        self._compare(W, K=K, L=L)
