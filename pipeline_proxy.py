@@ -63,10 +63,14 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
         vocab_words=WORD_BANK, top_words_count=60, seed=seed, correlated=True,
         diversity=0.35,
     )
+    # features rich enough that content knowledge is NOT the binding
+    # constraint (otherwise no decoding policy can improve the metric and
+    # SCST has nothing to exploit — its COCO-scale win is policy-level:
+    # length/EOS calibration + consensus n-grams, not content knowledge)
     feats = [
-        {"fc_feat_size": 48, "att_feat_size": 32, "att_num": 10},
-        {"fc_feat_size": 32, "att_feat_size": 24, "att_num": 8},
-        {"fc_feat_size": 40, "att_feat_size": 28, "att_num": 12},
+        {"fc_feat_size": 96, "att_feat_size": 64, "att_num": 10},
+        {"fc_feat_size": 64, "att_feat_size": 48, "att_num": 8},
+        {"fc_feat_size": 80, "att_feat_size": 56, "att_num": 12},
     ]
     opt = Options(
         caption_model="recurrent_fusion_model",
@@ -75,18 +79,22 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
         batch_size=batch_size,
         seq_per_img=5,
         top_words_count=len(ds.top_words),
-        rnn_size=64,
-        input_encoding_size=64,
-        att_hid_size=64,
+        rnn_size=96,
+        input_encoding_size=96,
+        att_hid_size=96,
         num_review_steps=4,
         num_review_steps_0=4,
         drop_prob_lm=0.1,
         drop_prob_reason=0.1,
         drop_prob_fusion=0.1,
         optim_lr=4e-3,
-        optim_rl_lr=1e-4,
+        optim_rl_lr=5e-4,
         entropy_reg=0.0,
         language_eval=1,
+        use_flip=1,
+        use_crop=1,  # 10 augmentation variants -> 10 distinct noise draws
+        # per image (LearnableFeatureSource hashes the variant), multiplying
+        # the effective dataset against memorization
         seed=seed,
         id="proxy",
         checkpoint_path=work_dir,
@@ -97,7 +105,7 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
     sources = [
         LearnableFeatureSource(
             ds, f["fc_feat_size"], f["att_num"], f["att_feat_size"],
-            seed=seed + 17 * (i + 1), noise=0.1,
+            seed=seed + 17 * (i + 1), noise=0.02,
         )
         for i, f in enumerate(feats)
     ]
@@ -106,10 +114,13 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
 
 
 def test_cider(model, params, loader, opt, rank=0):
-    # beam 3 for singles AND ensemble: comparisons must share decode settings
+    # greedy decode for singles AND ensemble: SCST optimizes the greedy
+    # policy (its baseline IS greedy), so the whole chain is compared under
+    # greedy decoding — mixing beam widths across the chain lets beam-search
+    # drift mask or fake the RL effect
     _, _, stats = eval_split(
         model, params, loader, opt, split="test", rank=rank,
-        language_eval_flag=True, beam_size=3,
+        language_eval_flag=True, beam_size=1,
     )
     return float(stats["CIDEr"])
 
@@ -128,12 +139,14 @@ def main():
         eval_every = 60
     else:
         # val/test must be large enough that the RL-vs-XE ordering is not
-        # split noise (a 60-image test split flips orderings the val split
-        # agrees on); XE stops short of saturation so metric-specific SCST
-        # optimization has headroom, as on COCO
-        n_train, n_val, n_test = 400, 150, 150
-        xe_iters, rl_iters, batch = 800, 800, 16
-        eval_every = 200
+        # split noise, and n_train large enough that the model CANNOT
+        # memorize the train split — a memorized policy saturates the
+        # train-side CIDEr-D reward and SCST has nothing to optimize
+        # (measured: 400 train images -> train reward ~5.3/5.7 oracle while
+        # val CIDEr sat at 1.4; the residual was generalization, not policy)
+        n_train, n_val, n_test = 2000, 150, 150
+        xe_iters, rl_iters, batch = 2500, 1000, 16
+        eval_every = 500
 
     t0 = time.time()
     quiet = lambda *a, **k: None  # noqa: E731
@@ -179,7 +192,7 @@ def main():
                                   prefix="rl_")
         members.append((model, p))
     _, ens_stats = eval_ensemble(
-        members, loader2, opt2, split="test", beam_size=3,
+        members, loader2, opt2, split="test", beam_size=1,
         val_images_use=n_test,
     )
     ens_cider = float(ens_stats["CIDEr"])

@@ -212,11 +212,14 @@ class TestResNet:
                ).astype(np.float32)
         with torch.no_grad():
             fc_t, att_t = net(torch.from_numpy(x_t.transpose(0, 3, 1, 2)))
+        # tolerance is loose enough for BLAS reduction-order jitter under
+        # host contention (observed one suite-order flake at 2e-4) but tight
+        # enough that any transposition/BN-parameter bug (O(1) error) fails
         np.testing.assert_allclose(np.asarray(fc_j), fc_t.numpy(),
-                                   rtol=2e-4, atol=2e-5)
+                                   rtol=1e-3, atol=1e-4)
         np.testing.assert_allclose(
             np.asarray(att_j), att_t.numpy().transpose(0, 2, 3, 1),
-            rtol=2e-4, atol=2e-5,
+            rtol=1e-3, atol=1e-4,
         )
 
 
