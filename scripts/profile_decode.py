@@ -89,8 +89,8 @@ def main():
     @jax.jit
     def decode_only(params, enc):
         step = make_step_fn(model, params, enc.memory)
-        return beam_search(step, enc.state, B, model.seq_length,
-                           model.vocab_size + 1, BEAM)
+        return beam_search(step, enc.state, B, BEAM, model.seq_length,
+                           model.vocab_size + 1)
 
     t_dec = timed("beam decode only (17-step scan)",
                   lambda: decode_only(params, enc), lambda o: np.asarray(o.seq))
