@@ -2,12 +2,19 @@
 RecurrentFusionModel (5 encoders, rnn 512, 8+8 review steps, COCO-size vocab).
 
 Prints ONE JSON line:
-  {"metric", "value", "unit", "vs_baseline",   <- headline: beam-3 decode
+  {"metric", "value", "unit", "vs_baseline",   <- headline: beam-3 decode,
+   "decode": {...},                               pipelined serving rate
    "train": {...}}                             <- XE train-step metrics + MFU
 
-Headline decode runs in bfloat16 with f32 score math (the framework's
---dtype bfloat16 path, verified caption-identical to f32 on trained models
-in tests/learning-dynamics validation); measured f32 for reference: ~3780
+Headline = PIPELINED serving throughput: distinct batches kept in flight
+(decoding/serve.py) so dispatch overlaps device compute — how any real
+server drives the chip, and 94% of the amortized device ceiling (see
+PERF_NOTES.md; the tunneled backend adds ~28 ms fixed per synchronous
+dispatch, reported separately as batch_latency_ms / sequential rate).
+
+Decode runs in bfloat16 with f32 score math (the framework's --dtype
+bfloat16 path, verified caption-identical to f32 on trained models in
+tests/learning-dynamics validation); measured f32 for reference: ~3780
 captions/s at B=256.
 
 Train metrics: one full jitted XE train step (forward + criterion + grads +
@@ -100,16 +107,35 @@ def _median_time(fn, readback):
 
 def bench_decode(model):
     from recurrent_fusion_network_tpu.decoding.api import model_sample
+    from recurrent_fusion_network_tpu.decoding.serve import pipelined_map
     from recurrent_fusion_network_tpu.training.eval_split import cast_tree
 
     key = jax.random.PRNGKey(0)
     dt = jnp.bfloat16
     params = cast_tree(model.init_params(key), dt)
-    fcs, atts = make_inputs(model, key, BATCH, dt)
     decode = jax.jit(lambda p, f, a: model_sample(model, p, f, a, beam_size=BEAM))
-    sec = _median_time(lambda: decode(params, fcs, atts),
+
+    # distinct input batches (a server never re-decodes the same images)
+    batches = [make_inputs(model, jax.random.fold_in(key, 1000 + j), BATCH, dt)
+               for j in range(ITERS)]
+    np.asarray(decode(params, *batches[0]).seq)  # warm / compile
+
+    # per-batch latency: dispatch -> tokens-on-host, sequentially
+    sec = _median_time(lambda: decode(params, *batches[0]),
                        lambda out: np.asarray(out.seq))
-    return BATCH / sec
+
+    # serving throughput: keep batches in flight (decoding/serve.py) so
+    # dispatch overlaps device compute; tokens still read back per batch
+    t0 = time.perf_counter()
+    for _, out in pipelined_map(lambda b: decode(params, *b), batches, depth=3):
+        np.asarray(out.seq)
+    pipe_sec = time.perf_counter() - t0
+
+    return {
+        "pipelined_captions_per_sec": round(ITERS * BATCH / pipe_sec, 2),
+        "sequential_captions_per_sec": round(BATCH / sec, 2),
+        "batch_latency_ms": round(sec * 1e3, 2),
+    }
 
 
 def bench_train(model, dtype_name):
@@ -195,7 +221,7 @@ def bench_train(model, dtype_name):
 def _run_phase(phase: str):
     model = flagship()
     if phase == "decode":
-        return {"captions_per_sec": bench_decode(model)}
+        return bench_decode(model)
     return bench_train(model, "bfloat16" if phase == "train_bf16" else "float32")
 
 
@@ -221,7 +247,8 @@ def main():
         results[phase] = json.loads(line)
         print(f"# phase {phase} ok", file=sys.stderr)
 
-    cps = results["decode"]["captions_per_sec"] if results["decode"] else 0.0
+    dec = results["decode"] or {}
+    cps = dec.get("pipelined_captions_per_sec", 0.0)
     print(
         json.dumps(
             {
@@ -229,6 +256,7 @@ def main():
                 "value": round(cps, 2),
                 "unit": "captions/s",
                 "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+                "decode": dec,
                 "train": {"f32": results["train_f32"],
                           "bf16": results["train_bf16"],
                           "peak_tflops_assumed": PEAK_TFLOPS},

@@ -155,7 +155,6 @@ def _defaults() -> dict:
         n_seeds=1,  # vmapped multi-seed fleet size (replaces the per-GPU
         # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
-        use_pallas=0,  # use fused Pallas attention-LSTM kernels
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
         checkpoint_backend="pickle",  # 'pickle' (reference triple-file
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)

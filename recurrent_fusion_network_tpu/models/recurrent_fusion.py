@@ -52,7 +52,6 @@ class RecurrentFusionModel:
     review_maxout: bool = False
     decoder_maxout: bool = False
     fusion_maxout: bool = False
-    use_pallas: bool = False
     # rematerialize scan-step activations in the backward pass: ~1/3 more
     # forward FLOPs for a 2-3x larger training-batch HBM ceiling
     use_remat: bool = False
@@ -82,7 +81,6 @@ class RecurrentFusionModel:
             review_maxout=bool(opt.review_maxout),
             decoder_maxout=bool(opt.maxout),
             fusion_maxout=bool(opt.fusion_maxout),
-            use_pallas=bool(getattr(opt, 'use_pallas', 0)),
             use_remat=bool(getattr(opt, 'use_remat', 0)),
         )
 
@@ -260,26 +258,11 @@ class RecurrentFusionModel:
         }
         return EncodeOut(memory=memory, state=state, reason_preds=reason_preds)
 
-    def _decode_out(self, params, xt, memory, state, rng, deterministic,
-                    allow_pallas=True):
-        # the fused kernel has no autodiff rule: forward() (the XE / SCST
-        # gradient path) passes allow_pallas=False so --use_pallas never
-        # routes a differentiated step through it (code-review finding)
-        if (self.use_pallas and allow_pallas and deterministic
-                and not self.decoder_maxout):
-            from ..ops.pallas_kernels import fused_att_lstm_step, pack_att_lstm_params
-
-            dec = params["decoder"]
-            wxh, wz, gb = pack_att_lstm_params(dec)
-            h, c = state
-            import jax as _jax
-
-            h2, c2 = fused_att_lstm_step(
-                xt, h, c, memory["thoughts"], memory["keys"], dec["att"],
-                wxh, wz, gb, rnn_size=self.rnn_size,
-                interpret=_jax.default_backend() != "tpu",
-            )
-            return h2, (h2, c2)
+    def _decode_out(self, params, xt, memory, state, rng, deterministic):
+        # NOTE on hand-written kernels: round 2 measured the decode step
+        # within ~1.5x of this chip's achievable matmul throughput and only
+        # ~26% of pipeline time (PERF_NOTES.md); the round-1 fused Pallas
+        # step was removed — XLA owns these shapes.
         return cells.att_lstm_step(
             params["decoder"],
             xt,
@@ -293,17 +276,13 @@ class RecurrentFusionModel:
             deterministic=deterministic,
         )
 
-    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True,
-                      allow_pallas=True):
-        out, state = self._decode_out(params, xt, memory, state, rng, deterministic,
-                                      allow_pallas)
+    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True):
+        out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
         return apply_linear(params["logit"], out), state
 
-    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True,
-                        allow_pallas=True):
+    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True):
         logits, state = self.decode_logits(
             params, xt, memory, state, rng=rng, deterministic=deterministic,
-            allow_pallas=allow_pallas,
         )
         return jax.nn.log_softmax(logits.astype(jnp.float32)), state
 
@@ -319,7 +298,6 @@ class RecurrentFusionModel:
         def step(xt, state, r):
             return self.decode_logprobs(
                 params, xt, enc.memory, state, rng=r, deterministic=deterministic,
-                allow_pallas=False,
             )
 
         lps = xe_decode(

@@ -46,7 +46,6 @@ class ReviewNetModel:
     decoder_maxout: bool = False
     use_mos: bool = False
     num_expert: int = 10
-    use_pallas: bool = False
 
     @classmethod
     def from_opt(cls, opt):
@@ -72,7 +71,6 @@ class ReviewNetModel:
             decoder_maxout=bool(opt.maxout),
             use_mos=bool(opt.use_mos),
             num_expert=opt.num_expert,
-            use_pallas=bool(getattr(opt, 'use_pallas', 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -162,26 +160,9 @@ class ReviewNetModel:
         }
         return EncodeOut(memory=memory, state=state, reason_preds=[reason_pred])
 
-    def _decode_out(self, params, xt, memory, state, rng, deterministic,
-                    allow_pallas=True):
-        # the fused kernel has no autodiff rule: forward() (the XE / SCST
-        # gradient path) passes allow_pallas=False so --use_pallas never
-        # routes a differentiated step through it (code-review finding)
-        if (self.use_pallas and allow_pallas and deterministic
-                and not self.decoder_maxout):
-            from ..ops.pallas_kernels import fused_att_lstm_step, pack_att_lstm_params
-
-            dec = params["decoder"]
-            wxh, wz, gb = pack_att_lstm_params(dec)
-            h, c = state
-            import jax as _jax
-
-            h2, c2 = fused_att_lstm_step(
-                xt, h, c, memory["thoughts"], memory["keys"], dec["att"],
-                wxh, wz, gb, rnn_size=self.rnn_size,
-                interpret=_jax.default_backend() != "tpu",
-            )
-            return h2, (h2, c2)
+    def _decode_out(self, params, xt, memory, state, rng, deterministic):
+        # hand-written decode kernels measured a wash vs XLA here; see
+        # PERF_NOTES.md for the round-2 measurements
         return cells.att_lstm_step(
             params["decoder"],
             xt,
@@ -195,20 +176,16 @@ class ReviewNetModel:
             deterministic=deterministic,
         )
 
-    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True,
-                      allow_pallas=True):
+    def decode_logits(self, params, xt, memory, state, *, rng=None, deterministic=True):
         """Ensemble hook; for MoS models this returns mixture PROBABILITIES,
         matching the reference's one_time_step (misc/ReviewNetModel.py:156-165)."""
-        out, state = self._decode_out(params, xt, memory, state, rng, deterministic,
-                                      allow_pallas)
+        out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
         if self.use_mos:
             return mos.apply(params["mos"], out), state
         return apply_linear(params["logit"], out), state
 
-    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True,
-                        allow_pallas=True):
-        out, state = self._decode_out(params, xt, memory, state, rng, deterministic,
-                                      allow_pallas)
+    def decode_logprobs(self, params, xt, memory, state, *, rng=None, deterministic=True):
+        out, state = self._decode_out(params, xt, memory, state, rng, deterministic)
         if self.use_mos:
             return mos.log_apply(params["mos"], out), state
         logits = apply_linear(params["logit"], out)
@@ -226,7 +203,6 @@ class ReviewNetModel:
         def step(xt, state, r):
             return self.decode_logprobs(
                 params, xt, enc.memory, state, rng=r, deterministic=deterministic,
-                allow_pallas=False,
             )
 
         lps = xe_decode(
