@@ -144,7 +144,6 @@ def bench_train(model, dtype_name):
     from recurrent_fusion_network_tpu.training.criterion import make_criterion
     from recurrent_fusion_network_tpu.training.optim import make_optimizer
     from recurrent_fusion_network_tpu.training.train_loop import make_train_step
-    from recurrent_fusion_network_tpu.training.eval_split import cast_tree
 
     dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     opt = Options(
@@ -165,9 +164,10 @@ def bench_train(model, dtype_name):
     opt.seq_length = model.seq_length
 
     key = jax.random.PRNGKey(0)
+    # bf16 phase = the real --dtype bfloat16 mixed-precision policy:
+    # f32 master params/optimizer, bf16 compute (params cast inside the
+    # differentiated step), bf16 inputs
     params = model.init_params(key)
-    if dt is not jnp.float32:
-        params = cast_tree(params, dt)
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
     opt_state = tx.init(params)
@@ -183,7 +183,10 @@ def bench_train(model, dtype_name):
     ss = jnp.float32(0.0)
     rng = jax.random.PRNGKey(1)
 
-    step = make_train_step(model, crit, tx, None)
+    step = make_train_step(
+        model, crit, tx, None,
+        compute_dtype=None if dt is jnp.float32 else dt,
+    )
     args = (params, opt_state, fcs, atts, labels, masks, top_words, lr, ss, rng)
 
     # FLOPs as scheduled by XLA for the whole step (fwd+bwd+update);

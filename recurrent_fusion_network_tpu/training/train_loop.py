@@ -28,12 +28,24 @@ from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
 
 
-def make_train_step(model, crit, tx, mesh=None):
+def make_train_step(model, crit, tx, mesh=None, compute_dtype=None):
     """Jitted XE train step: (params, opt_state, batch, lr, ss_prob, rng) ->
-    (params, opt_state, loss)."""
+    (params, opt_state, loss).
+
+    compute_dtype=jnp.bfloat16 enables the mixed-precision policy (--dtype
+    bfloat16 for training): master params, gradients and optimizer moments
+    stay f32, while the forward/backward matmuls run in bf16 (params cast
+    inside the differentiated function; the cast's transpose accumulates
+    gradients back into f32). Loss math stays f32 (the criterions cast
+    log-probabilities up).
+    """
 
     def step(params, opt_state, fc, att, labels, masks, top_words, lr, ss_prob, rng):
         def loss_fn(p):
+            if compute_dtype is not None:
+                from .eval_split import cast_tree
+
+                p = cast_tree(p, compute_dtype)
             lps, reason = model.forward(
                 p, fc, att, labels, ss_prob=ss_prob, rng=rng, deterministic=False
             )
@@ -49,8 +61,8 @@ def make_train_step(model, crit, tx, mesh=None):
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def _device_batch(data, mesh=None):
-    fc, att = batch_feats(data)
+def _device_batch(data, mesh=None, compute_dtype=None):
+    fc, att = batch_feats(data, compute_dtype)
     labels = jnp.asarray(data["labels"])
     masks = jnp.asarray(data["masks"])
     top_words = jnp.asarray(data["top_words"])
@@ -121,7 +133,10 @@ def train(
         params = replicate(mesh, params)
         opt_state = replicate(mesh, opt_state)
 
-    train_step = make_train_step(model, crit, tx, mesh)
+    from .eval_split import eval_dtype
+
+    compute_dtype = eval_dtype(opt)  # --dtype bfloat16 -> mixed precision
+    train_step = make_train_step(model, crit, tx, mesh, compute_dtype)
 
     from ..utils.logging import JsonlLogger
 
@@ -143,7 +158,7 @@ def train(
 
         start = time.time()
         data = loader.get_batch("train")
-        fc, att, labels, masks, top_words = _device_batch(data, mesh)
+        fc, att, labels, masks, top_words = _device_batch(data, mesh, compute_dtype)
         rng, step_rng = jax.random.split(rng)
         params, opt_state, loss = train_step(
             params, opt_state, fc, att, labels, masks, top_words, lr, ss_prob, step_rng

@@ -94,6 +94,58 @@ class TestXETraining:
             train(opt2, loader2, max_iterations=1, log_fn=quiet)
 
 
+class TestMixedPrecision:
+    def test_bf16_policy_matches_f32_and_keeps_masters(self):
+        """--dtype bfloat16 training: bf16 compute, f32 master params.
+        Loss must track the f32 step closely and updated params stay f32."""
+        import jax.numpy as jnp
+
+        from recurrent_fusion_network_tpu.models import setup as msetup
+        from recurrent_fusion_network_tpu.training.criterion import make_criterion
+        from recurrent_fusion_network_tpu.training.eval_split import batch_feats
+        from recurrent_fusion_network_tpu.training.optim import make_optimizer
+        from recurrent_fusion_network_tpu.training.train_loop import make_train_step
+
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
+                                      batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model, crit, tx = msetup(opt), make_criterion(opt), make_optimizer(opt)
+        d = loader.get_batch("train")
+        fc, att = batch_feats(d)
+        fc16 = [x.astype(jnp.bfloat16) for x in fc]
+        att16 = [x.astype(jnp.bfloat16) for x in att]
+        args = (jnp.asarray(d["labels"]), jnp.asarray(d["masks"]),
+                jnp.asarray(d["top_words"]), jnp.float32(1e-3),
+                jnp.float32(0.0), jax.random.PRNGKey(1))
+
+        def fresh():
+            p = model.init_params(jax.random.PRNGKey(0))
+            return p, tx.init(p)
+
+        p32, s32 = fresh()
+        p32, _, l32 = make_train_step(model, crit, tx)(p32, s32, fc, att, *args)
+        p16, s16 = fresh()
+        p16, _, l16 = make_train_step(model, crit, tx,
+                                      compute_dtype=jnp.bfloat16)(
+            p16, s16, fc16, att16, *args)
+        np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+        # master weights stay f32 after the update
+        for leaf in jax.tree_util.tree_leaves(p16):
+            assert leaf.dtype == jnp.float32
+        # updates went in the same direction: cosine of the two deltas
+        p0 = model.init_params(jax.random.PRNGKey(0))
+        d32 = np.concatenate([
+            (np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree_util.tree_leaves(p32),
+                            jax.tree_util.tree_leaves(p0))])
+        d16 = np.concatenate([
+            (np.asarray(a) - np.asarray(b)).ravel()
+            for a, b in zip(jax.tree_util.tree_leaves(p16),
+                            jax.tree_util.tree_leaves(p0))])
+        cos = d32 @ d16 / (np.linalg.norm(d32) * np.linalg.norm(d16))
+        assert cos > 0.9, f"bf16 update diverges from f32: cos={cos}"
+
+
 class TestOrbaxCheckpoints:
     def test_train_save_resume_with_orbax_backend(self, tmp_path):
         """--checkpoint_backend orbax writes sharded (TensorStore) checkpoints
