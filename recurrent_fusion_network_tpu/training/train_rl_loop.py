@@ -50,6 +50,23 @@ from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer
 
 
+def _local_rows(arr) -> np.ndarray:
+    """This process's rows of a (possibly multi-host dp-sharded) array, in
+    row order. For multi-process global arrays only the addressable shards
+    are gathered — exactly the rows whose gts this host's loader
+    materialized (loader host_shard and the process-major dp mesh use the
+    same contiguous-block layout). Replicated shards dedupe by row offset."""
+    shards = getattr(arr, "addressable_shards", None)
+    if not shards:
+        return np.asarray(arr)
+    by_start = {}
+    for s in shards:
+        start = s.index[0].start or 0
+        by_start.setdefault(start, s)
+    ordered = [by_start[k] for k in sorted(by_start)]
+    return np.concatenate([np.asarray(s.data) for s in ordered], axis=0)
+
+
 def make_rollout_fn(model):
     """Jitted: (params, fc, att, rng) -> (sampled seq, greedy seq).
 
@@ -191,14 +208,6 @@ def train_rl(
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; re-initialized")
     if mesh is not None:
-        if jax.process_count() > 1:
-            # multi-host SCST needs per-host reward scoring of local rollout
-            # rows (the sampled ids of remote shards are not addressable);
-            # only the XE loop is multi-host-ready this round
-            raise NotImplementedError(
-                "train_rl supports single-process meshes only; use the XE "
-                "loop for multi-host training"
-            )
         from ..parallel.mesh import replicate
 
         params = replicate(mesh, params)
@@ -233,7 +242,7 @@ def train_rl(
 
         rng, roll_rng = jax.random.split(rng)
         seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
-        seq_np, greedy_np = np.asarray(seq), np.asarray(greedy_seq)
+        seq_np, greedy_np = _local_rows(seq), _local_rows(greedy_seq)
 
         rewards = compute_reward(
             cider_scorer, seq_np, greedy_np, data["gts"],

@@ -17,6 +17,7 @@ jax.config.update("jax_platforms", "cpu")
 
 def main():
     pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    mode = sys.argv[4] if len(sys.argv) > 4 else "xe"
     jax.distributed.initialize(
         coordinator_address=f"127.0.0.1:{port}", num_processes=n, process_id=pid
     )
@@ -38,8 +39,23 @@ def main():
     loader = DataLoader(opt, base.dataset, base.sources, prefetch=False,
                         host_shard=host_shard())
     mesh = global_dp_mesh()
-    infos = train(opt, loader, max_iterations=3, mesh=mesh,
-                  log_fn=lambda *a, **k: None)
+    if mode == "rl":
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+            compute_doc_freq,
+        )
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+        from recurrent_fusion_network_tpu.training.train_rl_loop import train_rl
+
+        ids = loader.split_image_id["train"]
+        scorer = CiderD(compute_doc_freq(loader.dataset, ids),
+                        float(np.log(len(ids))))
+        infos = train_rl(opt, loader, scorer, max_iterations=3, mesh=mesh,
+                         log_fn=lambda *a, **k: None)
+    else:
+        infos = train(opt, loader, max_iterations=3, mesh=mesh,
+                      log_fn=lambda *a, **k: None)
     print("LOSSES:" + json.dumps(list(infos["loss_history"].values())),
           flush=True)
 
