@@ -55,9 +55,11 @@ REFERENCE_CAPTIONS_PER_SEC = 10.0  # documented estimate, see module docstring
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", 197.0))  # v5e bf16
 BATCH = 512
 BEAM = 3
-TRAIN_ROWS = 256  # batch rows (images x seq_per_img) for the train-step bench
-# (B=384 bf16 exceeds this chip's HBM with full activations; remat would
-# raise the ceiling further)
+# train-step bench batch rows (images x seq_per_img) per dtype, each the
+# largest measured-fitting config WITH scan remat (--use_remat): full
+# activation storage capped bf16 at B=256 (B=384 OOMed); remat lifts bf16 to
+# B=512 at 37.7 TFLOP/s and f32 to B=384 at 24.1
+TRAIN_CFG = {"float32": (384, True), "bfloat16": (512, True)}
 WARMUP = 2
 ITERS = 5
 
@@ -140,6 +142,11 @@ def bench_decode(model):
 
 def bench_train(model, dtype_name):
     """One full jitted XE train step at flagship dims; returns metrics."""
+    import dataclasses
+
+    rows, remat = TRAIN_CFG[dtype_name]
+    if remat:
+        model = dataclasses.replace(model, use_remat=True)
     from recurrent_fusion_network_tpu.config import Options
     from recurrent_fusion_network_tpu.training.criterion import make_criterion
     from recurrent_fusion_network_tpu.training.optim import make_optimizer
@@ -172,7 +179,7 @@ def bench_train(model, dtype_name):
     tx = make_optimizer(opt)
     opt_state = tx.init(params)
 
-    B = TRAIN_ROWS
+    B = rows
     fcs, atts = make_inputs(model, key, B, dt)
     L = model.seq_length + 2
     labels = jax.random.randint(key, (B, L), 0, model.vocab_size + 1)
@@ -210,6 +217,7 @@ def bench_train(model, dtype_name):
     return {
         "dtype": dtype_name,
         "batch_rows": B,
+        "use_remat": bool(remat),
         "step_seconds": round(sec, 4),
         "captions_per_sec": round(B / sec, 2),
         "tokens_per_sec": round(tokens / sec, 1),

@@ -11,7 +11,18 @@ import torch
 
 from recurrent_fusion_network_tpu.models import ReviewNetModel
 
-torch.set_default_dtype(torch.float64)
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _torch_f64():
+    # float64 reference math, scoped per test: a module-level
+    # set_default_dtype leaks into every OTHER test module at collection
+    # time (it broke the resnet golden test's torch net construction)
+    prev = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    yield
+    torch.set_default_dtype(prev)
 
 
 def t(x):
