@@ -75,6 +75,10 @@ def _run_cluster(mode, n=2):
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # the worker imports the package by repo-relative name; python only puts
+    # the script's own directory (tests/) on sys.path in a subprocess
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(k), str(n), str(port), mode],
