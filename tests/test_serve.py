@@ -8,7 +8,11 @@ pytestmark = pytest.mark.quick
 import jax
 import jax.numpy as jnp
 
-from recurrent_fusion_network_tpu.decoding.serve import pipelined_decode, pipelined_map
+from recurrent_fusion_network_tpu.decoding.serve import (
+    CaptionServer,
+    pipelined_decode,
+    pipelined_map,
+)
 
 
 class TestPipelinedMap:
@@ -67,3 +71,138 @@ class TestPipelinedMap:
                for _, out in pipelined_decode(decode, batches, depth=2)]
         for w, g in zip(want, got):
             np.testing.assert_array_equal(w, g)
+
+
+def _fake_decode(fcs, atts):
+    """Deterministic stand-in decode: tokens derived from each row's fc."""
+    f = jnp.asarray(fcs[0])
+    a = jnp.asarray(atts[0])
+    seq = (f[:, :1] + jnp.arange(3)[None, :]).astype(jnp.int32)
+    return {"seq": seq, "score": f.sum(1) + a.sum((1, 2))}
+
+
+def _request(i):
+    fcs = [np.full((4,), float(i), np.float32)]
+    atts = [np.full((2, 3), 0.5 * i, np.float32)]
+    return fcs, atts
+
+
+class TestCaptionServer:
+    def test_rows_routed_back_to_requests(self):
+        """Requests spanning full + padded tail batches each get THEIR row."""
+        with CaptionServer(jax.jit(_fake_decode), batch_size=4, depth=2,
+                           flush_interval=0.01) as srv:
+            futs = [srv.submit(*_request(i)) for i in range(10)]
+            for i, f in enumerate(futs):
+                out = f.result(timeout=60)
+                np.testing.assert_array_equal(out["seq"], [i, i + 1, i + 2])
+                np.testing.assert_allclose(
+                    out["score"], 4.0 * i + 0.5 * i * 6, rtol=1e-6
+                )
+        assert srv.stats["requests"] == 10
+        # 10 requests -> at least one padded tail batch
+        assert srv.stats["batches"] >= 3
+        assert srv.stats["padded_rows"] == srv.stats["batches"] * 4 - 10
+
+    def test_results_flow_without_close(self):
+        """Futures resolve while the server stays open (window drains when
+        the queue goes quiet — no deadlock waiting for more requests)."""
+        srv = CaptionServer(jax.jit(_fake_decode), batch_size=2, depth=3,
+                            flush_interval=0.005)
+        try:
+            futs = [srv.submit(*_request(i)) for i in range(6)]
+            for i, f in enumerate(futs):  # .result() before close()
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+        finally:
+            srv.close()
+
+    def test_matches_direct_batched_decode_real_model(self):
+        """Server output rows == a direct jitted model_sample on the same
+        batch composition (full batches, identical row order)."""
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.api import model_sample
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        decode = jax.jit(  # server hands lists; show_tell takes bare arrays
+            lambda f, a: model_sample(model, params, f[0], a[0],
+                                      beam_size=2)._asdict()
+        )
+
+        rng = np.random.default_rng(0)
+        B = 8  # 2 full server batches of 4
+        f0 = opt.feat_array_info[0]
+        fc = rng.standard_normal((B, f0["fc_feat_size"])).astype(np.float32)
+        att = rng.standard_normal(
+            (B, f0["att_num"], f0["att_feat_size"])
+        ).astype(np.float32)
+        want = np.asarray(decode([fc], [att])["seq"])
+
+        with CaptionServer(decode, batch_size=4, depth=2) as srv:
+            futs = [srv.submit([fc[i]], [att[i]]) for i in range(B)]
+            got = np.stack([f.result(timeout=120)["seq"] for f in futs])
+        np.testing.assert_array_equal(got, want)
+
+    def test_dp_mesh_sharded_batches(self):
+        """With a mesh, dispatched batches arrive dp-sharded and results are
+        still routed correctly."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(8)
+        seen = []
+
+        def decode(fcs, atts):
+            seen.append(fcs[0].sharding)
+            return _fake_decode(fcs, atts)
+
+        with CaptionServer(decode, batch_size=8, depth=1, mesh=mesh,
+                           flush_interval=0.01) as srv:
+            futs = [srv.submit(*_request(i)) for i in range(11)]
+            for i, f in enumerate(futs):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        assert all(isinstance(s, NamedSharding) for s in seen)
+        assert all(s.spec == PartitionSpec("dp") for s in seen)
+
+    def test_batch_size_must_divide_mesh(self):
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        with pytest.raises(ValueError, match="divide"):
+            CaptionServer(_fake_decode, batch_size=6, mesh=make_mesh(8))
+
+    def test_decode_error_fails_that_batch_only(self):
+        calls = {"n": 0}
+
+        def flaky(fcs, atts):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("boom")
+            return _fake_decode(fcs, atts)
+
+        with CaptionServer(flaky, batch_size=2, depth=1,
+                           flush_interval=0.01) as srv:
+            bad = [srv.submit(*_request(i)) for i in range(2)]
+            # ensure the first batch dispatches (and fails) before the rest
+            with pytest.raises(RuntimeError, match="boom"):
+                bad[0].result(timeout=60)
+            good = [srv.submit(*_request(i)) for i in range(2, 4)]
+            for i, f in enumerate(good, start=2):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+        with pytest.raises(RuntimeError):
+            bad[1].result(timeout=1)
+
+    def test_submit_after_close_raises(self):
+        srv = CaptionServer(_fake_decode, batch_size=2)
+        srv.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            srv.submit(*_request(0))
