@@ -1,9 +1,10 @@
 """Construct a DataLoader from opt (file-backed or synthetic).
 
 Feature backend resolution per encoder, in order:
-  1. packed consolidated arrays at {data_root}/{encoder}/packed/ (TPU-first)
-  2. reference-compatible per-image file dirs from the registry paths
-  3. feature_type == 'synthetic': deterministic random features (smoke runs)
+  1. sharded columnar store at {data_root}/{encoder}/sharded/ (many-host)
+  2. packed consolidated arrays at {data_root}/{encoder}/packed/ (TPU-first)
+  3. reference-compatible per-image file dirs from the registry paths
+  4. feature_type == 'synthetic': deterministic random features (smoke runs)
 """
 
 from __future__ import annotations
@@ -15,8 +16,14 @@ from .loader import DataLoader
 
 
 def _source_for(info, data_root: str, seed: int = 0):
-    packed = os.path.join(data_root, getattr(info, "name", ""), "packed")
-    if getattr(info, "name", None) and os.path.isdir(packed):
+    name = getattr(info, "name", "")
+    sharded = os.path.join(data_root, name, "sharded")
+    if name and os.path.exists(os.path.join(sharded, "manifest.json")):
+        from .sharded import ShardedFeatureSource
+
+        return ShardedFeatureSource(sharded)
+    packed = os.path.join(data_root, name, "packed")
+    if name and os.path.isdir(packed):
         return PackedFeatureSource(packed)
     if hasattr(info, "variant_dirs"):
         from ..feat_registry import VARIANTS

@@ -170,10 +170,9 @@ class DataLoader:
         B_local = B // hc
         lo = hi * B_local  # this host's contiguous block of the global batch
 
-        fc_batch = [[] for _ in range(self.num_feat_array)]
-        att_batch = [[] for _ in range(self.num_feat_array)]
         label_batch = np.zeros((B_local * spi, L + 2), dtype=np.int64)
         gts, infos = [], []
+        local_rows = []  # (image_id, variant) for this host's rows, in order
         wrapped = False
 
         for i in range(B):
@@ -196,12 +195,7 @@ class DataLoader:
             li = i - lo  # local row index
             if not (0 <= li < B_local):
                 continue
-            for m, src in enumerate(self.sources):
-                fc, att = src.load(image_id, v)
-                if att.ndim == 3:
-                    att = att.reshape(-1, att.shape[-1])
-                fc_batch[m].append(fc)
-                att_batch[m].append(att)
+            local_rows.append((image_id, v))
             label_batch[li * spi : (li + 1) * spi, 1 : L + 1] = seq
             gts.append(caps)
             ix = ds.image_id_to_index[image_id]
@@ -227,10 +221,25 @@ class DataLoader:
             ids = np.unique(ids[ids >= 0])
             top[r, : len(ids)] = ids
 
-        # repeat features seq_per_img times (dataloader.py:251-252)
+        # feature reads: one batched gather per encoder when the source
+        # supports it (sharded columnar store + native pread fan-out),
+        # otherwise per-image loads; then repeat seq_per_img times
+        # (dataloader.py:251-252)
+        ids_v = [r[0] for r in local_rows]
+        vars_v = [r[1] for r in local_rows]
+        fc_all, att_all = [], []
+        for src in self.sources:
+            if hasattr(src, "load_batch"):
+                fc, att = src.load_batch(ids_v, vars_v)
+            else:
+                rows = [src.load(i, v) for i, v in local_rows]
+                fc = np.stack([r[0] for r in rows])
+                att = np.stack([r[1] for r in rows])
+            if att.ndim == 4:
+                att = att.reshape(att.shape[0], -1, att.shape[-1])
+            fc_all.append(np.repeat(fc, spi, axis=0).astype(np.float32))
+            att_all.append(np.repeat(att, spi, axis=0).astype(np.float32))
         data = {}
-        fc_all = [np.repeat(np.stack(fb), spi, axis=0).astype(np.float32) for fb in fc_batch]
-        att_all = [np.repeat(np.stack(ab), spi, axis=0).astype(np.float32) for ab in att_batch]
         if self.feature_type == "feat_array":
             data["fc_feats_array"] = fc_all
             data["att_feats_array"] = att_all

@@ -140,6 +140,113 @@ class TestPackedSource:
         np.testing.assert_array_equal(f2, fc[2])
 
 
+class TestShardedSource:
+    def _store(self, tmp_path, *, n=10, shard_size=3, use_native=True,
+               variants=("original", "flip")):
+        from recurrent_fusion_network_tpu.data.sharded import ShardedFeatureSource
+
+        g = np.random.default_rng(0)
+        ids = [100 + i for i in range(n)]
+        fc = {v: g.standard_normal((n, 5)).astype(np.float32) for v in variants}
+        att = {v: g.standard_normal((n, 4, 6)).astype(np.float32) for v in variants}
+        ShardedFeatureSource.write(
+            str(tmp_path / "sh"), ids, fc, att, shard_size=shard_size
+        )
+        src = ShardedFeatureSource(str(tmp_path / "sh"), use_native=use_native)
+        return src, ids, fc, att
+
+    def test_roundtrip_across_shards_and_variants(self, tmp_path):
+        src, ids, fc, att = self._store(tmp_path)
+        for r, image_id in enumerate(ids):
+            for v in ("original", "flip"):
+                f, a = src.load(image_id, v)
+                np.testing.assert_array_equal(f, fc[v][r])
+                np.testing.assert_array_equal(a, att[v][r])
+
+    def test_batched_gather_matches_per_row(self, tmp_path):
+        src, ids, fc, att = self._store(tmp_path)
+        g = np.random.default_rng(1)
+        order = g.permutation(len(ids))  # scattered across shards, unordered
+        req_ids = [ids[i] for i in order]
+        req_vs = [("original", "flip")[int(g.integers(0, 2))] for _ in order]
+        fcs, atts = src.load_batch(req_ids, req_vs)
+        for k, (i, v) in enumerate(zip(order, req_vs)):
+            np.testing.assert_array_equal(fcs[k], fc[v][i])
+            np.testing.assert_array_equal(atts[k], att[v][i])
+
+    def test_numpy_fallback_matches_native(self, tmp_path):
+        src_n, ids, _, _ = self._store(tmp_path, use_native=True)
+        src_f, _, _, _ = self._store(tmp_path / "f", use_native=False)
+        assert src_f._lib is None
+        req = [ids[i] for i in (9, 0, 4, 4, 7)]
+        vs = ["flip", "original", "flip", "original", "original"]
+        for (a, b) in zip(src_n.load_batch(req, vs), src_f.load_batch(req, vs)):
+            np.testing.assert_array_equal(a, b)
+
+    def test_native_library_builds(self):
+        from recurrent_fusion_network_tpu.data.native import load_library
+
+        assert load_library() is not None, "g++ is baked in; build must work"
+
+    def test_only_touched_shards_open(self, tmp_path):
+        """A host reading a row subset opens only that subset's shard files
+        (the many-host locality property)."""
+        src, ids, _, _ = self._store(tmp_path, n=12, shard_size=3)
+        src.load_batch([ids[0], ids[1], ids[10]])  # shards 0 and 3 only
+        assert src.shards_opened == 2
+
+    def test_loader_batches_identical_to_packed(self, tmp_path):
+        """Same corpus via PackedFeatureSource and ShardedFeatureSource must
+        produce byte-identical loader batches (same opt/seed/stream)."""
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.sharded import ShardedFeatureSource
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.feat_registry import VARIANTS
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=4,
+                                    seq_per_img=2)
+        opt.use_flip, opt.use_crop = 1, 1  # exercise variant picking
+        ds = base.dataset
+        ids = [img["id"] for img in ds.info["images"]]
+        syn = base.sources[0]
+        fc_by_v, att_by_v = {}, {}
+        for v in VARIANTS:
+            rows = [syn.load(i, v) for i in ids]
+            fc_by_v[v] = np.stack([r[0] for r in rows])
+            att_by_v[v] = np.stack([r[1] for r in rows])
+        sharded = ShardedFeatureSource.write(
+            str(tmp_path / "sh"), ids, fc_by_v, att_by_v, shard_size=4
+        )
+        from recurrent_fusion_network_tpu.data.dataset import PackedFeatureSource
+
+        packed = PackedFeatureSource.write(
+            str(tmp_path / "pk"), ids, fc_by_v, att_by_v
+        )
+
+        la = DataLoader(opt, ds, [sharded], prefetch=False)
+        lb = DataLoader(opt, ds, [packed], prefetch=False)
+        for _ in range(5):
+            a, b = la.get_batch("train"), lb.get_batch("train")
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(a["fc_feats"], b["fc_feats"])
+            np.testing.assert_array_equal(a["att_feats"], b["att_feats"])
+
+    def test_pack_to_shards_conversion(self, tmp_path):
+        from recurrent_fusion_network_tpu.data.sharded import pack_to_shards
+
+        ids = [7, 9, 11, 13, 15]
+        g = np.random.default_rng(3)
+        fc = {"original": g.standard_normal((5, 4)).astype(np.float32)}
+        att = {"original": g.standard_normal((5, 3, 2)).astype(np.float32)}
+        PackedFeatureSource.write(str(tmp_path / "pk"), ids, fc, att)
+        src = pack_to_shards(str(tmp_path / "pk"), str(tmp_path / "sh"),
+                             shard_size=2)
+        for r, image_id in enumerate(ids):
+            f, a = src.load(image_id)
+            np.testing.assert_array_equal(f, fc["original"][r])
+            np.testing.assert_array_equal(a, att["original"][r])
+
+
 class TestPrepro:
     def karpathy_fixture(self):
         g = np.random.default_rng(0)
