@@ -5,9 +5,13 @@ The reference runs the official meteor-1.5.jar as a persistent subprocess
 implementation of the METEOR algorithm (Banerjee & Lavie 2005 / Denkowski &
 Lavie 2014) with documented simplifications:
 
-  * match stages: EXACT and STEM (Porter) — the official synonym (WordNet)
-    and paraphrase-table stages are omitted (those data files cannot ship
-    here), so scores are a close lower bound of official METEOR;
+  * match stages: EXACT, STEM (Porter), and — when the caller supplies a
+    synonym table — SYNONYM. The WordNet data itself cannot ship here, so
+    the synonym stage reads a user-supplied file (one synonym group per
+    line, whitespace-separated lowercase words; '#' comments — e.g. WordNet
+    synsets dumped one synset per line). Without a table, scores are a
+    close lower bound of official METEOR; the paraphrase-table stage is
+    omitted either way;
   * alignment: the jar's objective — maximize matches, then MINIMIZE chunks
     — solved exactly by budgeted branch-and-bound (caption-length sentences
     explore a tiny search space); inputs exceeding the node budget fall back
@@ -22,7 +26,8 @@ Classic parameters alpha=0.9, beta=3.0, gamma=0.5:
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+import os
+from typing import Dict, List, Optional, Sequence, Set
 
 from .stemmer import stem
 
@@ -30,44 +35,109 @@ ALPHA, BETA, GAMMA = 0.9, 3.0, 0.5
 NODE_BUDGET = 50_000  # branch-and-bound search cap before greedy fallback
 
 
-def _align_greedy(hyp: Sequence[str], ref: Sequence[str]) -> List[int]:
-    """hyp-position -> ref-position (-1 unmatched); exact stage then stem."""
+class SynonymTable:
+    """Word -> synonym-group membership, for the METEOR synonym stage.
+
+    Groups model WordNet synsets (the meteor-1.5 jar matches two words when
+    any WordNet synset contains both, meteor.py:17-47's data/ dir); lookup is
+    on the exact lowercase surface token. A word may belong to any number of
+    groups; two words are related when their group sets intersect.
+    """
+
+    def __init__(self, groups: Sequence[Sequence[str]]):
+        self._groups: Dict[str, Set[int]] = {}
+        for gid, group in enumerate(groups):
+            for w in group:
+                self._groups.setdefault(w.lower(), set()).add(gid)
+
+    def related(self, a: str, b: str) -> bool:
+        ga = self._groups.get(a.lower())
+        if not ga:
+            return False
+        gb = self._groups.get(b.lower())
+        return bool(gb) and not ga.isdisjoint(gb)
+
+    @classmethod
+    def from_file(cls, path: str) -> "SynonymTable":
+        """One synonym group per line, whitespace-separated words; blank
+        lines and '#' comments ignored."""
+        groups = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if line:
+                    words = line.split()
+                    if len(words) >= 2:
+                        groups.append(words)
+        return cls(groups)
+
+
+def load_synonyms(path: str) -> SynonymTable:
+    return SynonymTable.from_file(path)
+
+
+def _match_fn(synonyms: Optional[SynonymTable]):
+    """(hyp_word, ref_word, hyp_stem, ref_stem) -> bool across the stages."""
+    if synonyms is None:
+        return lambda hw, rw, hs, rs: hw == rw or hs == rs
+    return lambda hw, rw, hs, rs: (
+        hw == rw or hs == rs or synonyms.related(hw, rw)
+    )
+
+
+def _align_greedy(
+    hyp: Sequence[str], ref: Sequence[str],
+    synonyms: Optional[SynonymTable] = None,
+) -> List[int]:
+    """hyp-position -> ref-position (-1 unmatched); exact, stem, synonym."""
     match = [-1] * len(hyp)
     used = [False] * len(ref)
-    for stage in (lambda w: w, stem):
-        h_keys = [stage(w) for w in hyp]
-        r_keys = [stage(w) for w in ref]
-        for i, hk in enumerate(h_keys):
+    stages = [
+        lambda hw, rw, hs, rs: hw == rw,
+        lambda hw, rw, hs, rs: hs == rs,
+    ]
+    if synonyms is not None:
+        stages.append(lambda hw, rw, hs, rs: synonyms.related(hw, rw))
+    h_stem = [stem(w) for w in hyp]
+    r_stem = [stem(w) for w in ref]
+    for stage in stages:
+        for i, hw in enumerate(hyp):
             if match[i] >= 0:
                 continue
-            for j, rk in enumerate(r_keys):
-                if not used[j] and hk == rk:
+            for j, rw in enumerate(ref):
+                if not used[j] and stage(hw, rw, h_stem[i], r_stem[j]):
                     match[i] = j
                     used[j] = True
                     break
     return match
 
 
-def _candidates(hyp: Sequence[str], ref: Sequence[str]) -> List[List[int]]:
-    """Per hyp position, ref positions matchable by ANY stage (exact|stem)."""
-    h_exact, r_exact = list(hyp), list(ref)
+def _candidates(
+    hyp: Sequence[str], ref: Sequence[str],
+    synonyms: Optional[SynonymTable] = None,
+) -> List[List[int]]:
+    """Per hyp position, ref positions matchable by ANY stage."""
     h_stem = [stem(w) for w in hyp]
     r_stem = [stem(w) for w in ref]
+    ok = _match_fn(synonyms)
     out = []
     for i in range(len(hyp)):
         cs = [
             j
             for j in range(len(ref))
-            if h_exact[i] == r_exact[j] or h_stem[i] == r_stem[j]
+            if ok(hyp[i], ref[j], h_stem[i], r_stem[j])
         ]
         out.append(cs)
     return out
 
 
-def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[int]:
+def _align(
+    hyp: Sequence[str], ref: Sequence[str],
+    synonyms: Optional[SynonymTable] = None,
+) -> List[int]:
     """Alignment maximizing matches then minimizing chunks (the meteor jar's
     selection rule); falls back to greedy past NODE_BUDGET search nodes."""
-    cands = _candidates(hyp, ref)
+    cands = _candidates(hyp, ref, synonyms)
     n = len(hyp)
     # last hyp position that can use each ref position (dominance prune)
     last_user = {}
@@ -128,11 +198,11 @@ def _align(hyp: Sequence[str], ref: Sequence[str]) -> List[int]:
 
     dfs(0, 0)
     if best["match"] is None:
-        return _align_greedy(hyp, ref)
+        return _align_greedy(hyp, ref, synonyms)
     if best["nodes"] > NODE_BUDGET:
         # truncated search: keep whichever of (partial-search best, greedy)
         # wins on the (count, -chunks) objective
-        g = _align_greedy(hyp, ref)
+        g = _align_greedy(hyp, ref, synonyms)
         g_count = sum(1 for j in g if j >= 0)
         if (g_count, -chunks_of(g)) > (best["count"], -best["chunks"]):
             return g
@@ -153,12 +223,15 @@ def _chunks(match: List[int]) -> int:
     return n
 
 
-def meteor_sentence(hyp: Sequence[str], refs: List[Sequence[str]]) -> float:
+def meteor_sentence(
+    hyp: Sequence[str], refs: List[Sequence[str]],
+    synonyms: Optional[SynonymTable] = None,
+) -> float:
     best = 0.0
     for ref in refs:
         if not hyp or not ref:
             continue
-        match = _align(hyp, ref)
+        match = _align(hyp, ref, synonyms)
         m = sum(1 for j in match if j >= 0)
         if m == 0:
             continue
@@ -171,12 +244,24 @@ def meteor_sentence(hyp: Sequence[str], refs: List[Sequence[str]]) -> float:
     return best
 
 
-def compute_meteor(gts: Dict, res: Dict):
-    """pycocoevalcap-style surface: (mean, per-sentence scores)."""
+def compute_meteor(gts: Dict, res: Dict, synonyms=None):
+    """pycocoevalcap-style surface: (mean, per-sentence scores).
+
+    synonyms: a SynonymTable, a path to a synonym-group file, or None; when
+    None, the RFNET_METEOR_SYNONYMS env var may name the file.
+    """
     import numpy as np
+
+    if synonyms is None:
+        path = os.environ.get("RFNET_METEOR_SYNONYMS")
+        if path and os.path.exists(path):
+            synonyms = path
+    if isinstance(synonyms, str):
+        synonyms = SynonymTable.from_file(synonyms)
 
     keys = sorted(gts.keys(), key=str)
     scores = [
-        meteor_sentence(res[k][0].split(), [r.split() for r in gts[k]]) for k in keys
+        meteor_sentence(res[k][0].split(), [r.split() for r in gts[k]], synonyms)
+        for k in keys
     ]
     return float(np.mean(scores)) if scores else 0.0, scores

@@ -335,3 +335,56 @@ class TestMeteor:
         # adversarial vocab); real captions duplicate mostly articles, so the
         # practical gap is below these bounds
         assert mean_gap < 0.05 and max_gap < 0.45, (mean_gap, max_gap)
+
+    def test_synonym_stage_with_user_table(self, tmp_path):
+        """A user-supplied synonym-group file enables the WordNet stage:
+        'automobile' matches 'car' only with the table loaded."""
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            SynonymTable,
+            compute_meteor,
+            meteor_sentence,
+        )
+
+        hyp = "a red automobile".split()
+        refs = ["a red car".split()]
+        without = meteor_sentence(hyp, refs)
+        syn = SynonymTable([["car", "automobile", "auto"],
+                            ["big", "large"]])
+        with_syn = meteor_sentence(hyp, refs, syn)
+        assert with_syn > without
+        # full 3-token match, one chunk
+        assert with_syn == pytest.approx(1 - 0.5 * (1 / 3) ** 3, rel=1e-6)
+
+        # file loader: comments/blank lines ignored, shared-group semantics
+        p = tmp_path / "syn.txt"
+        p.write_text("# wordnet dump\ncar automobile auto\n\nbig large\n")
+        syn2 = SynonymTable.from_file(str(p))
+        assert syn2.related("auto", "car") and not syn2.related("car", "big")
+        mean, _ = compute_meteor(
+            {0: ["a red car"]}, {0: ["a red automobile"]}, str(p)
+        )
+        assert mean == pytest.approx(with_syn, rel=1e-6)
+
+    def test_synonym_env_var_hook(self, tmp_path, monkeypatch):
+        from recurrent_fusion_network_tpu.metrics.meteor import compute_meteor
+
+        p = tmp_path / "syn.txt"
+        p.write_text("car automobile\n")
+        base, _ = compute_meteor({0: ["a car"]}, {0: ["a automobile"]})
+        monkeypatch.setenv("RFNET_METEOR_SYNONYMS", str(p))
+        hooked, _ = compute_meteor({0: ["a car"]}, {0: ["a automobile"]})
+        assert hooked > base
+
+    def test_synonym_alignment_minimizes_chunks(self):
+        """Synonym matches participate in the chunk-minimizing objective."""
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            SynonymTable,
+            _align,
+            _chunks,
+        )
+
+        syn = SynonymTable([["cat", "feline"]])
+        hyp = "the feline sat".split()
+        ref = "the cat sat".split()
+        m = _align(hyp, ref, syn)
+        assert m == [0, 1, 2] and _chunks(m) == 1
