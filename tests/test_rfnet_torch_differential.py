@@ -30,6 +30,8 @@ def _torch_f64():
 
 
 def t(x):
+    if isinstance(x, torch.Tensor):  # pass through (grad-carrying params)
+        return x
     return torch.from_numpy(np.asarray(x, dtype=np.float64))
 
 
@@ -74,7 +76,7 @@ def torch_rfnet_forward(model, params, fcs, atts, seq):
         states.append((h, h.clone()))
 
     # stage I (RecurrentFusionModel.py:213-231)
-    sel = lambda tree, s: jax.tree_util.tree_map(lambda x: np.asarray(x[s]), tree)
+    sel = lambda tree, s: jax.tree_util.tree_map(lambda x: t(x)[s], tree)
     thoughts = [[] for _ in range(M)]
     reasons = [[] for _ in range(M)]
     for s in range(model.num_review_steps_0):
