@@ -6,8 +6,11 @@ image, sentence decoding, optional language metrics, prediction trimming to
 the evaluated image budget.
 
 TPU-first: the loss and sample closures are jitted once and reused across
-batches (fixed shapes from the loader), and beam search runs batched instead
-of per image.
+batches (fixed shapes from the loader), beam search runs batched instead of
+per image, and batches are evaluated through a small in-flight window
+(decoding/serve.pipelined_map) so the next batch's dispatch overlaps the
+current batch's device compute and host readback (~28 ms fixed dispatch cost
+on tunneled hosts, PERF_NOTES.md §1).
 """
 
 from __future__ import annotations
@@ -101,24 +104,37 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     sample_fn = _cached_sample_fn(model, beam_size, sample_max)
 
     loader.reset_iterator(split)
-    n = 0
     loss_sum, loss_evals = 0.0, 0
     predictions = []
     vocab = loader.get_vocab()
 
-    while True:
-        data = loader.get_batch(split)
-        n += loader.batch_size
+    def batches():
+        n = 0
+        while True:
+            data = loader.get_batch(split)
+            n += loader.batch_size
+            yield data
+            if data["bounds"]["wrapped"]:
+                return
+            if val_images_use > 0 and n >= val_images_use:
+                return
+
+    def dispatch(data):
+        """Queue loss + decode for one batch; returns device futures."""
         fc, att = batch_feats(data, dtype)
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
         top_words = jnp.asarray(data["top_words"])
-        loss = float(loss_fn(params, fc, att, labels, masks, top_words))
+        loss = loss_fn(params, fc, att, labels, masks, top_words)
+        fc1, att1 = dedupe_feats(fc, att, loader.batch_size, loader.seq_per_img)
+        return loss, sample_fn(params, fc1, att1)
+
+    from ..decoding.serve import pipelined_map
+
+    for data, (loss_dev, out) in pipelined_map(dispatch, batches(), depth=2):
+        loss = float(loss_dev)
         loss_sum += loss
         loss_evals += 1
-
-        fc1, att1 = dedupe_feats(fc, att, loader.batch_size, loader.seq_per_img)
-        out = sample_fn(params, fc1, att1)
         sents = decode_sequence(vocab, np.asarray(out.seq))
         for k, sent in enumerate(sents):
             predictions.append({"image_id": data["infos"][k]["id"], "caption": sent})
@@ -141,10 +157,6 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
         if verbose:
             b = data["bounds"]
             print(f"evaluating {split} ... {b['it_pos_now']}/{b['it_max']} loss={loss:.3f}")
-        if data["bounds"]["wrapped"]:
-            break
-        if val_images_use > 0 and n >= val_images_use:
-            break
 
     limit = len(loader.split_image_id[split])
     if val_images_use > 0:
