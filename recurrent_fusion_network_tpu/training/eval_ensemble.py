@@ -71,37 +71,46 @@ def eval_ensemble(
     loader.reset_iterator(split)
     vocab = loader.get_vocab()
     predictions = []
-    n = 0
-    while True:
+
+    def batches():
+        n = 0
+        while True:
+            data = loader.get_batch(split, variant="original") \
+                if flip_ensemble else loader.get_batch(split)
+            n += loader.batch_size
+            yield data
+            if data["bounds"]["wrapped"]:
+                return
+            if val_images_use > 0 and n >= val_images_use:
+                return
+
+    def dispatch(data):
+        """Queue the decode(s) for one batch; returns device futures."""
+        feats = _member_feats(data, len(members), diff_feat,
+                              loader.batch_size, loader.seq_per_img)
+        out_a = decode(feats)
+        if not flip_ensemble:
+            return out_a, None
+        # same images, flipped features (the iterator is not advanced:
+        # the SAME batch's images reload under the flip variant)
+        data_flip = _reload_variant(loader, data, "flip")
+        feats_f = _member_feats(data_flip, len(members), diff_feat,
+                                loader.batch_size, loader.seq_per_img)
+        return out_a, decode(feats_f)
+
+    from ..decoding.serve import pipelined_map
+
+    for data, (out_a, out_b) in pipelined_map(dispatch, batches(), depth=2):
         if flip_ensemble:
-            data = loader.get_batch(split, variant="original")
-            feats = _member_feats(data, len(members), diff_feat,
-                                  loader.batch_size, loader.seq_per_img)
-            out_a = decode(feats)
-            # same images, flipped features (iterator rewound by re-slicing
-            # the SAME batch's flip variant)
-            data_flip = _reload_variant(loader, data, "flip")
-            feats_f = _member_feats(data_flip, len(members), diff_feat,
-                                    loader.batch_size, loader.seq_per_img)
-            out_b = decode(feats_f)
             seq, _ = flip_combine(out_a, out_b)
         else:
-            data = loader.get_batch(split)
-            feats = _member_feats(data, len(members), diff_feat,
-                                  loader.batch_size, loader.seq_per_img)
-            seq = np.asarray(decode(feats).seq)
-
-        n += loader.batch_size
+            seq = np.asarray(out_a.seq)
         sents = decode_sequence(vocab, seq)
         for k, sent in enumerate(sents):
             predictions.append({"image_id": data["infos"][k]["id"], "caption": sent})
         if verbose:
             b = data["bounds"]
             print(f"ensemble {split} ... {b['it_pos_now']}/{b['it_max']}")
-        if data["bounds"]["wrapped"]:
-            break
-        if val_images_use > 0 and n >= val_images_use:
-            break
 
     limit = len(loader.split_image_id[split])
     if val_images_use > 0:
@@ -114,6 +123,13 @@ def eval_ensemble(
             ds = loader.dataset
 
             def gts_lookup(image_id):
+                # same protocol as eval_split: prefer the raw annotation
+                # sentences (coco-caption scores against the annotations
+                # JSON); the label-matrix fallback is truncated/UNK-ed and
+                # not comparable to the reference's absolute scores
+                raw = ds.raw_sentences_for_image(image_id)
+                if raw:
+                    return raw
                 if image_id not in ds.image_id_to_index:
                     return []
                 return decode_sequence(vocab, ds.captions_for_image(image_id))
