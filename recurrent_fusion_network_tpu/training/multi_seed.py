@@ -12,6 +12,14 @@ draws (each seed folds its own RNG).
 The resulting per-seed checkpoints are directly consumable by
 eval_ensemble.py (rank = seed index, matching the reference's per-rank
 checkpoint naming).
+
+Fleet-over-mesh: pass ``mesh`` (a 1-D 'dp' mesh) to shard the SEED axis
+across devices — seed r's whole training state lives on device r//(S/D) and
+every seed's step runs in parallel with no cross-device collectives (the
+seeds are independent). This is the literal TPU analogue of the reference's
+one-job-per-GPU fleet (train_recurrent_fusion_model.sh:7-30): a v5e-8 slice
+trains 8 seeds at single-seed wall-clock. n_seeds must divide by the mesh
+size; trajectories are identical to the unsharded vmap (tested).
 """
 
 from __future__ import annotations
@@ -29,6 +37,23 @@ from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
 
 
+def _shard_seed_axis(mesh, n_seeds, *trees):
+    """device_put each tree with its leading (seed) axis split over the
+    mesh's 'dp' axis; returns the trees in order."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    d = mesh.shape["dp"]
+    assert n_seeds % d == 0, (
+        f"n_seeds {n_seeds} must divide by the mesh size {d}"
+    )
+    sharding = NamedSharding(mesh, P("dp"))
+    out = tuple(
+        jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), t)
+        for t in trees
+    )
+    return out if len(out) > 1 else out[0]
+
+
 def train_multi_seed(
     opt,
     loader,
@@ -37,10 +62,13 @@ def train_multi_seed(
     max_iterations: Optional[int] = None,
     eval_at_end: bool = True,
     save: bool = True,
+    mesh=None,
     log_fn=print,
 ):
     """Train n_seeds models simultaneously. Returns a dict with the stacked
-    params, per-seed loss histories, and (optionally) per-seed final CIDEr."""
+    params, per-seed loss histories, and (optionally) per-seed final CIDEr.
+    mesh: optional 1-D 'dp' mesh sharding the seed axis across devices
+    (fleet-over-mesh; see module docstring)."""
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
@@ -53,6 +81,8 @@ def train_multi_seed(
     )
     params = jax.vmap(model.init_params)(seed_keys)
     opt_state = jax.vmap(tx.init)(params)
+    if mesh is not None:
+        params, opt_state = _shard_seed_axis(mesh, n_seeds, params, opt_state)
 
     def one_step(params, opt_state, rng, fc, att, labels, masks, top_words, lr, ss):
         def loss_fn(p):
@@ -76,6 +106,8 @@ def train_multi_seed(
     )
 
     rngs = jax.vmap(jax.random.fold_in)(seed_keys, jnp.arange(n_seeds))
+    if mesh is not None:
+        rngs = _shard_seed_axis(mesh, n_seeds, rngs)
     iteration, epoch = 0, 0
     loss_histories = [dict() for _ in range(n_seeds)]
     # per-seed best-by-validation tracking: the '-best' checkpoints must hold
@@ -177,6 +209,7 @@ def train_multi_seed_rl(
     max_iterations: Optional[int] = None,
     eval_at_end: bool = True,
     save: bool = True,
+    mesh=None,
     log_fn=print,
 ):
     """Vmapped multi-seed SCST fleet — the ensemble-production phase.
@@ -196,6 +229,8 @@ def train_multi_seed_rl(
     the same data stream (vmap is semantics-preserving; verified in tests).
     Returns a dict with stacked params, per-seed reward histories, and best
     checkpoints gated on validation score like the solo loop.
+    mesh: optional 1-D 'dp' mesh sharding the seed axis across devices
+    (fleet-over-mesh; see module docstring).
     """
     from .train_rl_loop import make_rl_step
     from ..rewards.self_critical import compute_reward
@@ -241,6 +276,10 @@ def train_multi_seed_rl(
                 if h:
                     rl_lr_bases[r] = min(h.values()) / opt.optim_rl_lr_ratio
     opt_state = jax.vmap(tx.init)(params)
+    if mesh is not None:
+        params, opt_state, run_rngs = _shard_seed_axis(
+            mesh, n_seeds, params, opt_state, run_rngs
+        )
 
     # build unjitted single-seed fns and vmap them (jit on the outside);
     # the rollout is the same fused 2B-lane sampled+greedy scan as the solo
@@ -337,6 +376,8 @@ def train_multi_seed_rl(
             for r in range(n_seeds)
         ])
         reward_dev = jnp.asarray(rewards, jnp.float32)
+        if mesh is not None:
+            reward_dev = _shard_seed_axis(mesh, n_seeds, reward_dev)
 
         if opt.use_ppo:
             slp_old = jax.lax.stop_gradient(vold(params, fc, att, seqs))

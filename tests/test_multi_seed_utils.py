@@ -90,6 +90,41 @@ class TestMultiSeed:
         p1, _, _ = load_checkpoint(str(tmp_path), "ms", 1, best=True)
         assert not np.allclose(p0["embed"], p1["embed"])
 
+    def test_fleet_over_mesh_matches_unsharded(self, tmp_path):
+        """Sharding the seed axis over a 4-device 'dp' mesh (fleet-over-mesh,
+        one job per device like the reference's per-GPU fleet) must reproduce
+        the unsharded vmap fleet's loss trajectories."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        kw = dict(caption_model="show_tell", batch_size=4)
+        opt1, loader1 = synthetic_setup(**kw)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.losses_log_every = 1
+        base = train_multi_seed(opt1, loader1, 4, max_iterations=6,
+                                eval_at_end=False, save=False, log_fn=quiet)
+
+        opt2, loader2 = synthetic_setup(**kw)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.losses_log_every = 1
+        sharded = train_multi_seed(opt2, loader2, 4, max_iterations=6,
+                                   eval_at_end=False, save=False,
+                                   mesh=make_mesh(4), log_fn=quiet)
+        for r in range(4):
+            np.testing.assert_allclose(
+                list(sharded["loss_histories"][r].values()),
+                list(base["loss_histories"][r].values()),
+                rtol=1e-4, atol=1e-6,
+            )
+
+    def test_fleet_mesh_requires_divisible_seeds(self):
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        with pytest.raises(AssertionError, match="divide"):
+            train_multi_seed(opt, loader, 3, max_iterations=1,
+                             eval_at_end=False, save=False,
+                             mesh=make_mesh(2), log_fn=quiet)
+
     def test_multi_seed_feeds_eval_ensemble(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
         opt.checkpoint_path = str(tmp_path)
@@ -151,6 +186,32 @@ class TestMultiSeedRL:
         # seeds genuinely differ
         h = fleet["reward_histories"]
         assert any(h[0][i] != h[2][i] for i in h[0])
+
+    def test_rl_fleet_over_mesh_runs_and_tracks(self, tmp_path):
+        """SCST fleet with the seed axis sharded over a 2-device mesh: rewards
+        stay finite and on the CIDEr-D scale, and seed trajectories differ.
+        (Exact equality with the unsharded fleet is NOT asserted: partitioned
+        f32 matmuls can flip individual multinomial draws — the same caveat
+        as the multi-host RL test in test_distributed.py.)"""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed_rl,
+        )
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4,
+                                      seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.losses_log_every = 1
+        fleet = train_multi_seed_rl(
+            opt, loader, self._scorer(loader), 2, max_iterations=4,
+            eval_at_end=False, save=False, mesh=make_mesh(2), log_fn=quiet,
+        )
+        h = fleet["reward_histories"]
+        for r in range(2):
+            vals = list(h[r].values())
+            assert len(vals) == 4 and all(np.isfinite(vals))
+            assert all(abs(v) < 10.0 for v in vals)
+        assert any(h[0][i] != h[1][i] for i in h[0])
 
     def test_rl_fleet_warm_start_and_checkpoints(self, tmp_path):
         """Fleet warm-starts from per-rank XE best checkpoints and writes
