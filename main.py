@@ -6,7 +6,9 @@ CLI equivalent of the reference's main.py + train.py, same flag surface
 pass --num_dp_devices N to shard batches over an N-device mesh. Multi-seed
 fleets (train_recurrent_fusion_model.sh) run vmapped in ONE program with
 --n_seeds N (per-seed best checkpoints land under ranks 0..N-1), or as one
-process per seed via scripts/.
+process per seed via scripts/. Combining --n_seeds S with --num_dp_devices D
+shards the seed axis across the D devices (fleet-over-mesh: the one-job-per-
+GPU fleet as one sharded program).
 
 Example (synthetic smoke run):
   python main.py --caption_model recurrent_fusion_model \
@@ -44,7 +46,10 @@ def main():
                 train_multi_seed,
             )
 
-            train_multi_seed(opt, loader, opt.n_seeds, max_iterations=max_it)
+            # with a mesh, the SEED axis shards across devices
+            # (fleet-over-mesh: one seed group per device)
+            train_multi_seed(opt, loader, opt.n_seeds, max_iterations=max_it,
+                             mesh=mesh)
         else:
             train(opt, loader, rank=0, mesh=mesh, max_iterations=max_it)
     finally:

@@ -48,8 +48,10 @@ def main():
                 train_multi_seed_rl,
             )
 
+            # with a mesh, the SEED axis shards across devices
+            # (fleet-over-mesh: one seed group per device)
             train_multi_seed_rl(opt, loader, scorer, opt.n_seeds,
-                                max_iterations=max_it)
+                                max_iterations=max_it, mesh=mesh)
         else:
             train_rl(opt, loader, scorer, rank=0, mesh=mesh,
                      max_iterations=max_it)
