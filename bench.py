@@ -58,8 +58,9 @@ BEAM = 3
 # train-step bench batch rows (images x seq_per_img) per dtype, each the
 # largest measured-fitting config WITH scan remat (--use_remat): full
 # activation storage capped bf16 at B=256 (B=384 OOMed); remat lifts bf16 to
-# B=512 at 37.7 TFLOP/s and f32 to B=384 at 24.1
-TRAIN_CFG = {"float32": (384, True), "bfloat16": (512, True)}
+# B=768 at 41.5 TFLOP/s (B=1024 fails to compile) and f32 to B=384 at 24.1
+# (B=512 fails to compile)
+TRAIN_CFG = {"float32": (384, True), "bfloat16": (768, True)}
 WARMUP = 2
 ITERS = 5
 
