@@ -60,6 +60,12 @@ def main(argv=None):
     p.add_argument("--variants", default="original",
                    help=f"comma list from {','.join(VARIANTS)} or 'all'")
     p.add_argument("--limit", type=int, default=-1)
+    p.add_argument("--output_format", default="packed",
+                   choices=("packed", "sharded"),
+                   help="packed: one mmap array per variant (single-host); "
+                        "sharded: fixed-size row shards + manifest "
+                        "(many-host, data/sharded.py)")
+    p.add_argument("--shard_size", type=int, default=4096)
     args = p.parse_args(argv)
 
     params, feats_fn, C = build_backbone(args.arch, args.att_size, args.torch_weights)
@@ -79,11 +85,21 @@ def main(argv=None):
     def run(batch):
         return feats_fn(params, batch)
 
-    os.makedirs(args.output_dir, exist_ok=True)
+    out_dir = args.output_dir
+    pack_dir = out_dir if args.output_format == "packed" else out_dir + ".packed_tmp"
+    os.makedirs(pack_dir, exist_ok=True)
     S = args.att_size
     for variant in variants:
-        fc_out = np.zeros((N, C), np.float32)
-        att_out = np.zeros((N, S, S, C), np.float32)
+        # stream straight into the on-disk arrays: at COCO scale the att
+        # matrix is ~200 GB per variant and must never be RAM-resident
+        fc_out = np.lib.format.open_memmap(
+            os.path.join(pack_dir, f"{variant}_fc.npy"), mode="w+",
+            dtype=np.float32, shape=(N, C),
+        )
+        att_out = np.lib.format.open_memmap(
+            os.path.join(pack_dir, f"{variant}_att.npy"), mode="w+",
+            dtype=np.float32, shape=(N, S * S, C),
+        )
         for start in range(0, N, B):
             chunk = names[start : start + B]
             imgs = np.stack(
@@ -98,17 +114,25 @@ def main(argv=None):
                 )
             fc, att = run(var_imgs)
             fc_out[start : start + len(chunk)] = np.asarray(fc)[: len(chunk)]
-            att_out[start : start + len(chunk)] = np.asarray(att)[: len(chunk)]
+            att_out[start : start + len(chunk)] = (
+                np.asarray(att)[: len(chunk)].reshape(len(chunk), S * S, C)
+            )
             if (start // B) % 50 == 0:
                 print(f"{variant}: {start + len(chunk)}/{N}")
-        np.save(os.path.join(args.output_dir, f"{variant}_fc.npy"), fc_out)
-        np.save(
-            os.path.join(args.output_dir, f"{variant}_att.npy"),
-            att_out.reshape(N, S * S, C),
-        )
-    with open(os.path.join(args.output_dir, "ids.json"), "w") as f:
+        fc_out.flush()
+        att_out.flush()
+        del fc_out, att_out
+    with open(os.path.join(pack_dir, "ids.json"), "w") as f:
         json.dump(ids, f)
-    print(f"wrote {N} images x {len(variants)} variants to {args.output_dir}")
+    if args.output_format == "sharded":
+        from ..sharded import pack_to_shards
+
+        pack_to_shards(pack_dir, out_dir, shard_size=args.shard_size)
+        import shutil
+
+        shutil.rmtree(pack_dir)
+    print(f"wrote {N} images x {len(variants)} variants to {out_dir} "
+          f"({args.output_format})")
 
 
 if __name__ == "__main__":
