@@ -158,6 +158,11 @@ def _defaults() -> dict:
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
         checkpoint_backend="pickle",  # 'pickle' (reference triple-file
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
+        checkpoint_async=0,  # orbax only: background the disk write (the
+        # device->host copy stays synchronous, so donation is safe)
+        profile_dir="",  # capture a jax.profiler trace (xprof) into this dir
+        profile_start=5,  # first iteration of the trace window
+        profile_steps=0,  # number of iterations to trace (0 = off)
         # Runtime-derived (set by the data loader before model construction)
         vocab_size=None,
         seq_length=None,

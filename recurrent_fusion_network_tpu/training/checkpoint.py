@@ -34,6 +34,17 @@ def backend(opt=None):
     if name == "orbax":
         from . import orbax_ckpt
 
+        if getattr(opt, "checkpoint_async", 0):
+            import functools
+            import types
+
+            return types.SimpleNamespace(
+                save_checkpoint=functools.partial(
+                    orbax_ckpt.save_checkpoint, async_save=True
+                ),
+                load_checkpoint=orbax_ckpt.load_checkpoint,
+                wait_until_finished=orbax_ckpt.wait_until_finished,
+            )
         return orbax_ckpt
     return sys.modules[__name__]
 

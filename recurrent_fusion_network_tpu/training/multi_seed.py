@@ -197,6 +197,7 @@ def train_multi_seed(
                 opt.checkpoint_path, opt.id, r,
                 params=best_params[r], infos=infos, best=True,
             )
+    getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     return result
 
 
@@ -436,4 +437,5 @@ def train_multi_seed_rl(
                 opt.checkpoint_path, opt.id, r,
                 params=best_params[r], infos=infos, best=True, prefix="rl_",
             )
+    getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     return result

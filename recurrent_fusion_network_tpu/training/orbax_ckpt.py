@@ -33,6 +33,41 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+_async_ckpts: dict = {}
+
+
+def _async_checkpointer(kind: str):
+    """Per-kind AsyncCheckpointer singletons (model/optimizer writes overlap
+    each other AND training): the device->host copy happens before save()
+    returns (donation-safe); the TensorStore write runs in the background.
+    Registered with atexit so a finishing process never truncates an
+    in-flight write."""
+    if kind not in _async_ckpts:
+        import orbax.checkpoint as ocp
+
+        if not _async_ckpts:
+            import atexit
+
+            atexit.register(wait_until_finished)
+        _async_ckpts[kind] = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckpts[kind]
+
+
+def wait_until_finished():
+    """Block until every in-flight async checkpoint write completes.
+
+    The trainers call this when their loop ends (the reliable barrier); the
+    atexit registration is a best-effort backstop and tolerates the executor
+    already being shut down (threading's atexit hooks run before ours, so a
+    write still in flight AT INTERPRETER EXIT cannot be completed — hence
+    the in-loop barrier)."""
+    for c in _async_ckpts.values():
+        try:
+            c.wait_until_finished()
+        except RuntimeError as e:  # interpreter-shutdown race (atexit path)
+            print(f"warning: async checkpoint wait failed at exit: {e}")
+
+
 def _dir(checkpoint_path: str, run_id: str, rank: int, kind: str,
          best: bool, prefix: str) -> str:
     tag = f"{prefix}{kind}_{run_id}_{rank}" + ("-best" if best else "")
@@ -49,16 +84,26 @@ def save_checkpoint(
     infos: Optional[dict] = None,
     best: bool = False,
     prefix: str = "",
+    async_save: bool = False,
 ):
-    """Same logical surface as checkpoint.save_checkpoint, sharding-aware."""
+    """Same logical surface as checkpoint.save_checkpoint, sharding-aware.
+    async_save (--checkpoint_async): return once arrays are host-resident;
+    the disk write continues in the background."""
     os.makedirs(checkpoint_path, exist_ok=True)
-    ckpt = _checkpointer()
-    ckpt.save(
+
+    def saver(kind):
+        if not async_save:
+            return _checkpointer()
+        c = _async_checkpointer(kind)
+        c.wait_until_finished()  # serialize with the prior save of this kind
+        return c
+
+    saver("model").save(
         _dir(checkpoint_path, run_id, rank, "model", best, prefix),
         params, force=True,
     )
     if opt_state is not None:
-        ckpt.save(
+        saver("optimizer").save(
             _dir(checkpoint_path, run_id, rank, "optimizer", best, prefix),
             opt_state, force=True,
         )
@@ -86,6 +131,7 @@ def load_checkpoint(
     """
     import orbax.checkpoint as ocp
 
+    wait_until_finished()  # a reader must see completed writes
     ckpt = _checkpointer()
 
     def restore(path, shard_tree):

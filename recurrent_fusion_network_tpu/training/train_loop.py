@@ -139,8 +139,10 @@ def train(
     train_step = make_train_step(model, crit, tx, mesh, compute_dtype)
 
     from ..utils.logging import JsonlLogger
+    from ..utils.profiling import TraceWindow
 
     jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
+    trace = TraceWindow.from_opt(opt)
 
     num_period_best = 0
     current_score = 0.0
@@ -149,6 +151,7 @@ def train(
     ss_prob = 0.0
 
     while True:
+        trace.tick(iteration)
         if update_lr_flag:
             lr = lr_for_epoch(opt, epoch, opt.optim_lr)
             ss_prob = ss_prob_for_epoch(opt, epoch)
@@ -235,6 +238,10 @@ def train(
             break
 
     jlog.close()
+    trace.close()
+    # async-checkpoint barrier: in-flight background writes must land before
+    # the process can exit (interpreter shutdown cannot complete them)
+    getattr(_ckpt, "wait_until_finished", lambda: None)()
     infos["iter"] = iteration
     infos["epoch"] = epoch
     infos["final_params"] = params

@@ -216,8 +216,10 @@ def train_rl(
     rl_step, old_logprobs_fn = make_rl_step(model, rl_crit, tx)
 
     from ..utils.logging import JsonlLogger
+    from ..utils.profiling import TraceWindow
 
     jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
+    trace = TraceWindow.from_opt(opt)
 
     num_period_best = 0
     current_score = 0.0
@@ -226,6 +228,7 @@ def train_rl(
     rewards = np.zeros((1, 1))
 
     while True:
+        trace.tick(iteration)
         if update_lr_flag:
             lr = lr_for_epoch(opt, epoch, rl_lr_base)
             opt.current_lr = lr
@@ -343,6 +346,9 @@ def train_rl(
             break
 
     jlog.close()
+    trace.close()
+    # async-checkpoint barrier (see train_loop)
+    getattr(_ckpt, "wait_until_finished", lambda: None)()
     infos["iter"] = iteration
     infos["epoch"] = epoch
     infos["final_params"] = params

@@ -191,6 +191,85 @@ class TestOrbaxCheckpoints:
         infos2 = train(opt2, loader2, max_iterations=6, log_fn=quiet)
         assert infos2["iter"] == 6
 
+    def test_async_orbax_save_roundtrips(self, tmp_path):
+        """--checkpoint_async backgrounds the TensorStore write; a reader
+        (load_checkpoint waits for in-flight writes) sees the exact arrays."""
+        import jax
+
+        from recurrent_fusion_network_tpu.config import Options
+        from recurrent_fusion_network_tpu.training import orbax_ckpt
+        from recurrent_fusion_network_tpu.training.checkpoint import backend
+
+        opt = Options(checkpoint_backend="orbax", checkpoint_async=1)
+        be = backend(opt)
+        assert be.save_checkpoint.keywords["async_save"] is True
+
+        params = {"w": jax.numpy.arange(12.0).reshape(3, 4),
+                  "b": jax.numpy.ones((4,))}
+        be.save_checkpoint(str(tmp_path), "as", 0, params=params,
+                           opt_state={"m": params["w"] * 2.0},
+                           infos={"iter": 7}, best=True)
+        # immediately mutate the host copy the trainer would keep using —
+        # the async save must have snapshotted before returning
+        params = jax.tree_util.tree_map(lambda x: x * 0.0, params)
+        p, o, i = be.load_checkpoint(str(tmp_path), "as", 0, best=True)
+        np.testing.assert_allclose(np.asarray(p["w"]),
+                                   np.arange(12.0).reshape(3, 4))
+        np.testing.assert_allclose(np.asarray(o["m"]),
+                                   np.arange(12.0).reshape(3, 4) * 2.0)
+        assert i["iter"] == 7
+        orbax_ckpt.wait_until_finished()
+
+    def test_trainer_runs_with_async_orbax(self, tmp_path):
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.checkpoint_backend = "orbax"
+        opt.checkpoint_async = 1
+        opt.save_checkpoint_every = 2
+        opt.val_images_use = 8
+        opt.id = "oxa"
+        train(opt, loader, max_iterations=3, log_fn=quiet)
+        from recurrent_fusion_network_tpu.training import orbax_ckpt
+
+        orbax_ckpt.wait_until_finished()
+        p, _, _ = orbax_ckpt.load_checkpoint(str(tmp_path), "oxa", 0, best=True)
+        assert "embed" in p
+
+
+class TestTraceWindow:
+    def test_window_start_stop(self, tmp_path, monkeypatch):
+        import recurrent_fusion_network_tpu.utils.profiling as prof
+
+        calls = []
+        monkeypatch.setattr("jax.profiler.start_trace",
+                            lambda d: calls.append(("start", d)))
+        monkeypatch.setattr("jax.profiler.stop_trace",
+                            lambda: calls.append(("stop",)))
+        tw = prof.TraceWindow(str(tmp_path), start=2, steps=3)
+        for it in range(8):
+            tw.tick(it)
+        tw.close()
+        assert calls == [("start", str(tmp_path)), ("stop",)]
+
+        # inert when steps == 0 or dir empty
+        calls.clear()
+        prof.TraceWindow("", 0, 5).tick(0)
+        prof.TraceWindow(str(tmp_path), 0, 0).tick(0)
+        assert calls == []
+
+    def test_close_stops_open_window(self, tmp_path, monkeypatch):
+        import recurrent_fusion_network_tpu.utils.profiling as prof
+
+        calls = []
+        monkeypatch.setattr("jax.profiler.start_trace",
+                            lambda d: calls.append("start"))
+        monkeypatch.setattr("jax.profiler.stop_trace",
+                            lambda: calls.append("stop"))
+        tw = prof.TraceWindow(str(tmp_path), start=0, steps=100)
+        tw.tick(0)
+        tw.close()  # loop ended before the window filled
+        assert calls == ["start", "stop"]
+
 
 class TestEvalSplit:
     def test_contract(self, tmp_path):
