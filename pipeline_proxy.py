@@ -140,9 +140,11 @@ def main():
     ap.add_argument("--quick", action="store_true", help="reduced iterations")
     ap.add_argument("--work_dir", default="/tmp/pipeline_proxy")
     ap.add_argument("--out", default="PIPELINE_PROXY.json")
+    ap.add_argument("--seeds", type=int, default=2,
+                    help="fleet size (the full recipe uses 8 members)")
     args = ap.parse_args()
 
-    n_seeds = 2
+    n_seeds = args.seeds
     if args.quick:
         n_train, n_val, n_test = 60, 16, 16
         xe_iters, rl_iters, batch = 120, 40, 8
@@ -226,6 +228,7 @@ def main():
         "xe_test_cider": xe_test,
         "rl_test_cider": rl_test,
         "ensemble_test_cider": ens_cider,
+        "n_seeds": n_seeds,
         "scst_advantage": adv,
         "rl_gt_xe": bool(np.mean(rl_test) > np.mean(xe_test)),
         "rl_ge_xe": bool(np.mean(rl_test) >= np.mean(xe_test) - 1e-6),
