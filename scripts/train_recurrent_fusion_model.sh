@@ -26,8 +26,11 @@ COMMON_ARGS=(
 )
 
 if [ "$FLEET_MODE" = "vmap" ]; then
+  # FLEET_DEVICES=8 additionally shards the seed axis across an 8-device
+  # mesh (fleet-over-mesh: one seed per chip of a v5e-8 slice)
   python main.py \
     --id ${ID} --seed 1 --n_seeds ${NUM_SEEDS} \
+    --num_dp_devices ${FLEET_DEVICES:-1} \
     "${COMMON_ARGS[@]}" \
     "$@" 2>&1 | tee log/log_${ID}_fleet
 else

@@ -21,8 +21,10 @@ COMMON_ARGS=(
 )
 
 if [ "$FLEET_MODE" = "vmap" ]; then
+  # FLEET_DEVICES=8: fleet-over-mesh (seed axis sharded, one seed per chip)
   python main_rl.py \
     --id ${ID} --seed 1 --n_seeds ${NUM_SEEDS} \
+    --num_dp_devices ${FLEET_DEVICES:-1} \
     --start_from checkpoint --load_model_id ${ID} --load_lr 1 \
     "${COMMON_ARGS[@]}" \
     "$@" 2>&1 | tee log/log_rl_${ID}_fleet
