@@ -64,10 +64,14 @@ class ShardedFeatureSource:
 
             self._lib = load_library()
         self._mmaps: Dict[int, np.ndarray] = {}
-        # how many distinct shard files this process touched (many-host
-        # locality diagnostic: a host sharded loader should only open the
-        # shards its rows live in)
-        self.shards_opened = 0
+        # distinct shard files this process touched (many-host locality
+        # diagnostic: a host sharded loader should only open the shards its
+        # rows live in)
+        self._seen_shards: set = set()
+
+    @property
+    def shards_opened(self) -> int:
+        return len(self._seen_shards)
 
     # -------------------------------------------------------------- geometry
 
@@ -138,9 +142,7 @@ class ShardedFeatureSource:
                        row_bytes: int) -> np.ndarray:
         import ctypes
 
-        if shard not in self._mmaps:  # count distinct shards touched
-            self._mmaps[shard] = None  # native path needs no mmap; mark seen
-            self.shards_opened += 1
+        self._seen_shards.add(shard)
         out = np.empty(n * (row_bytes // _F32), np.float32)
         offsets = np.ascontiguousarray(offsets, np.int64)
         rc = self._lib.gather_rows(
@@ -156,13 +158,12 @@ class ShardedFeatureSource:
         return out
 
     def _mmap(self, shard: int) -> np.ndarray:
-        got = self._mmaps.get(shard)
-        if got is None:
-            got = np.memmap(self._path(shard), dtype=np.float32, mode="r")
-            if shard not in self._mmaps:
-                self.shards_opened += 1
-            self._mmaps[shard] = got
-        return got
+        if shard not in self._mmaps:
+            self._seen_shards.add(shard)
+            self._mmaps[shard] = np.memmap(
+                self._path(shard), dtype=np.float32, mode="r"
+            )
+        return self._mmaps[shard]
 
     # ---------------------------------------------------------------- writer
 

@@ -116,6 +116,7 @@ class CaptionServer:
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
         self._queue: queue.Queue = queue.Queue()
         self._closing = threading.Event()
+        self._spec = None  # per-request shape contract, set by first submit
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -127,14 +128,35 @@ class CaptionServer:
         decode output pytree (host numpy leaves)."""
         if self._closing.is_set():
             raise RuntimeError("server is closed")
+        fcs, atts = [np.asarray(x) for x in fcs], [np.asarray(x) for x in atts]
+        # reject shape mismatches HERE: a malformed request must fail alone
+        # at the caller, not poison the whole batch it would be stacked into
+        spec = (
+            tuple(x.shape for x in fcs), tuple(x.shape for x in atts),
+        )
+        if self._spec is None:
+            self._spec = spec
+        elif spec != self._spec:
+            raise ValueError(
+                f"request feature shapes {spec} differ from the server's "
+                f"established contract {self._spec}"
+            )
         fut: Future = Future()
-        self._queue.put((list(fcs), list(atts), fut))
+        self._queue.put((fcs, atts, fut))
         return fut
 
     def close(self) -> None:
         """Flush pending requests, drain in-flight batches, stop the worker."""
         self._closing.set()
         self._worker.join()
+        # a submit() racing close() can land its request after the worker's
+        # final drain; fail it rather than leave its Future pending forever
+        while True:
+            try:
+                *_, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            fut.set_exception(RuntimeError("server closed before dispatch"))
 
     def __enter__(self):
         return self
@@ -194,22 +216,23 @@ class CaptionServer:
         return group
 
     def _dispatch(self, group):
-        n = len(group)
-        pad = self.batch_size - n
-        self.stats["padded_rows"] += pad
-        rows_fc = [g[0] for g in group] + [group[-1][0]] * pad
-        rows_att = [g[1] for g in group] + [group[-1][1]] * pad
-        n_enc = len(rows_fc[0])
-        fcs = [np.stack([r[e] for r in rows_fc]) for e in range(n_enc)]
-        atts = [np.stack([r[e] for r in rows_att]) for e in range(n_enc)]
-        if self.mesh is not None:
-            from ..parallel.mesh import with_dp_sharding
-
-            fcs, atts = with_dp_sharding(self.mesh, (fcs, atts))
         futures = [g[2] for g in group]
         try:
+            n = len(group)
+            pad = self.batch_size - n
+            self.stats["padded_rows"] += pad
+            rows_fc = [g[0] for g in group] + [group[-1][0]] * pad
+            rows_att = [g[1] for g in group] + [group[-1][1]] * pad
+            n_enc = len(rows_fc[0])
+            fcs = [np.stack([r[e] for r in rows_fc]) for e in range(n_enc)]
+            atts = [np.stack([r[e] for r in rows_att]) for e in range(n_enc)]
+            if self.mesh is not None:
+                from ..parallel.mesh import with_dp_sharding
+
+                fcs, atts = with_dp_sharding(self.mesh, (fcs, atts))
             out = self.decode_fn(fcs, atts)
-        except Exception as e:  # compile/dispatch error: fail this batch only
+        except Exception as e:  # malformed request / compile / dispatch
+            # error: fail THIS batch only, keep the worker alive
             for f in futures:
                 f.set_exception(e)
             return [], None

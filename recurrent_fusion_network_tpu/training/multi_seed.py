@@ -46,6 +46,14 @@ def _shard_seed_axis(mesh, n_seeds, *trees):
     assert n_seeds % d == 0, (
         f"n_seeds {n_seeds} must divide by the mesh size {d}"
     )
+    # host-side readback (reward scoring, seed_slice) uses np.asarray on the
+    # seed-sharded arrays, which needs every shard addressable locally; a
+    # multi-process fleet would need per-host seed scoring (cf.
+    # train_rl_loop._local_rows) — not implemented, fail loudly instead
+    assert jax.process_count() == 1, (
+        "fleet-over-mesh supports single-process meshes only; use one fleet "
+        "process per host or the dp-sharded solo loops for multi-host"
+    )
     sharding = NamedSharding(mesh, P("dp"))
     out = tuple(
         jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), t)
@@ -110,6 +118,8 @@ def train_multi_seed(
         rngs = _shard_seed_axis(mesh, n_seeds, rngs)
     iteration, epoch = 0, 0
     loss_histories = [dict() for _ in range(n_seeds)]
+    lr_history = {}  # shared schedule; checkpointed per seed so the RL
+    # phase's --load_lr derivation works from fleet checkpoints too
     # per-seed best-by-validation tracking: the '-best' checkpoints must hold
     # the best-scoring params (train.py:200-236 contract per seed), not the
     # final-iteration ones — a fleet that degrades late must not ship
@@ -162,6 +172,7 @@ def train_multi_seed(
         if iteration % opt.losses_log_every == 0:
             for r in range(n_seeds):
                 loss_histories[r][iteration] = float(losses[r])
+            lr_history[iteration] = lr
             log_fn(
                 f"iter {iteration} (epoch {epoch}) losses: "
                 + " ".join(f"{float(l):.3f}" for l in losses)
@@ -189,6 +200,7 @@ def train_multi_seed(
                 "epoch": epoch,
                 "opt": dict(vars(opt)),
                 "loss_history": loss_histories[r],
+                "lr_history": dict(lr_history),
                 "val_result_history": val_histories[r],
                 "best_val_score": best_scores[r],
                 "vocab": loader.get_vocab(),

@@ -81,10 +81,15 @@ class TestMultiSeed:
             assert all(np.isfinite(list(h[r].values())))
         # seeds differ (different inits)
         assert h[0][0] != h[1][0] or h[1][0] != h[2][0]
-        # per-seed checkpoints exist and load into ensemble-compatible params
+        # per-seed checkpoints exist and load into ensemble-compatible params;
+        # infos must carry lr_history so the RL phase's --load_lr derivation
+        # works from fleet checkpoints (train_rl.py:48-50 semantics)
         for r in range(3):
             params, _, infos = load_checkpoint(str(tmp_path), "ms", r, best=True)
             assert "embed" in params
+            assert infos["lr_history"] and all(
+                v == 5e-3 for v in infos["lr_history"].values()
+            )
         # checkpoints differ across seeds
         p0, _, _ = load_checkpoint(str(tmp_path), "ms", 0, best=True)
         p1, _, _ = load_checkpoint(str(tmp_path), "ms", 1, best=True)

@@ -1,5 +1,7 @@
 """Pipelined serving tests (decoding/serve.py)."""
 
+from concurrent.futures import Future
+
 import numpy as np
 import pytest
 
@@ -206,3 +208,31 @@ class TestCaptionServer:
         srv.close()
         with pytest.raises(RuntimeError, match="closed"):
             srv.submit(*_request(0))
+
+    def test_malformed_request_rejected_at_submit(self):
+        """A shape-mismatched request fails ALONE at submit time — it never
+        enters the queue, so co-batched requests and the worker are safe."""
+        with CaptionServer(jax.jit(_fake_decode), batch_size=2, depth=1,
+                           flush_interval=0.01) as srv:
+            ok0 = srv.submit(*_request(0))
+            with pytest.raises(ValueError, match="contract"):
+                srv.submit([np.zeros((7,), np.float32)],  # wrong fc dim
+                           [np.zeros((2, 3), np.float32)])
+            ok = [ok0] + [srv.submit(*_request(i)) for i in range(1, 4)]
+            for i, f in enumerate(ok):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+
+    def test_close_fails_requests_stranded_by_race(self):
+        """A request that lands in the queue after the worker's final drain
+        gets an exception, never a forever-pending Future."""
+        srv = CaptionServer(_fake_decode, batch_size=2, flush_interval=0.01)
+        srv._closing.set()
+        srv._worker.join()
+        fut = Future()
+        srv._queue.put(([np.zeros(4, np.float32)],
+                        [np.zeros((2, 3), np.float32)], fut))
+        srv.close()
+        with pytest.raises(RuntimeError, match="server closed"):
+            fut.result(timeout=5)
