@@ -22,6 +22,8 @@ CLI_WINS = {
     "batch_size", "seq_per_img", "input_json", "input_label_h5",
     "top_words_path", "data_root", "synthetic_features", "verbose", "id",
     "model_path", "infos_path", "load_model_id", "eval_flip_ensemble",
+    # runtime knobs the checkpoint must not override at eval time
+    "dtype", "profile_dir", "profile_steps", "checkpoint_async",
 }
 
 
