@@ -91,8 +91,18 @@ def _cached_sample_fn(model, beam_size, sample_max):
 
 def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
                beam_size=None, language_eval_flag=None, sample_max=True,
-               gts_lookup=None, rank=0, verbose=False):
-    """Returns (mean_loss, predictions, lang_stats_or_None)."""
+               gts_lookup=None, rank=0, verbose=False, mesh=None):
+    """Returns (mean_loss, predictions, lang_stats_or_None).
+
+    mesh: optional 'dp' mesh — eval batches shard their leading axis across
+    it (params are replicated by the caller), so periodic eval inside a
+    DP training run uses the whole slice instead of idling all but one chip.
+    Requires batch_size (and the deduped image count) divisible by the mesh
+    size. Single-process meshes only: on a multi-host mesh each host keeps
+    evaluating its local rows unsharded (decode outputs must be host-
+    addressable for sentence decoding)."""
+    if mesh is not None and jax.process_count() > 1:
+        mesh = None  # per-host local eval (see docstring)
     val_images_use = opt.val_images_use if val_images_use is None else val_images_use
     beam_size = opt.beam_size if beam_size is None else beam_size
     if language_eval_flag is None:
@@ -125,8 +135,14 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
         top_words = jnp.asarray(data["top_words"])
-        loss = loss_fn(params, fc, att, labels, masks, top_words)
         fc1, att1 = dedupe_feats(fc, att, loader.batch_size, loader.seq_per_img)
+        if mesh is not None:
+            from ..parallel.mesh import with_dp_sharding
+
+            fc, att, labels, masks, top_words, fc1, att1 = with_dp_sharding(
+                mesh, (fc, att, labels, masks, top_words, fc1, att1)
+            )
+        loss = loss_fn(params, fc, att, labels, masks, top_words)
         return loss, sample_fn(params, fc1, att1)
 
     from ..decoding.serve import pipelined_map

@@ -293,7 +293,7 @@ def train_rl(
 
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             val_loss, predictions, lang_stats = eval_split(
-                model, params, loader, opt, split="val", rank=rank
+                model, params, loader, opt, split="val", rank=rank, mesh=mesh
             )
             val_result_history[iteration] = {
                 "loss": val_loss, "lang_stats": lang_stats, "predictions": predictions,

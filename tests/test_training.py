@@ -295,6 +295,28 @@ class TestEvalSplit:
         )
         assert len(preds) == 8
 
+    def test_dp_mesh_eval_matches_single_device(self):
+        """eval_split(mesh=...) shards the batch over the 8-device mesh and
+        reproduces the single-device loss and captions (replicated params)."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh, replicate
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=8)
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+        loss1, preds1, _ = eval_split(
+            model, params, loader, opt, split="val", val_images_use=16,
+            beam_size=2, language_eval_flag=False,
+        )
+        mesh = make_mesh(8)
+        loss2, preds2, _ = eval_split(
+            model, replicate(mesh, params), loader, opt, split="val",
+            val_images_use=16, beam_size=2, language_eval_flag=False,
+            mesh=mesh,
+        )
+        np.testing.assert_allclose(loss2, loss1, rtol=1e-4)
+        assert [p["image_id"] for p in preds2] == [p["image_id"] for p in preds1]
+        assert [p["caption"] for p in preds2] == [p["caption"] for p in preds1]
+
 
 def setup_with_dims(opt, loader):
     opt.vocab_size = loader.vocab_size
