@@ -52,8 +52,14 @@ def eval_ensemble(
     gts_lookup=None,
     rank: int = 0,
     verbose: bool = False,
+    mesh=None,
 ):
-    """Returns (predictions, lang_stats_or_None)."""
+    """Returns (predictions, lang_stats_or_None).
+
+    mesh: optional single-process 'dp' mesh — member features shard their
+    batch axis across it (same contract as eval_split's mesh)."""
+    if mesh is not None and jax.process_count() > 1:
+        mesh = None  # per-host local eval (see eval_split)
     beam_size = opt.beam_size if beam_size is None else beam_size
     val_images_use = opt.val_images_use if val_images_use is None else val_images_use
     if flip_ensemble is None:
@@ -84,18 +90,25 @@ def eval_ensemble(
             if val_images_use > 0 and n >= val_images_use:
                 return
 
+    def _shard(feats):
+        if mesh is None:
+            return feats
+        from ..parallel.mesh import with_dp_sharding
+
+        return with_dp_sharding(mesh, feats)
+
     def dispatch(data):
         """Queue the decode(s) for one batch; returns device futures."""
-        feats = _member_feats(data, len(members), diff_feat,
-                              loader.batch_size, loader.seq_per_img)
+        feats = _shard(_member_feats(data, len(members), diff_feat,
+                                     loader.batch_size, loader.seq_per_img))
         out_a = decode(feats)
         if not flip_ensemble:
             return out_a, None
         # same images, flipped features (the iterator is not advanced:
         # the SAME batch's images reload under the flip variant)
         data_flip = _reload_variant(loader, data, "flip")
-        feats_f = _member_feats(data_flip, len(members), diff_feat,
-                                loader.batch_size, loader.seq_per_img)
+        feats_f = _shard(_member_feats(data_flip, len(members), diff_feat,
+                                       loader.batch_size, loader.seq_per_img))
         return out_a, decode(feats_f)
 
     from ..decoding.serve import pipelined_map

@@ -72,6 +72,26 @@ class TestEnsemble:
         assert len(preds) == 8
         assert stats and "CIDEr" in stats
 
+    def test_dp_mesh_ensemble_matches_single_device(self, tmp_path):
+        """eval_ensemble(mesh=...) shards member features over the 8-device
+        mesh and reproduces the single-device captions."""
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh, replicate
+
+        opt, loader, model, p1 = build(batch_size=8)
+        p2 = model.init_params(jax.random.PRNGKey(1))
+        preds1, _ = eval_ensemble(
+            [(model, p1), (model, p2)], loader, opt,
+            split="val", beam_size=2, val_images_use=16,
+            language_eval_flag=False,
+        )
+        mesh = make_mesh(8)
+        members = [(model, replicate(mesh, p)) for p in (p1, p2)]
+        preds2, _ = eval_ensemble(
+            members, loader, opt, split="val", beam_size=2,
+            val_images_use=16, language_eval_flag=False, mesh=mesh,
+        )
+        assert [p["caption"] for p in preds2] == [p["caption"] for p in preds1]
+
     def test_diff_feat_ensemble(self, tmp_path):
         opt, loader, _, _ = build(caption_model="recurrent_fusion_model")
         opt.eval_results_dir = str(tmp_path)
