@@ -230,10 +230,113 @@ def bench_train(model, dtype_name):
     }
 
 
+def bench_rl(model):
+    """One full SCST iteration at flagship dims: fused sampled+greedy rollout
+    (one 2B-lane scan), host-side vectorized+native CIDEr-D rewards, jitted
+    policy-gradient step. This is the recipe's LONG phase
+    (train_recurrent_fusion_model_rl.sh); the reference runs it as two
+    sequential per-batch rollouts + a dict-of-tuples Python scorer."""
+    from recurrent_fusion_network_tpu.config import Options
+    from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+    from recurrent_fusion_network_tpu.rewards.self_critical import compute_reward
+    from recurrent_fusion_network_tpu.training.criterion import make_rl_criterion
+    from recurrent_fusion_network_tpu.training.optim import make_optimizer
+    from recurrent_fusion_network_tpu.training.train_rl_loop import (
+        make_rl_step,
+        make_rollout_fn,
+    )
+
+    B = 256  # rollout + grad re-eval both live on chip; 256 is the fit point
+    opt = Options(
+        caption_model="recurrent_fusion_model",
+        feature_type="feat_array",
+        feat_array_info=[
+            {"fc_feat_size": f, "att_feat_size": a, "att_num": n}
+            for f, a, n in zip(model.fc_feat_sizes, model.att_feat_sizes,
+                               model.att_nums)
+        ],
+        rnn_size=model.rnn_size,
+        input_encoding_size=model.input_encoding_size,
+        att_hid_size=model.att_hid_size,
+        num_review_steps=model.num_review_steps,
+        num_review_steps_0=model.num_review_steps_0,
+        top_words_count=model.top_words_count,
+        use_remat=1,
+    )
+    opt.vocab_size = model.vocab_size
+    opt.seq_length = model.seq_length
+
+    import dataclasses
+
+    model = dataclasses.replace(model, use_remat=True)
+    key = jax.random.PRNGKey(0)
+    params = model.init_params(key)
+    tx = make_optimizer(opt)
+    opt_state = tx.init(params)
+    rollout_fn = make_rollout_fn(model)
+    rl_step, _ = make_rl_step(model, make_rl_criterion(opt), tx)
+
+    fcs, atts = make_inputs(model, key, B, jnp.float32)
+    top_words = jnp.full((B, model.top_words_count), -1, jnp.int32)
+    top_words = top_words.at[:, 0].set(1)
+    # synthetic gts + train-idf scorer on COCO-scale vocab (5 refs/image);
+    # df carries ~1M entries so the hashed-ngram lookup cost is COCO-realistic
+    g = np.random.default_rng(0)
+    gts = [g.integers(1, model.vocab_size, (5, model.seq_length)).astype(np.int64)
+           for _ in range(B)]
+    df = {int(k): float(v) for k, v in
+          zip(g.integers(1, 2**62, 1_000_000), g.integers(1, 50, 1_000_000))}
+    scorer = CiderD(df, float(np.log(113_287)))  # COCO train size
+
+    state = {"p": params, "o": opt_state, "k": key}
+    parts = {"rollout_s": [], "reward_s": [], "step_s": []}
+
+    def one_iter():
+        state["k"], rk = jax.random.split(state["k"])
+        t0 = time.perf_counter()
+        seq, greedy = rollout_fn(state["p"], fcs, atts, rk)
+        seq_np, greedy_np = np.asarray(seq), np.asarray(greedy)
+        t1 = time.perf_counter()
+        rewards = compute_reward(scorer, seq_np, greedy_np, gts)
+        t2 = time.perf_counter()
+        p, o, loss = rl_step(
+            state["p"], state["o"], fcs, atts, seq,
+            jnp.asarray(rewards, jnp.float32), top_words,
+            jnp.float32(5e-5), jnp.zeros((B, model.seq_length), jnp.float32),
+        )
+        state["p"], state["o"] = p, o
+        np.asarray(loss)
+        t3 = time.perf_counter()
+        parts["rollout_s"].append(t1 - t0)
+        parts["reward_s"].append(t2 - t1)
+        parts["step_s"].append(t3 - t2)
+        return loss
+
+    for _ in range(WARMUP):
+        one_iter()
+    parts = {k: [] for k in parts}
+    times = []
+    for _ in range(ITERS):
+        t0 = time.perf_counter()
+        one_iter()
+        times.append(time.perf_counter() - t0)
+    sec = float(np.median(times))
+    return {
+        "batch_rows": B,
+        "iter_seconds": round(sec, 4),
+        "images_per_sec": round(B / sec, 2),
+        "rollout_ms": round(float(np.median(parts["rollout_s"])) * 1e3, 1),
+        "reward_host_ms": round(float(np.median(parts["reward_s"])) * 1e3, 1),
+        "grad_step_ms": round(float(np.median(parts["step_s"])) * 1e3, 1),
+    }
+
+
 def _run_phase(phase: str):
     model = flagship()
     if phase == "decode":
         return bench_decode(model)
+    if phase == "rl":
+        return bench_rl(model)
     return bench_train(model, "bfloat16" if phase == "train_bf16" else "float32")
 
 
@@ -245,7 +348,7 @@ def main():
     # state — the decode graph's buffers and the f32 training step do not
     # both fit on one chip otherwise.
     results = {}
-    for phase in ("decode", "train_f32", "train_bf16"):
+    for phase in ("decode", "train_f32", "train_bf16", "rl"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
             capture_output=True, text=True,
@@ -272,6 +375,7 @@ def main():
                 "train": {"f32": results["train_f32"],
                           "bf16": results["train_bf16"],
                           "peak_tflops_assumed": PEAK_TFLOPS},
+                "rl": results["rl"],
             }
         )
     )

@@ -35,6 +35,15 @@ def main():
     opt = parse_opt()
     loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
     mesh = None
+    if opt.async_opt and opt.num_dp_devices <= 1:
+        # the reference's Hogwild path (main.py:45-61) maps to sync DP over
+        # num_processes devices (SURVEY §2.5 — async shared-memory updates
+        # have no TPU analogue; pmean of grads is the idiomatic superset)
+        import jax
+
+        opt.num_dp_devices = min(opt.num_processes, len(jax.devices()))
+        print(f"--async_opt 1 -> synchronous DP over "
+              f"{opt.num_dp_devices} device(s)")
     if opt.num_dp_devices > 1:
         from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
 

@@ -37,6 +37,13 @@ def main():
         df = compute_doc_freq(loader.dataset, ids)
         scorer = CiderD(df, float(np.log(len(ids))))
     mesh = None
+    if opt.async_opt and opt.num_dp_devices <= 1:
+        # Hogwild -> sync DP, same mapping as main.py
+        import jax
+
+        opt.num_dp_devices = min(opt.num_processes, len(jax.devices()))
+        print(f"--async_opt 1 -> synchronous DP over "
+              f"{opt.num_dp_devices} device(s)")
     if opt.num_dp_devices > 1:
         from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
 

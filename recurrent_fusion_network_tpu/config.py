@@ -249,8 +249,30 @@ def finalize_options(opt) -> None:
         opt.feat_array_info = []
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every CLI entry point: the flagship
+    graphs take minutes to compile on remote-compile TPU hosts, and repeated
+    train/eval invocations must not pay that again. Honors JAX_CACHE_DIR;
+    JAX_NO_COMPILE_CACHE=1 disables."""
+    import os
+
+    if os.environ.get("JAX_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/rfnet_jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # never block a run on cache plumbing
+        print(f"warning: compile cache unavailable: {e}")
+
+
 def parse_opt(argv: Optional[Sequence[str]] = None) -> Options:
     """Parse CLI flags into an Options namespace (reference: opts.py:7-315)."""
+    enable_compile_cache()
     parser = argparse.ArgumentParser(
         description="TPU-native RFNet captioning framework options"
     )

@@ -102,6 +102,18 @@ class PackedFeatureSource:
         return PackedFeatureSource(root)
 
 
+def stable_feature_seed(image_id, variant: str, seed: int) -> int:
+    """Process-independent RNG seed for per-(image, variant) features.
+    Python's hash() on str-containing tuples is salted per process
+    (PYTHONHASHSEED), which silently made synthetic runs unreproducible
+    across invocations and across cluster workers."""
+    import zlib
+
+    return (
+        int(image_id) * 2654435761 + zlib.crc32(variant.encode()) * 97 + seed
+    ) % (2**31)
+
+
 class SyntheticFeatureSource:
     """Deterministic per-id random features (tests / smoke runs)."""
 
@@ -109,8 +121,9 @@ class SyntheticFeatureSource:
         self.fc_dim, self.att_num, self.att_dim, self.seed = fc_dim, att_num, att_dim, seed
 
     def load(self, image_id, variant: str = "original"):
-        h = hash((int(image_id), variant, self.seed)) % (2**31)
-        g = np.random.default_rng(h)
+        g = np.random.default_rng(
+            stable_feature_seed(image_id, variant, self.seed)
+        )
         fc = g.standard_normal(self.fc_dim).astype(np.float32)
         att = g.standard_normal((self.att_num, self.att_dim)).astype(np.float32)
         return fc, att

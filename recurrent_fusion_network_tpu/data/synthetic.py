@@ -113,7 +113,11 @@ class LearnableFeatureSource:
     def load(self, image_id, variant: str = "original"):
         caps = self.ds.captions_for_image(image_id)
         toks = caps[0][caps[0] > 0]
-        g = np.random.default_rng(hash((int(image_id), variant, self.seed)) % (2**31))
+        from .dataset import stable_feature_seed
+
+        g = np.random.default_rng(
+            stable_feature_seed(image_id, variant, self.seed)
+        )
         fc = self.word_emb_fc[toks].mean(0) + self.noise * g.standard_normal(self.fc_dim)
         # att position p holds the embedding of the p-th caption token
         att = np.zeros((self.att_num, self.att_dim), np.float32)
