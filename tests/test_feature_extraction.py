@@ -355,6 +355,111 @@ class TestDenseNet:
             assert a.shape == b.shape
 
 
+class TestDenseNetNumericGolden:
+    def test_torch_numeric_golden(self):
+        """NUMERIC converter validation for DenseNet (same pattern as the
+        ResNet golden): a tiny torch DenseNet with torchvision's features.*
+        naming and randomized BN statistics, converted via
+        load_torch_state_dict, must reproduce torch's fc/att features."""
+        import torch.nn as tnn
+
+        from recurrent_fusion_network_tpu.data.feature_extraction.densenet_jax import (
+            DenseNetConfig,
+            densenet_features,
+        )
+        from recurrent_fusion_network_tpu.data.feature_extraction.densenet_jax import (
+            load_torch_state_dict as dn_load,
+        )
+
+        cfg = DenseNetConfig(blocks=(2, 2), growth=4, init_features=8,
+                             bn_size=2, att_size=2)
+
+        class DenseLayer(tnn.Module):
+            def __init__(self, cin, growth, bn_size):
+                super().__init__()
+                inter = bn_size * growth
+                self.norm1 = tnn.BatchNorm2d(cin)
+                self.conv1 = tnn.Conv2d(cin, inter, 1, bias=False)
+                self.norm2 = tnn.BatchNorm2d(inter)
+                self.conv2 = tnn.Conv2d(inter, growth, 3, padding=1, bias=False)
+
+            def forward(self, x):
+                h = self.conv1(torch.relu(self.norm1(x)))
+                h = self.conv2(torch.relu(self.norm2(h)))
+                return torch.cat([x, h], 1)
+
+        class TinyDenseNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                f = tnn.Module()
+                f.conv0 = tnn.Conv2d(3, cfg.init_features, 7, stride=2,
+                                     padding=3, bias=False)
+                f.norm0 = tnn.BatchNorm2d(cfg.init_features)
+                c = cfg.init_features
+                for bi, n in enumerate(cfg.blocks, start=1):
+                    block = tnn.Module()
+                    for li in range(1, n + 1):
+                        setattr(block, f"denselayer{li}",
+                                DenseLayer(c, cfg.growth, cfg.bn_size))
+                        c += cfg.growth
+                    setattr(f, f"denseblock{bi}", block)
+                    if bi < len(cfg.blocks):
+                        t = tnn.Module()
+                        t.norm = tnn.BatchNorm2d(c)
+                        t.conv = tnn.Conv2d(c, c // 2, 1, bias=False)
+                        setattr(f, f"transition{bi}", t)
+                        c //= 2
+                f.norm5 = tnn.BatchNorm2d(c)
+                self.features = f
+
+            def forward(self, x):
+                f = self.features
+                x = torch.relu(f.norm0(f.conv0(x)))
+                x = F.max_pool2d(x, 3, stride=2, padding=1)
+                for bi, n in enumerate(cfg.blocks, start=1):
+                    block = getattr(f, f"denseblock{bi}")
+                    for li in range(1, n + 1):
+                        x = getattr(block, f"denselayer{li}")(x)
+                    if bi < len(cfg.blocks):
+                        t = getattr(f, f"transition{bi}")
+                        x = F.avg_pool2d(t.conv(torch.relu(t.norm(x))), 2)
+                x = torch.relu(f.norm5(x))
+                fc = x.mean(3).mean(2)
+                att = F.adaptive_avg_pool2d(x, (cfg.att_size, cfg.att_size))
+                return fc, att
+
+        torch.manual_seed(1)
+        net = TinyDenseNet().eval()
+        with torch.no_grad():
+            for m in net.modules():
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.running_mean.uniform_(-0.2, 0.2)
+                    m.running_var.uniform_(0.5, 1.5)
+                    m.weight.uniform_(0.5, 1.5)
+                    m.bias.uniform_(-0.2, 0.2)
+
+        params = dn_load(net.state_dict(), cfg)
+        g = np.random.default_rng(5)
+        imgs = g.random((2, 64, 64, 3)).astype(np.float32)
+        fc_j, att_j = densenet_features(params, jnp.asarray(imgs), cfg)
+
+        from recurrent_fusion_network_tpu.data.feature_extraction.resnet_jax import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        x_t = ((imgs - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+               ).astype(np.float32)
+        with torch.no_grad():
+            fc_t, att_t = net(torch.from_numpy(x_t.transpose(0, 3, 1, 2)))
+        np.testing.assert_allclose(np.asarray(fc_j), fc_t.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(att_j), att_t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-3, atol=1e-4,
+        )
+
+
 class TestInception:
     @pytest.mark.slow
     @pytest.mark.parametrize("arch,fc_dim,att_dim", [
