@@ -156,6 +156,8 @@ def _defaults() -> dict:
         # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
+        tied_att_keys=0,  # RFNet variant: share attention-KEY projections
+        # across review steps (8x fewer encode-key FLOPs; 0 = strict parity)
         checkpoint_backend="pickle",  # 'pickle' (reference triple-file
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
         checkpoint_async=0,  # orbax only: background the disk write (the

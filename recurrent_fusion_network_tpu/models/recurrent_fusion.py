@@ -55,6 +55,13 @@ class RecurrentFusionModel:
     # rematerialize scan-step activations in the backward pass: ~1/3 more
     # forward FLOPs for a 2-3x larger training-batch HBM ceiling
     use_remat: bool = False
+    # TPU-native OPT-IN variant (off = strict reference parity): tie the
+    # h-independent attention-KEY projections across review steps, so each
+    # encoder's (B, A_j, D_j) x (D_j, H) key matmul runs once instead of once
+    # per untied step. These projections are the measured majority of encode
+    # time (PERF_NOTES.md §2: ~74% of the decode pipeline); queries
+    # (h_2_att_h) and every other weight stay untied per step.
+    tied_att_keys: bool = False
 
     @property
     def num_feat_array(self) -> int:
@@ -82,6 +89,7 @@ class RecurrentFusionModel:
             decoder_maxout=bool(opt.maxout),
             fusion_maxout=bool(opt.fusion_maxout),
             use_remat=bool(getattr(opt, 'use_remat', 0)),
+            tied_att_keys=bool(getattr(opt, 'tied_att_keys', 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -106,19 +114,29 @@ class RecurrentFusionModel:
         # so its stage I is always tanh. That is dropped plumbing, not a
         # semantic choice; the flag default (0) keeps strict-parity behavior.
         review1 = []
+        review1_keys = []
         for i in range(M):
             step_keys = jax.random.split(jax.random.fold_in(k_r1, i), self.num_review_steps_0)
-            review1.append(
-                stack_params(
-                    [
-                        cells.fusion_lstm_init(
-                            k, H_size, R, self.att_feat_sizes[i], self.att_hid_size,
-                            maxout=self.fusion_maxout,
-                        )
-                        for k in step_keys
-                    ]
+            step_cells = [
+                cells.fusion_lstm_init(
+                    k, H_size, R, self.att_feat_sizes[i], self.att_hid_size,
+                    maxout=self.fusion_maxout,
                 )
-            )
+                for k in step_keys
+            ]
+            if self.tied_att_keys:
+                # one key projection per encoder, shared by every step;
+                # drop the per-step copies from the scanned stack
+                for c in step_cells:
+                    del c["att"]["att_2_att_h"]
+                review1_keys.append(
+                    linear(
+                        jax.random.fold_in(k_r1, 1000 + i),
+                        self.att_feat_sizes[i], self.att_hid_size,
+                        bias="uniform",
+                    )
+                )
+            review1.append(stack_params(step_cells))
 
         rli_keys = jax.random.split(k_rli, M)
         reason_individual = [
@@ -127,16 +145,23 @@ class RecurrentFusionModel:
 
         # Stage II: stack of num_review_steps untied multi-attention cells.
         r2_keys = jax.random.split(k_r2, self.num_review_steps)
-        review2 = stack_params(
-            [
-                cells.multi_att_lstm_init(
-                    k, R, R, M, self.att_hid_size, maxout=self.review_maxout
-                )
-                for k in r2_keys
-            ]
-        )
+        step_cells2 = [
+            cells.multi_att_lstm_init(
+                k, R, R, M, self.att_hid_size, maxout=self.review_maxout
+            )
+            for k in r2_keys
+        ]
+        review2_keys = None
+        if self.tied_att_keys:
+            for c in step_cells2:
+                del c["att"]["att_2_att_h"]
+            head_keys = jax.random.split(jax.random.fold_in(k_r2, 999), M)
+            review2_keys = stack_params(
+                [linear(k, R, self.att_hid_size, bias="uniform") for k in head_keys]
+            )  # leading axis M
+        review2 = stack_params(step_cells2)
 
-        return {
+        params = {
             "fc2h": fc2h,
             "embed": embed,
             "logit": logit,
@@ -149,6 +174,10 @@ class RecurrentFusionModel:
                 maxout=self.decoder_maxout,
             ),
         }
+        if self.tied_att_keys:
+            params["review1_keys"] = tuple(review1_keys)  # M per-encoder
+            params["review2_keys"] = review2_keys  # (M, R, H)
+        return params
 
     # ------------------------------------------------------------- public API
 
@@ -168,21 +197,34 @@ class RecurrentFusionModel:
         r1 = None if rng is None else jax.random.fold_in(rng, 1)
         r2 = None if rng is None else jax.random.fold_in(rng, 2)
 
-        # hoist every untied step's h-independent attention-key projection out
-        # of the scan: per encoder one (B*A_j, D_j) x (D_j, R0*H) matmul
+        # hoist the h-independent attention-key projections out of the scan.
+        # untied (reference parity): one (B*A_j, D_j) x (D_j, R0*H) matmul per
+        # encoder, producing per-step keys. tied (--tied_att_keys): a single
+        # (B*A_j, D_j) x (D_j, H) matmul per encoder shared by every step —
+        # an R0x FLOP cut on the dominant encode cost (PERF_NOTES.md §2).
         keys1 = []
         for j in range(M):
-            a = params["review1"][j]["att"]["att_2_att_h"]
-            keys1.append(
-                jnp.einsum("bad,sdh->sbah", att_feats[j], a["w"])
-                + a["b"][:, None, None, :]
-            )
+            if self.tied_att_keys:
+                keys1.append(
+                    attention.precompute_keys(
+                        {"att_2_att_h": params["review1_keys"][j]}, att_feats[j]
+                    )  # (B, A, H)
+                )
+            else:
+                a = params["review1"][j]["att"]["att_2_att_h"]
+                keys1.append(
+                    jnp.einsum("bad,sdh->sbah", att_feats[j], a["w"])
+                    + a["b"][:, None, None, :]
+                )
         keys1 = tuple(keys1)
 
         # ---- stage I: interacting fusion review --------------------------------
         def stage1(carry, step_in):
             states, i = carry
-            step_params, step_keys = step_in
+            if self.tied_att_keys:
+                step_params, step_keys = step_in, keys1  # shared keys
+            else:
+                step_params, step_keys = step_in
             H = jnp.concatenate([st[0] for st in states], axis=1)  # (B, M*R)
             outs, reasons, new_states = [], [], []
             for j in range(M):
@@ -206,8 +248,9 @@ class RecurrentFusionModel:
 
         if self.use_remat:
             stage1 = jax.checkpoint(stage1)
+        xs1 = params["review1"] if self.tied_att_keys else (params["review1"], keys1)
         (states, _), (thought_seqs, reason_seqs) = jax.lax.scan(
-            stage1, (states, 0), (params["review1"], keys1)
+            stage1, (states, 0), xs1
         )
         # thought_seqs: tuple of M arrays (R0, B, R)
         thoughts_i = [jnp.transpose(t, (1, 0, 2)) for t in thought_seqs]  # M x (B,R0,R)
@@ -220,15 +263,25 @@ class RecurrentFusionModel:
 
         # ---- stage II: multi-attention combine ---------------------------------
         thought_stack = jnp.stack(thoughts_i, axis=0)  # (M, B, R0, R)
-        a2 = params["review2"]["att"]["att_2_att_h"]  # w: (S, M, R, H)
-        keys2 = (
-            jnp.einsum("mbar,smrh->smbah", thought_stack, a2["w"])
-            + a2["b"][:, :, None, None, :]
-        )
+        if self.tied_att_keys:
+            kw = params["review2_keys"]  # w: (M, R, H)
+            keys2 = (
+                jnp.einsum("mbar,mrh->mbah", thought_stack, kw["w"])
+                + kw["b"][:, None, None, :]
+            )
+        else:
+            a2 = params["review2"]["att"]["att_2_att_h"]  # w: (S, M, R, H)
+            keys2 = (
+                jnp.einsum("mbar,smrh->smbah", thought_stack, a2["w"])
+                + a2["b"][:, :, None, None, :]
+            )
 
         def stage2(carry, step_in):
             state, i = carry
-            step_params, step_keys = step_in
+            if self.tied_att_keys:
+                step_params, step_keys = step_in, keys2  # shared keys
+            else:
+                step_params, step_keys = step_in
             r = None if r2 is None else jax.random.fold_in(r2, i)
             out, state = cells.multi_att_lstm_step(
                 step_params,
@@ -246,8 +299,9 @@ class RecurrentFusionModel:
 
         if self.use_remat:
             stage2 = jax.checkpoint(stage2)
+        xs2 = params["review2"] if self.tied_att_keys else (params["review2"], keys2)
         (state, _), (comb_outs, comb_reasons) = jax.lax.scan(
-            stage2, (state, 0), (params["review2"], keys2)
+            stage2, (state, 0), xs2
         )
         thoughts_comb = jnp.transpose(comb_outs, (1, 0, 2))  # (B, S, R)
         reason_preds.append(jnp.max(comb_reasons, axis=0))

@@ -206,3 +206,114 @@ def test_remat_is_numerically_identical():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=1e-6)
+
+
+class TestTiedAttKeys:
+    """--tied_att_keys: the TPU-native RFNet variant sharing attention-KEY
+    projections across review steps (recurrent_fusion.py docstring; an 8x
+    FLOP cut on the measured-dominant encode cost). Off by default."""
+
+    def _tied(self):
+        m, _, fcs, atts = tiny_rfnet()
+        import dataclasses
+        mt = dataclasses.replace(m, tied_att_keys=True)
+        return mt, mt.init_params(jax.random.PRNGKey(0)), fcs, atts
+
+    def test_equals_untied_with_copied_key_weights(self):
+        """A tied model must produce the SAME logprobs as the parity model
+        whose per-step key weights are all set to the tied weights — proving
+        the hoisting is exactly weight sharing, not an approximation."""
+        mt, pt, fcs, atts = self._tied()
+        m, p, _, _ = tiny_rfnet()
+        seq, _ = labels()
+
+        # build untied params from the tied ones: broadcast the tied key
+        # weights to every step, copy everything else leaf-for-leaf
+        S0, S = m.num_review_steps_0, m.num_review_steps
+        pu = jax.tree_util.tree_map(lambda x: x, p)
+        pu = {k: v for k, v in pt.items() if k not in ("review1_keys", "review2_keys")}
+        review1 = []
+        for j, cell in enumerate(pu["review1"]):
+            cell = jax.tree_util.tree_map(lambda x: x, cell)
+            kj = pt["review1_keys"][j]
+            cell["att"] = dict(cell["att"])
+            cell["att"]["att_2_att_h"] = {
+                "w": jnp.broadcast_to(kj["w"], (S0,) + kj["w"].shape),
+                "b": jnp.broadcast_to(kj["b"], (S0,) + kj["b"].shape),
+            }
+            review1.append(cell)
+        pu["review1"] = tuple(review1)
+        pu["review2"] = dict(pu["review2"])
+        pu["review2"]["att"] = dict(pu["review2"]["att"])
+        k2 = pt["review2_keys"]
+        pu["review2"]["att"]["att_2_att_h"] = {
+            "w": jnp.broadcast_to(k2["w"], (S,) + k2["w"].shape),
+            "b": jnp.broadcast_to(k2["b"], (S,) + k2["b"].shape),
+        }
+
+        seqj = jnp.asarray(seq)
+        lps_t, reason_t = mt.forward(pt, fcs, atts, seqj)
+        lps_u, reason_u = m.forward(pu, fcs, atts, seqj)
+        np.testing.assert_allclose(np.asarray(lps_t), np.asarray(lps_u),
+                                   rtol=1e-5, atol=1e-6)
+        for a, b in zip(reason_t, reason_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_grads_reach_tied_keys_and_sampling_runs(self):
+        mt, pt, fcs, atts = self._tied()
+        seq, mask = labels()
+
+        def loss_fn(p):
+            lps, reason = mt.forward(p, fcs, atts, seq)
+            top_true = jnp.full((B, 8), -1, jnp.int32).at[:, 0].set(1)
+            return losses.review_net_ensemble_loss(
+                lps, seq[:, 1:], mask[:, 1:], reason, top_true, 1.0
+            )
+
+        g = jax.grad(loss_fn)(pt)
+        for j in range(mt.num_feat_array):
+            assert float(jnp.abs(g["review1_keys"][j]["w"]).sum()) > 0
+        assert float(jnp.abs(g["review2_keys"]["w"]).sum()) > 0
+
+        from recurrent_fusion_network_tpu.decoding.api import model_sample
+        out = model_sample(mt, pt, fcs, atts, beam_size=2)
+        assert out.seq.shape == (B, mt.seq_length)
+
+    def test_loss_decreases_under_adam(self):
+        """Trainability gate, same pattern as the parity models' test:
+        the tied variant overfits a fixed batch under Adam."""
+        m, p, fcs, atts = self._tied()
+        seq, mask = labels()
+        optx = optax.adam(1e-2)
+        opt_state = optx.init(p)
+
+        def loss_fn(p):
+            lps, _ = m.forward(p, fcs, atts, seq)
+            return losses.language_model_loss(lps, seq[:, 1:], mask[:, 1:])
+
+        @jax.jit
+        def train_step(p, opt_state):
+            l, g = jax.value_and_grad(loss_fn)(p)
+            updates, opt_state = optx.update(g, opt_state)
+            return optax.apply_updates(p, updates), opt_state, l
+
+        l0 = None
+        for _ in range(20):
+            p, opt_state, l = train_step(p, opt_state)
+            if l0 is None:
+                l0 = float(l)
+        assert float(l) < l0 * 0.8, (l0, float(l))
+
+    def test_opt_flag_reaches_factory(self):
+        from recurrent_fusion_network_tpu.config import Options
+
+        opt = Options(caption_model="recurrent_fusion_model",
+                      feature_type="feat_array",
+                      feat_array_info=[{"fc_feat_size": 8, "att_feat_size": 10,
+                                        "att_num": 6}],
+                      tied_att_keys=1)
+        opt.vocab_size, opt.seq_length = V, L
+        m = setup(opt)
+        assert m.tied_att_keys
+        assert "review1_keys" in m.init_params(jax.random.PRNGKey(0))
