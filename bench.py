@@ -332,9 +332,15 @@ def bench_rl(model):
 
 
 def _run_phase(phase: str):
+    import dataclasses
+
     model = flagship()
     if phase == "decode":
         return bench_decode(model)
+    if phase == "decode_tied":
+        # the opt-in --tied_att_keys variant (NOT the headline: the headline
+        # stays the strict-parity model); measured 1.49x over parity decode
+        return bench_decode(dataclasses.replace(model, tied_att_keys=True))
     if phase == "rl":
         return bench_rl(model)
     return bench_train(model, "bfloat16" if phase == "train_bf16" else "float32")
@@ -348,7 +354,7 @@ def main():
     # state — the decode graph's buffers and the f32 training step do not
     # both fit on one chip otherwise.
     results = {}
-    for phase in ("decode", "train_f32", "train_bf16", "rl"):
+    for phase in ("decode", "decode_tied", "train_f32", "train_bf16", "rl"):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
             capture_output=True, text=True,
@@ -376,6 +382,7 @@ def main():
                           "bf16": results["train_bf16"],
                           "peak_tflops_assumed": PEAK_TFLOPS},
                 "rl": results["rl"],
+                "decode_tied_att_keys": results["decode_tied"],
             }
         )
     )
