@@ -62,7 +62,8 @@ WORD_BANK = [
 # 40-word test fixtures
 
 
-def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
+def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size,
+                 tied_att_keys=0):
     """Learnable 3-encoder corpus: each encoder is an independent random
     'view' (different embedding bases) of the caption content — the
     multi-encoder setting RFNet's fusion stages exist for."""
@@ -106,6 +107,7 @@ def build_corpus(seed, n_train, n_val, n_test, work_dir, batch_size):
         # per image (LearnableFeatureSource hashes the variant), multiplying
         # the effective dataset against memorization
         seed=seed,
+        tied_att_keys=tied_att_keys,
         id="proxy",
         checkpoint_path=work_dir,
         eval_results_dir=f"{work_dir}/eval_results",
@@ -142,6 +144,8 @@ def main():
     ap.add_argument("--out", default="PIPELINE_PROXY.json")
     ap.add_argument("--seeds", type=int, default=2,
                     help="fleet size (the full recipe uses 8 members)")
+    ap.add_argument("--tied_att_keys", type=int, default=0,
+                    help="run the TPU-native tied-key variant")
     args = ap.parse_args()
 
     n_seeds = args.seeds
@@ -164,7 +168,8 @@ def main():
     quiet = lambda *a, **k: None  # noqa: E731
 
     # ---------------------------------------------------------- XE fleet
-    opt, loader = build_corpus(1, n_train, n_val, n_test, args.work_dir, batch)
+    opt, loader = build_corpus(1, n_train, n_val, n_test, args.work_dir, batch,
+                               tied_att_keys=args.tied_att_keys)
     opt.save_checkpoint_every = eval_every
     print(f"[proxy] XE fleet: {n_seeds} seeds x {xe_iters} iters "
           f"({n_train} train images, vocab {opt.vocab_size})")
@@ -178,7 +183,8 @@ def main():
     print(f"[proxy] XE test CIDEr per seed: {xe_test}")
 
     # ---------------------------------------------------------- SCST fleet
-    opt2, loader2 = build_corpus(1, n_train, n_val, n_test, args.work_dir, batch)
+    opt2, loader2 = build_corpus(1, n_train, n_val, n_test, args.work_dir, batch,
+                                 tied_att_keys=args.tied_att_keys)
     opt2.save_checkpoint_every = eval_every
     opt2.start_from = args.work_dir
     opt2.load_model_id = "proxy"
@@ -237,6 +243,7 @@ def main():
         ),
         "ensemble_gt_single": bool(ens_cider > max(rl_test)),
         "wall_seconds": round(time.time() - t0, 1),
+        "tied_att_keys": bool(args.tied_att_keys),
         "quick": bool(args.quick),
     }
     with open(args.out, "w") as f:

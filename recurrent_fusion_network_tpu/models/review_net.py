@@ -46,6 +46,9 @@ class ReviewNetModel:
     decoder_maxout: bool = False
     use_mos: bool = False
     num_expert: int = 10
+    # share attention-KEY projections across review steps (the same opt-in
+    # TPU-native variant as RecurrentFusionModel.tied_att_keys; off = parity)
+    tied_att_keys: bool = False
 
     @classmethod
     def from_opt(cls, opt):
@@ -71,6 +74,7 @@ class ReviewNetModel:
             decoder_maxout=bool(opt.maxout),
             use_mos=bool(opt.use_mos),
             num_expert=opt.num_expert,
+            tied_att_keys=bool(getattr(opt, "tied_att_keys", 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -81,15 +85,22 @@ class ReviewNetModel:
             k_el, self.vocab_size, self.input_encoding_size, self.rnn_size
         )
         rev_keys = jax.random.split(k_rev, self.num_review_steps)
-        review = stack_params(
-            [
-                cells.no_input_lstm_init(
-                    k, self.rnn_size, self.att_feat_size, self.att_hid_size,
-                    maxout=self.review_maxout,
-                )
-                for k in rev_keys
-            ]
-        )
+        step_cells = [
+            cells.no_input_lstm_init(
+                k, self.rnn_size, self.att_feat_size, self.att_hid_size,
+                maxout=self.review_maxout,
+            )
+            for k in rev_keys
+        ]
+        review_keys = None
+        if self.tied_att_keys:
+            for c in step_cells:
+                del c["att"]["att_2_att_h"]
+            review_keys = linear(
+                jax.random.fold_in(k_rev, 999),
+                self.att_feat_size, self.att_hid_size, bias=0.0,
+            )
+        review = stack_params(step_cells)
         params = {
             "fc2h": linear(k_fc, self.fc_feat_size, self.rnn_size, bias="default"),
             "embed": embed,
@@ -111,6 +122,8 @@ class ReviewNetModel:
             params["mos"] = mos.init(
                 k_mos, self.rnn_size, self.rnn_size, self.num_expert, self.vocab_size + 1
             )
+        if self.tied_att_keys:
+            params["review_keys"] = review_keys
         return params
 
     # ------------------------------------------------------------- public API
@@ -124,16 +137,26 @@ class ReviewNetModel:
 
         # hoist the h-independent attention-key projections of ALL untied
         # review steps out of the scan: one (B*A, D) x (D, S*H) matmul
-        # instead of S sequential (B*A, D) x (D, H) matmuls
-        rev_att = params["review"]["att"]["att_2_att_h"]
-        keys_all = (
-            jnp.einsum("bad,sdh->sbah", att_feats, rev_att["w"])
-            + rev_att["b"][:, None, None, :]
-        )
+        # instead of S sequential (B*A, D) x (D, H) matmuls. With
+        # --tied_att_keys the projection is a single (B*A, D) x (D, H)
+        # matmul shared by every step.
+        if self.tied_att_keys:
+            keys_all = attention.precompute_keys(
+                {"att_2_att_h": params["review_keys"]}, att_feats
+            )  # (B, A, H)
+        else:
+            rev_att = params["review"]["att"]["att_2_att_h"]
+            keys_all = (
+                jnp.einsum("bad,sdh->sbah", att_feats, rev_att["w"])
+                + rev_att["b"][:, None, None, :]
+            )
 
         def review_step(carry, step_in):
             state, i = carry
-            step_params, step_keys = step_in
+            if self.tied_att_keys:
+                step_params, step_keys = step_in, keys_all
+            else:
+                step_params, step_keys = step_in
             r = None if rng is None else jax.random.fold_in(rng, i)
             out, state = cells.no_input_lstm_step(
                 step_params,
@@ -149,8 +172,9 @@ class ReviewNetModel:
             reason = apply_linear(params["reason_linear"], out)
             return (state, i + 1), (out, reason)
 
+        xs = params["review"] if self.tied_att_keys else (params["review"], keys_all)
         (state, _), (thoughts, reasons) = jax.lax.scan(
-            review_step, (state, 0), (params["review"], keys_all)
+            review_step, (state, 0), xs
         )
         thoughts = jnp.transpose(thoughts, (1, 0, 2))  # (B, S, R)
         reason_pred = jnp.max(reasons, axis=0)  # max over steps -> (B, W)

@@ -317,3 +317,28 @@ class TestTiedAttKeys:
         m = setup(opt)
         assert m.tied_att_keys
         assert "review1_keys" in m.init_params(jax.random.PRNGKey(0))
+
+    def test_reviewnet_tied_equals_untied_with_copied_keys(self):
+        """Same exact-weight-sharing proof for ReviewNet's tied variant."""
+        import dataclasses
+        m, _, fc, att = tiny_reviewnet()
+        mt = dataclasses.replace(m, tied_att_keys=True)
+        pt = mt.init_params(jax.random.PRNGKey(0))
+        seq, _ = labels()
+
+        pu = {k: v for k, v in pt.items() if k != "review_keys"}
+        pu["review"] = dict(pu["review"])
+        pu["review"]["att"] = dict(pu["review"]["att"])
+        S = m.num_review_steps
+        kk = pt["review_keys"]
+        pu["review"]["att"]["att_2_att_h"] = {
+            "w": jnp.broadcast_to(kk["w"], (S,) + kk["w"].shape),
+            "b": jnp.broadcast_to(kk["b"], (S,) + kk["b"].shape),
+        }
+        seqj = jnp.asarray(seq)
+        lps_t, rt = mt.forward(pt, fc, att, seqj)
+        lps_u, ru = m.forward(pu, fc, att, seqj)
+        np.testing.assert_allclose(np.asarray(lps_t), np.asarray(lps_u),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rt[0]), np.asarray(ru[0]),
+                                   rtol=1e-5, atol=1e-6)
