@@ -19,8 +19,10 @@ def build_backbone(
     att_size: int,
     torch_weights: Optional[str] = None,
     seed: int = 0,
-) -> Tuple[dict, Callable, int]:
-    """Returns (params, features_fn(params, images) -> (fc, att_grid), C)."""
+) -> Tuple[dict, Callable, int, int]:
+    """Returns (params, features_fn(params, images) -> (fc, att_grid),
+    fc_dim, att_dim). fc_dim == att_dim for every arch except inception_v3
+    (fc tap 2048 @ Mixed_7c, att tap 1280 @ Mixed_7a — feat_registry dims)."""
     if arch.startswith("resnet"):
         cfg = getattr(resnet_jax.ResNetConfig, arch)()
         cfg = resnet_jax.ResNetConfig(blocks=cfg.blocks, att_size=att_size)
@@ -53,7 +55,7 @@ def build_backbone(
             params = inception_jax.inception_init(arch, jax.random.PRNGKey(seed))
             print("WARNING: random backbone weights (smoke run only)")
         feats = lambda p, imgs: inception_jax.inception_features(arch, p, imgs)
-        return params, feats, att_dim
+        return params, feats, fc_dim, att_dim
     else:
         raise ValueError(f"arch not supported: {arch}; choose from {ARCHS}")
 
@@ -67,4 +69,4 @@ def build_backbone(
         params = init(jax.random.PRNGKey(seed), cfg)
         print("WARNING: random backbone weights (smoke run only)")
 
-    return params, (lambda p, imgs: feats(p, imgs, cfg)), out_c
+    return params, (lambda p, imgs: feats(p, imgs, cfg)), out_c, out_c

@@ -68,7 +68,9 @@ def main(argv=None):
     p.add_argument("--shard_size", type=int, default=4096)
     args = p.parse_args(argv)
 
-    params, feats_fn, C = build_backbone(args.arch, args.att_size, args.torch_weights)
+    params, feats_fn, C_fc, C_att = build_backbone(
+        args.arch, args.att_size, args.torch_weights
+    )
 
     variants = VARIANTS if args.variants == "all" else tuple(args.variants.split(","))
 
@@ -89,39 +91,46 @@ def main(argv=None):
     pack_dir = out_dir if args.output_format == "packed" else out_dir + ".packed_tmp"
     os.makedirs(pack_dir, exist_ok=True)
     S = args.att_size
+    # stream straight into the on-disk arrays: at COCO scale the att matrix
+    # is ~200 GB per variant and must never be RAM-resident. IMAGE-major
+    # order: each image decodes from disk ONCE and all its augmentation
+    # variants derive from that decode (variant-major would redo the JPEG
+    # decode V times — ~1.1M redundant decodes at COCO scale with all 10).
+    fc_outs, att_outs = {}, {}
     for variant in variants:
-        # stream straight into the on-disk arrays: at COCO scale the att
-        # matrix is ~200 GB per variant and must never be RAM-resident
-        fc_out = np.lib.format.open_memmap(
+        fc_outs[variant] = np.lib.format.open_memmap(
             os.path.join(pack_dir, f"{variant}_fc.npy"), mode="w+",
-            dtype=np.float32, shape=(N, C),
+            dtype=np.float32, shape=(N, C_fc),
         )
-        att_out = np.lib.format.open_memmap(
+        att_outs[variant] = np.lib.format.open_memmap(
             os.path.join(pack_dir, f"{variant}_att.npy"), mode="w+",
-            dtype=np.float32, shape=(N, S * S, C),
+            dtype=np.float32, shape=(N, S * S, C_att),
         )
-        for start in range(0, N, B):
-            chunk = names[start : start + B]
-            imgs = np.stack(
-                [load_image(os.path.join(args.images_dir, n), args.image_size)
-                 for n in chunk]
-            )
-            var_imgs = jnp.stack([make_variant(jnp.asarray(im), variant) for im in imgs])
-            pad = B - len(chunk)
-            if pad:
-                var_imgs = jnp.concatenate(
-                    [var_imgs, jnp.zeros((pad,) + var_imgs.shape[1:])], 0
-                )
+    for start in range(0, N, B):
+        chunk = names[start : start + B]
+        imgs = jnp.stack(
+            [jnp.asarray(load_image(os.path.join(args.images_dir, n),
+                                    args.image_size))
+             for n in chunk]
+        )
+        pad = B - len(chunk)
+        if pad:
+            imgs = jnp.concatenate([imgs, jnp.zeros((pad,) + imgs.shape[1:])], 0)
+        for variant in variants:
+            var_imgs = jnp.stack([make_variant(im, variant) for im in imgs])
             fc, att = run(var_imgs)
-            fc_out[start : start + len(chunk)] = np.asarray(fc)[: len(chunk)]
-            att_out[start : start + len(chunk)] = (
-                np.asarray(att)[: len(chunk)].reshape(len(chunk), S * S, C)
+            fc_outs[variant][start : start + len(chunk)] = (
+                np.asarray(fc)[: len(chunk)]
             )
-            if (start // B) % 50 == 0:
-                print(f"{variant}: {start + len(chunk)}/{N}")
-        fc_out.flush()
-        att_out.flush()
-        del fc_out, att_out
+            att_outs[variant][start : start + len(chunk)] = (
+                np.asarray(att)[: len(chunk)].reshape(len(chunk), S * S, C_att)
+            )
+        if (start // B) % 50 == 0:
+            print(f"{start + len(chunk)}/{N} images x {len(variants)} variants")
+    for variant in variants:
+        fc_outs[variant].flush()
+        att_outs[variant].flush()
+    del fc_outs, att_outs
     with open(os.path.join(pack_dir, "ids.json"), "w") as f:
         json.dump(ids, f)
     if args.output_format == "sharded":

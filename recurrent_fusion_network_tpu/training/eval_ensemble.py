@@ -60,6 +60,9 @@ def eval_ensemble(
     batch axis across it (same contract as eval_split's mesh)."""
     if mesh is not None and jax.process_count() > 1:
         mesh = None  # per-host local eval (see eval_split)
+    # host-sharded loaders materialize only local rows per batch (see
+    # eval_split): dedupe with the LOCAL image count
+    local_bs = loader.batch_size // getattr(loader, "host_count", 1)
     beam_size = opt.beam_size if beam_size is None else beam_size
     val_images_use = opt.val_images_use if val_images_use is None else val_images_use
     if flip_ensemble is None:
@@ -100,7 +103,7 @@ def eval_ensemble(
     def dispatch(data):
         """Queue the decode(s) for one batch; returns device futures."""
         feats = _shard(_member_feats(data, len(members), diff_feat,
-                                     loader.batch_size, loader.seq_per_img))
+                                     local_bs, loader.seq_per_img))
         out_a = decode(feats)
         if not flip_ensemble:
             return out_a, None
@@ -108,7 +111,7 @@ def eval_ensemble(
         # the SAME batch's images reload under the flip variant)
         data_flip = _reload_variant(loader, data, "flip")
         feats_f = _shard(_member_feats(data_flip, len(members), diff_feat,
-                                       loader.batch_size, loader.seq_per_img))
+                                       local_bs, loader.seq_per_img))
         return out_a, decode(feats_f)
 
     from ..decoding.serve import pipelined_map

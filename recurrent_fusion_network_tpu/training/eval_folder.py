@@ -34,7 +34,7 @@ def eval_image_folder(
     att_size: int = 14,
 ) -> List[dict]:
     """Returns [{'image_id', 'file', 'caption'}] for every image in the folder."""
-    bb_params, feats_fn, _ = build_backbone(backbone_arch, att_size, backbone_weights)
+    bb_params, feats_fn, _, _ = build_backbone(backbone_arch, att_size, backbone_weights)
 
     names = sorted(
         f for f in os.listdir(image_folder)

@@ -103,6 +103,9 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     addressable for sentence decoding)."""
     if mesh is not None and jax.process_count() > 1:
         mesh = None  # per-host local eval (see docstring)
+    # on a host-sharded loader each batch materializes only this host's
+    # contiguous block; dedupe and infos indexing must use the LOCAL count
+    local_bs = loader.batch_size // getattr(loader, "host_count", 1)
     val_images_use = opt.val_images_use if val_images_use is None else val_images_use
     beam_size = opt.beam_size if beam_size is None else beam_size
     if language_eval_flag is None:
@@ -135,7 +138,7 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
         top_words = jnp.asarray(data["top_words"])
-        fc1, att1 = dedupe_feats(fc, att, loader.batch_size, loader.seq_per_img)
+        fc1, att1 = dedupe_feats(fc, att, local_bs, loader.seq_per_img)
         if mesh is not None:
             from ..parallel.mesh import with_dp_sharding
 

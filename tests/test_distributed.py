@@ -59,6 +59,46 @@ class TestHostShardedLoader:
             # iterator state stays in lockstep
             assert parts[0]["bounds"] == parts[1]["bounds"] == whole["bounds"]
 
+    def test_eval_split_on_host_sharded_loader(self):
+        """Per-host eval over a host-sharded loader must dedupe with the
+        LOCAL image count: each host captions exactly its block and the two
+        hosts' predictions concatenate to the unsharded host's (regression:
+        dedupe previously used the GLOBAL batch size, duplicating clamped
+        rows then crashing on infos indexing)."""
+        import jax
+
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.eval_split import eval_split
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                    seq_per_img=2)
+        opt.vocab_size, opt.seq_length = base.vocab_size, base.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        full = DataLoader(opt, base.dataset, base.sources, prefetch=False)
+        _, preds_full, _ = eval_split(model, params, full, opt, split="val",
+                                      val_images_use=16,
+                                      language_eval_flag=False)
+        parts = []
+        for k in range(2):
+            ld = DataLoader(opt, base.dataset, base.sources, prefetch=False,
+                            host_shard=(k, 2))
+            _, preds, _ = eval_split(model, params, ld, opt, split="val",
+                                     val_images_use=16,
+                                     language_eval_flag=False)
+            parts.append(preds)
+        # interleave per batch: host0 rows then host1 rows, batch by batch
+        got = []
+        for b in range(len(parts[0]) // 4):
+            got += parts[0][b * 4:(b + 1) * 4] + parts[1][b * 4:(b + 1) * 4]
+        assert [p["image_id"] for p in got] == \
+            [p["image_id"] for p in preds_full]
+        assert [p["caption"] for p in got] == \
+            [p["caption"] for p in preds_full]
+
     def test_batch_must_divide_by_hosts(self):
         from recurrent_fusion_network_tpu.data.loader import DataLoader
         from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup

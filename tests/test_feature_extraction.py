@@ -489,7 +489,8 @@ class TestInception:
         )
 
         assert "inception_v3" in ARCHS
-        params, feats_fn, att_dim = build_backbone("inception_v3", 8)
+        params, feats_fn, fc_dim, att_dim = build_backbone("inception_v3", 8)
+        assert (fc_dim, att_dim) == (2048, 1280)
         assert att_dim == 1280
 
 
