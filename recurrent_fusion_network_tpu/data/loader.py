@@ -82,8 +82,20 @@ class DataLoader:
         self._prod_it = {"train": 0, "val": 0, "test": 0}
         self._order = {s: list(ids) for s, ids in self.split_image_id.items()}
 
-        self._rng = random.Random(opt.seed)
-        self._np_rng = np.random.default_rng(opt.seed)
+        # PER-SPLIT RNG streams: the splits' prefetcher threads run
+        # concurrently (train batches assemble while val evaluates), and a
+        # shared stream would interleave draws timing-dependently — breaking
+        # run-to-run reproducibility and, on multi-host runs, the lockstep
+        # invariant that every host draws the same shuffle/caption/variant
+        # sequence for the train stream
+        self._rng = {
+            s: random.Random(opt.seed + 7919 * i)
+            for i, s in enumerate(("train", "val", "test"))
+        }
+        self._np_rng = {
+            s: np.random.default_rng(opt.seed + 104729 * (i + 1))
+            for i, s in enumerate(("train", "val", "test"))
+        }
 
         self._prefetch_enabled = prefetch
         self._prefetchers: Dict[str, "_Prefetcher"] = {}
@@ -130,15 +142,15 @@ class DataLoader:
             pos = 0
             wrapped = True
             if split == "train":
-                self._rng.shuffle(ids)
+                self._rng[split].shuffle(ids)
         self._prod_it[split] = pos
         return image_id, wrapped
 
-    def _pick_variant(self) -> str:
+    def _pick_variant(self, split: str) -> str:
         """Random augmentation variant (dataloader.py:432-443)."""
         if self.use_flip:
             hi = 10 if self.use_crop else 2
-            return FLIP_TYPE_TO_VARIANT[int(self._np_rng.integers(0, hi))]
+            return FLIP_TYPE_TO_VARIANT[int(self._np_rng[split].integers(0, hi))]
         return FLIP_TYPE_TO_VARIANT[self.aug_type]
 
     # ----------------------------------------------------------------- batch
@@ -175,21 +187,22 @@ class DataLoader:
         local_rows = []  # (image_id, variant) for this host's rows, in order
         wrapped = False
 
+        rng = self._rng[split]
         for i in range(B):
             # cursor + every RNG draw advances for ALL global rows so hosts
             # stay in lockstep; only local rows materialize data
             image_id, w = self._next_image(split)
             wrapped = wrapped or w
-            v = variant or self._pick_variant()
+            v = variant or self._pick_variant(split)
             caps = ds.captions_for_image(image_id)
             ncap = caps.shape[0]
             assert ncap > 0, "an image does not have any label"
             if ncap < spi:
                 seq = np.stack(
-                    [caps[self._rng.randint(0, ncap - 1), :L] for _ in range(spi)]
+                    [caps[rng.randint(0, ncap - 1), :L] for _ in range(spi)]
                 )
             else:
-                start = self._rng.randint(0, ncap - spi)
+                start = rng.randint(0, ncap - spi)
                 seq = caps[start : start + spi, :L]
 
             li = i - lo  # local row index
@@ -297,20 +310,32 @@ class _Prefetcher:
 
     def _run(self):
         while not self._stop.is_set():
-            batch = self.loader._assemble_batch(self.split)
+            try:
+                batch = self.loader._assemble_batch(self.split)
+            except Exception as e:  # surface IO/shape errors to the consumer
+                self._put(("error", e))
+                return
             state = {
                 "iterators": self.loader._prod_it[self.split],
                 "split_image_id": self.loader._order[self.split][:],
             }
-            while not self._stop.is_set():
-                try:
-                    self.q.put((batch, state), timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            self._put(("ok", (batch, state)))
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
 
     def get(self):
-        return self.q.get()
+        kind, payload = self.q.get()
+        if kind == "error":
+            raise RuntimeError(
+                f"batch prefetcher for split '{self.split}' failed"
+            ) from payload
+        return payload
 
     def stop(self):
         self._stop.set()
@@ -319,4 +344,7 @@ class _Prefetcher:
                 self.q.get_nowait()
         except queue.Empty:
             pass
-        self.thread.join(timeout=2.0)
+        # join WITHOUT a timeout: a thread still inside _assemble_batch would
+        # otherwise write the production cursors after reset_iterator zeroed
+        # them (assembly is bounded by one batch of IO, so this terminates)
+        self.thread.join()

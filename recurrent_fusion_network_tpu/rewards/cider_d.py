@@ -212,10 +212,21 @@ class CiderD:
         set; duplicated sets (e.g. seq_per_img expansion) are vectorized once.
         """
         # n-gram key packing allots KEY_BASE slots per token position; a
-        # vocabulary beyond that would silently alias keys and corrupt scores
+        # vocabulary beyond that would silently alias keys and corrupt
+        # scores. Both sides of the comparison must be validated: refs carry
+        # the full caption vocabulary even when the sampled hyps happen to
+        # use small ids only.
         hi = max(
             (int(np.max(h)) for h in hyps if np.size(h)),
             default=0,
+        )
+        hi = max(
+            hi,
+            max(
+                (int(np.max(r)) for rs in refs_per_hyp for r in rs
+                 if np.size(r)),
+                default=0,
+            ),
         )
         if hi >= KEY_BASE:
             raise ValueError(

@@ -26,8 +26,12 @@ from ..metrics.coco_eval import language_eval
 from .criterion import make_criterion
 
 
-def batch_feats(data, dtype=None):
-    conv = (lambda x: jnp.asarray(x, dtype)) if dtype else jnp.asarray
+def batch_feats(data, dtype=None, *, as_numpy=False):
+    """Batch feature arrays; as_numpy keeps them HOST-side (multi-host
+    callers hand local rows straight to the global-array constructor — a
+    device conversion first would round-trip device->host->device)."""
+    lib = np if as_numpy else jnp
+    conv = (lambda x: lib.asarray(x, dtype)) if dtype else lib.asarray
     if "fc_feats_array" in data:
         return (
             [conv(x) for x in data["fc_feats_array"]],

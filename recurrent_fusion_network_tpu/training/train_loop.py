@@ -62,10 +62,12 @@ def make_train_step(model, crit, tx, mesh=None, compute_dtype=None):
 
 
 def _device_batch(data, mesh=None, compute_dtype=None):
-    fc, att = batch_feats(data, compute_dtype)
-    labels = jnp.asarray(data["labels"])
-    masks = jnp.asarray(data["masks"])
-    top_words = jnp.asarray(data["top_words"])
+    multi = mesh is not None and jax.process_count() > 1
+    lib = np if multi else jnp  # multi-host: stay host-side (see batch_feats)
+    fc, att = batch_feats(data, compute_dtype, as_numpy=multi)
+    labels = lib.asarray(data["labels"])
+    masks = lib.asarray(data["masks"])
+    top_words = lib.asarray(data["top_words"])
     if mesh is not None:
         from ..parallel.distributed import global_dp_batch
 

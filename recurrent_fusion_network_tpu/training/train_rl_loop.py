@@ -236,8 +236,9 @@ def train_rl(
 
         start = time.time()
         data = loader.get_batch("train")
-        fc, att = batch_feats(data)
-        top_words = jnp.asarray(data["top_words"])
+        multi = mesh is not None and jax.process_count() > 1
+        fc, att = batch_feats(data, as_numpy=multi)
+        top_words = (np if multi else jnp).asarray(data["top_words"])
         if mesh is not None:
             from ..parallel.distributed import global_dp_batch
 
@@ -255,11 +256,14 @@ def train_rl(
             spice_weight=opt.spice_weight,
             spice_fn=spice_fn,
         )
-        reward_dev = jnp.asarray(rewards, jnp.float32)
         if mesh is not None:
             from ..parallel.distributed import global_dp_batch
 
-            reward_dev = global_dp_batch(mesh, reward_dev)
+            # hand HOST rows to the global-array constructor: converting to
+            # jnp first would round-trip device->host->device per iteration
+            reward_dev = global_dp_batch(mesh, np.asarray(rewards, np.float32))
+        else:
+            reward_dev = jnp.asarray(rewards, jnp.float32)
 
         if opt.use_ppo:
             slp_old = old_logprobs_fn(params, fc, att, seq)
