@@ -87,7 +87,10 @@ def beam_search(
     lane_idx = jnp.arange(K)[None, :]  # (1, K)
     pos = jnp.arange(L)[None, None, :]  # (1, 1, L)
 
-    def body(state, t):
+    def select(state, t):
+        """One step of candidate selection + done-beam collection (no
+        decoding): returns everything the next decode (or the epilogue)
+        needs."""
         (carry, prev_lp, beam_seq, beam_lps, beam_sum, last_tok,
          done_seq, done_lps, done_p) = state
 
@@ -118,13 +121,16 @@ def beam_search(
         merged_seq = jnp.concatenate([done_seq, new_seq], axis=1)  # (B, 2K, L)
         merged_lps = jnp.concatenate([done_lps, new_lps], axis=1)
         keep = lambda a: jnp.take_along_axis(a, keep_i[:, :, None], axis=1)
-        done_seq, done_lps, done_p = keep(merged_seq), keep(merged_lps), keep_p
+        return (parent, token, vals, new_seq, new_lps,
+                keep(merged_seq), keep(merged_lps), keep_p)
 
+    def body(state, t):
+        (parent, token, vals, new_seq, new_lps,
+         done_seq, done_lps, done_p) = select(state, t)
         # rearrange recurrent state to the forked beams and decode one step
-        carry = _gather_lanes(carry, parent, B, K)
+        carry = _gather_lanes(state[0], parent, B, K)
         lp, carry = step_fn(token.reshape(B * K), carry)
         prev_lp = lp.reshape(B, K, V)
-
         return (
             carry, prev_lp, new_seq, new_lps, vals, token,
             done_seq, done_lps, done_p,
@@ -141,8 +147,12 @@ def beam_search(
         jnp.zeros((B, K, L)),
         jnp.full((B, K), NEG),
     )
-    final, _ = jax.lax.scan(body, init, jnp.arange(1, L + 1))
-    done_seq, done_lps, done_p = final[6], final[7], final[8]
+    # scan decodes through step L-1; the final step (t == L) only selects and
+    # collects — running it inside the scan would compute one full decoder
+    # step over all B*K lanes whose outputs are discarded (~1/L of the
+    # decode FLOPs)
+    final, _ = jax.lax.scan(body, init, jnp.arange(1, L))
+    *_, done_seq, done_lps, done_p = select(final, jnp.asarray(L))
 
     return BeamOut(
         seq=done_seq[:, 0, :],

@@ -198,6 +198,12 @@ def reward_loss(
     B, T = sample_logprobs.shape
     mask_0, mask = _rl_masks(seq)
     if use_ppo:
+        # exp(a)/(1e-5+exp(b)) reproduces the reference exactly
+        # (misc/utils.py:108-110). NOTE the epsilon is not inert: for tokens
+        # with logprob_old < ln(1e-5) ~ -11.5 it shrinks the ratio below the
+        # true exp(a-b) (e.g. a==b gives 0.38, not 1.0), down-weighting rare
+        # tokens. Kept for parity; the numerically-exact form would be
+        # jnp.exp(sample_logprobs - sample_logprobs_old).
         ratio = jnp.exp(sample_logprobs) / (1e-5 + jnp.exp(sample_logprobs_old))
         surr1 = ratio * reward
         surr2 = jnp.clip(ratio, 1.0 - ppo_clip, 1.0 + ppo_clip) * reward

@@ -84,10 +84,14 @@ def train_multi_seed(
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
 
-    seed_keys = jnp.stack(
+    # per-seed base key -> (run, init) split, same discipline as the RL
+    # fleet: the init key and the run chain never share threefry streams
+    base_keys = jnp.stack(
         [jax.random.PRNGKey(opt.seed + r) for r in range(n_seeds)]
     )
-    params = jax.vmap(model.init_params)(seed_keys)
+    split_keys = jax.vmap(jax.random.split)(base_keys)  # (S, 2, key)
+    rngs, init_rngs = split_keys[:, 0], split_keys[:, 1]
+    params = jax.vmap(model.init_params)(init_rngs)
     opt_state = jax.vmap(tx.init)(params)
     if mesh is not None:
         params, opt_state = _shard_seed_axis(mesh, n_seeds, params, opt_state)
@@ -113,7 +117,6 @@ def train_multi_seed(
         donate_argnums=(0, 1),  # in-place param/opt-state update
     )
 
-    rngs = jax.vmap(jax.random.fold_in)(seed_keys, jnp.arange(n_seeds))
     if mesh is not None:
         rngs = _shard_seed_axis(mesh, n_seeds, rngs)
     iteration, epoch = 0, 0
@@ -126,13 +129,16 @@ def train_multi_seed(
     # degraded ensemble members
     best_scores = [None] * n_seeds
     best_params = [None] * n_seeds
+    best_opt_states = [None] * n_seeds  # checkpointed so the RL phase can
+    # restore optimizer moments under --load_lr (train_rl.py:96-98 contract)
     val_histories = [dict() for _ in range(n_seeds)]
     lr = opt.optim_lr
     ss = 0.0
     update_lr_flag = True
 
-    def seed_slice(r):
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), params)
+    def seed_slice(r, tree=None):
+        tree = params if tree is None else tree
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), tree)
 
     def eval_seeds(at_iter):
         for r in range(n_seeds):
@@ -146,6 +152,7 @@ def train_multi_seed(
             if best_scores[r] is None or score > best_scores[r]:
                 best_scores[r] = score
                 best_params[r] = p
+                best_opt_states[r] = seed_slice(r, opt_state)
         log_fn(
             f"iter {at_iter} fleet val scores: "
             + " ".join(f"{s:.3f}" for s in best_scores)
@@ -161,9 +168,14 @@ def train_multi_seed(
         labels = jnp.asarray(data["labels"])
         masks = jnp.asarray(data["masks"])
         top_words = jnp.asarray(data["top_words"])
-        rngs = jax.vmap(lambda k: jax.random.split(k)[0])(rngs)
+        # two-way split: one side advances the chain, the OTHER feeds the
+        # step (reusing the chain key as the step key would overlap the
+        # threefry streams across iterations — same discipline as
+        # train_loop.py's rng, step_rng = split(rng))
+        sk = jax.vmap(jax.random.split)(rngs)
+        rngs, step_rngs = sk[:, 0], sk[:, 1]
         params, opt_state, losses = vstep(
-            params, opt_state, rngs, fc, att, labels, masks, top_words,
+            params, opt_state, step_rngs, fc, att, labels, masks, top_words,
             jnp.float32(lr), jnp.float32(ss),
         )
         if data["bounds"]["wrapped"]:
@@ -207,7 +219,8 @@ def train_multi_seed(
             }
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
-                params=best_params[r], infos=infos, best=True,
+                params=best_params[r], opt_state=best_opt_states[r],
+                infos=infos, best=True,
             )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     return result
@@ -266,13 +279,15 @@ def train_multi_seed_rl(
     rl_lr_bases = np.full(n_seeds, opt.optim_rl_lr, np.float64)
     warm_start_params = [None] * n_seeds
     warm_start_scores = [None] * n_seeds
+    saved_opt_states = [None] * n_seeds
     if opt.start_from is not None:
         per_seed, lr_hists = [], []
         for r in range(n_seeds):
-            p, _, infos_r = _ckpt.load_checkpoint(
+            p, s, infos_r = _ckpt.load_checkpoint(
                 opt.start_from, opt.load_model_id, r, best=True
             )
             per_seed.append(p)
+            saved_opt_states[r] = s
             lr_hists.append(infos_r.get("lr_history", {}))
             # reference semantics (train_rl.py + --load_best_score): the RL
             # phase's best gate starts from the XE best score, so an RL run
@@ -289,35 +304,33 @@ def train_multi_seed_rl(
                 if h:
                     rl_lr_bases[r] = min(h.values()) / opt.optim_rl_lr_ratio
     opt_state = jax.vmap(tx.init)(params)
+    if opt.load_lr and all(s is not None for s in saved_opt_states):
+        # reference semantics: the optimizer is restored only under
+        # --load_lr (train_rl.py:96-98) — same as the solo loop
+        from .checkpoint import adopt_structure
+
+        template = tx.init(jax.tree_util.tree_map(lambda x: x[0], params))
+        try:
+            adopted = [adopt_structure(template, s) for s in saved_opt_states]
+            opt_state = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *adopted
+            )
+        except AssertionError:
+            print("warning: checkpoint optimizer state incompatible; "
+                  "re-initialized")
     if mesh is not None:
         params, opt_state, run_rngs = _shard_seed_axis(
             mesh, n_seeds, params, opt_state, run_rngs
         )
 
-    # build unjitted single-seed fns and vmap them (jit on the outside);
-    # the rollout is the same fused 2B-lane sampled+greedy scan as the solo
-    # loop (make_rollout_fn) so fleet seed trajectories match solo runs
-    from ..decoding.engine import make_step_fn
-    from ..decoding.sample import sample as sample_tokens
+    # the rollout is the SAME fused 2B-lane sampled+greedy scan as the solo
+    # loop — literally the same function (make_rollout_fn jit=False), vmapped
+    # over the seed axis, so fleet seed trajectories cannot drift from solo
+    from .train_rl_loop import make_rollout_fn
 
-    def rollout(params, fc, att, rng):
-        enc = model.encode(params, fc, att)
-        state2 = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x, x], axis=0), enc.state
-        )
-        mem2 = jax.tree_util.tree_map(
-            lambda x: jnp.concatenate([x, x], axis=0), enc.memory
-        )
-        step = make_step_fn(model, params, mem2)
-        fc0 = fc[0] if isinstance(fc, (list, tuple)) else fc
-        B = fc0.shape[0]
-        V1 = model.vocab_size + 1
-        greedy_mask = jnp.arange(2 * B) >= B
-        out = sample_tokens(step, state2, 2 * B, model.seq_length, V1,
-                            rng=rng, greedy_mask=greedy_mask)
-        return out.seq[:B], out.seq[B:]
-
-    vrollout = jax.jit(jax.vmap(rollout, in_axes=(0, None, None, 0)))
+    vrollout = jax.jit(
+        jax.vmap(make_rollout_fn(model, jit=False), in_axes=(0, None, None, 0))
+    )
 
     spice_fn = None
     if opt.spice_weight > 0:
@@ -338,12 +351,14 @@ def train_multi_seed_rl(
     reward_histories = [dict() for _ in range(n_seeds)]
     best_scores = list(warm_start_scores)
     best_params = list(warm_start_params)
+    best_opt_states = [None] * n_seeds
     val_histories = [dict() for _ in range(n_seeds)]
     update_lr_flag = True
     lrs = jnp.asarray(rl_lr_bases, jnp.float32)
 
-    def seed_slice(r):
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), params)
+    def seed_slice(r, tree=None):
+        tree = params if tree is None else tree
+        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), tree)
 
     def eval_seeds(at_iter):
         for r in range(n_seeds):
@@ -357,6 +372,7 @@ def train_multi_seed_rl(
             if best_scores[r] is None or score > best_scores[r]:
                 best_scores[r] = score
                 best_params[r] = p
+                best_opt_states[r] = seed_slice(r, opt_state)
         log_fn(
             f"iter {at_iter} rl fleet val scores: "
             + " ".join(f"{s:.3f}" for s in best_scores)
@@ -447,7 +463,8 @@ def train_multi_seed_rl(
             }
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
-                params=best_params[r], infos=infos, best=True, prefix="rl_",
+                params=best_params[r], opt_state=best_opt_states[r],
+                infos=infos, best=True, prefix="rl_",
             )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     return result

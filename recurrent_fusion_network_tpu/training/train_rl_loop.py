@@ -67,7 +67,7 @@ def _local_rows(arr) -> np.ndarray:
     return np.concatenate([np.asarray(s.data) for s in ordered], axis=0)
 
 
-def make_rollout_fn(model):
+def make_rollout_fn(model, jit: bool = True):
     """Jitted: (params, fc, att, rng) -> (sampled seq, greedy seq).
 
     The multinomial rollout and its greedy baseline run as ONE scan over 2B
@@ -75,6 +75,8 @@ def make_rollout_fn(model):
     share every per-step weight read and the matmuls run at double width,
     instead of the reference's two sequential full rollouts
     (train_rl.py:149-182 + get_rewards.py:122-126).
+    jit=False returns the raw function so callers can vmap it first
+    (multi_seed.train_multi_seed_rl — one rollout definition, no drift).
     """
 
     def rollout(params, fc, att, rng):
@@ -94,7 +96,7 @@ def make_rollout_fn(model):
                      rng=rng, greedy_mask=greedy_mask)
         return out.seq[:B], out.seq[B:]
 
-    return jax.jit(rollout)
+    return jax.jit(rollout) if jit else rollout
 
 
 def make_rl_step(model, rl_crit, tx, jit: bool = True):

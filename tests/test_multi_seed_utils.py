@@ -233,11 +233,18 @@ class TestMultiSeedRL:
         train_multi_seed(opt, loader, 2, max_iterations=3,
                          eval_at_end=True, log_fn=quiet)
 
+        # XE fleet checkpoints must carry optimizer state: the RL phase's
+        # --load_lr contract restores the Adam moments (train_rl.py:96-98)
+        for r in range(2):
+            _, s, infos = load_checkpoint(str(tmp_path), "fleet", r, best=True)
+            assert s is not None and infos["lr_history"]
+
         opt2, loader2 = synthetic_setup(**kw)
         opt2.checkpoint_path = str(tmp_path)
         opt2.id = "fleet"
         opt2.start_from = str(tmp_path)
         opt2.load_model_id = "fleet"
+        opt2.load_lr = 1  # exercise the fleet's optimizer-moment restore
         res = train_multi_seed_rl(
             opt2, loader2, self._scorer(loader2), 2, max_iterations=3,
             eval_at_end=True, log_fn=quiet,
