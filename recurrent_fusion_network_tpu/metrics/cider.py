@@ -102,7 +102,16 @@ class CiderScorer:
         """hyps[i] is one token sequence; refs[i] its reference set."""
         assert len(hyps) == len(refs)
         hyp_counts = [ngram_counter(h, self.n) for h in hyps]
-        ref_counts = [[ngram_counter(r, self.n) for r in rs] for rs in refs]
+        # share counters across entries that pass the SAME refs list object
+        # (e.g. several hyps of one image) so the downstream id()-keyed
+        # vector cache actually hits — rebuilding per entry made it dead
+        rc_cache: Dict[int, list] = {}
+        ref_counts = []
+        for rs in refs:
+            k = id(rs)
+            if k not in rc_cache:
+                rc_cache[k] = [ngram_counter(r, self.n) for r in rs]
+            ref_counts.append(rc_cache[k])
 
         if self.df is None:
             # corpus mode: df over the distinct reference sets of this call

@@ -1,11 +1,19 @@
 """PTB-style caption tokenization.
 
-The reference shells out to Stanford CoreNLP's PTBTokenizer and then strips a
-fixed punctuation list and lowercases
-(coco-caption/pycocoevalcap/tokenizer/ptbtokenizer.py:21-68). For captions —
-short, already-ASCII sentences — the observable effect is: lowercase,
-punctuation removed, whitespace-split. This module reproduces that effect in
-pure Python (no Java subprocess).
+The reference shells out to Stanford CoreNLP's PTBTokenizer (-lowerCase)
+and then strips a fixed punctuation list
+(coco-caption/pycocoevalcap/tokenizer/ptbtokenizer.py:21-68). This module
+reproduces the OBSERVABLE pipeline effect in pure Python (no Java
+subprocess), including the PTB rules that change token identity:
+
+  * clitics split into their own tokens and SURVIVE the strip list
+    ("dog's" -> dog 's ; "don't" -> do n't — "'s"/"n't" are not in
+    PUNCTUATIONS, only the bare apostrophe is);
+  * sentence punctuation . ? ! , : ; splits off and is stripped, while
+    word-internal periods (u.s.) and hyphens (twenty-one) stay;
+  * brackets become -LRB-/-RRB-/-LCB-/-RCB- and quotes become ``/'' in PTB —
+    all on the strip list, so here they are removed directly;
+  * -- and ... are standalone tokens, stripped.
 """
 
 from __future__ import annotations
@@ -20,17 +28,42 @@ PUNCTUATIONS = [
 ]
 
 _SPLIT = re.compile(r"[\s]+")
-_PUNCT_CHARS = re.compile(r"[\.\?\!,:;]+$|^[\.\?\!,:;]+")
+# PTB clitic suffixes, split into their own tokens (kept by the strip list)
+_CLITIC = re.compile(r"(n't|'s|'m|'re|'ve|'ll|'d)$")
+_BRACKET_QUOTE = re.compile(r"[\(\)\[\]\{\}\"]")
+_STANDALONE = re.compile(r"(\.\.\.|--|[,;:\?\!])")
+_STRIP_SET = frozenset(PUNCTUATIONS)
 
 
 def tokenize_sentence(s: str) -> List[str]:
+    s = s.replace("\n", " ").lower()
+    # brackets/quotes become -LRB- etc. / ``'' in PTB, all stripped — remove
+    s = _BRACKET_QUOTE.sub(" ", s)
+    # standalone punctuation tokens (then stripped)
+    s = _STANDALONE.sub(r" \1 ", s)
     out = []
-    for tok in _SPLIT.split(s.strip().lower()):
+    for tok in _SPLIT.split(s.strip()):
         if not tok:
             continue
-        tok = _PUNCT_CHARS.sub("", tok)
-        if tok and tok not in PUNCTUATIONS:
+        if _CLITIC.fullmatch(tok):  # a bare clitic survives whole
             out.append(tok)
+            continue
+        # split a clitic suffix into its own (surviving) token
+        m = _CLITIC.search(tok)
+        if m and m.start() > 0:
+            head, tail = tok[: m.start()], m.group()
+        else:
+            head, tail = tok, None
+        # PTB renders quote-wrapped words as ` word ' (both stripped)
+        head = head.strip("'`")
+        # sentence-final period splits off (and is stripped); abbreviation
+        # periods (u.s.) stay word-internal like PTB keeps them
+        if head.endswith(".") and "." not in head[:-1]:
+            head = head[:-1]
+        if head and head not in _STRIP_SET:
+            out.append(head)
+        if tail is not None:
+            out.append(tail)
     return out
 
 

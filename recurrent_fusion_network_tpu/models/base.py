@@ -62,7 +62,6 @@ def xe_decode(
     *,
     ss_prob=0.0,
     rng=None,
-    deterministic=True,
     vocab_size: int,
     remat: bool = False,
 ):

@@ -361,7 +361,6 @@ class RecurrentFusionModel:
             seq_in,
             ss_prob=ss_prob,
             rng=dec_rng,
-            deterministic=deterministic,
             vocab_size=self.vocab_size,
             remat=self.use_remat,
         )

@@ -236,7 +236,6 @@ class ReviewNetModel:
             seq_in,
             ss_prob=ss_prob,
             rng=dec_rng,
-            deterministic=deterministic,
             vocab_size=self.vocab_size,
         )
         return lps, enc.reason_preds

@@ -137,7 +137,6 @@ class ShowTellModel:
             seq_in,
             ss_prob=ss_prob,
             rng=dec_rng,
-            deterministic=deterministic,
             vocab_size=self.vocab_size,
         )
         return lps, []

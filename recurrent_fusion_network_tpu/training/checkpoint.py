@@ -88,18 +88,21 @@ def save_checkpoint(
 ):
     os.makedirs(checkpoint_path, exist_ok=True)
     tag = f"{prefix}{{kind}}_{run_id}_{rank}" + ("-best" if best else "")
-    with open(os.path.join(checkpoint_path, tag.format(kind="model") + ".pkl"), "wb") as f:
-        pickle.dump(_to_numpy(params), f)
+
+    def _dump(kind, obj):
+        # atomic replace: a crash mid-write (OOM/preemption) must never
+        # truncate the previous good checkpoint — especially the '-best' one
+        path = os.path.join(checkpoint_path, tag.format(kind=kind) + ".pkl")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f)
+        os.replace(tmp, path)
+
+    _dump("model", _to_numpy(params))
     if opt_state is not None:
-        with open(
-            os.path.join(checkpoint_path, tag.format(kind="optimizer") + ".pkl"), "wb"
-        ) as f:
-            pickle.dump(_to_numpy(opt_state), f)
+        _dump("optimizer", _to_numpy(opt_state))
     if infos is not None:
-        with open(
-            os.path.join(checkpoint_path, tag.format(kind="infos") + ".pkl"), "wb"
-        ) as f:
-            pickle.dump(infos, f)
+        _dump("infos", infos)
 
 
 def load_checkpoint(

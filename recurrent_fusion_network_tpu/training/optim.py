@@ -36,7 +36,8 @@ def make_optimizer(opt):
             )
         )
     elif name == "rmsprop":
-        parts.append(optax.scale_by_rms(decay=opt.optim_rmsprop_alpha, eps=1e-8))
+        parts.append(optax.scale_by_rms(decay=opt.optim_rmsprop_alpha,
+                                        eps=opt.optim_epsilon))
         if opt.optim_momentum:
             parts.append(optax.trace(decay=opt.optim_momentum))
     elif name == "sgd":

@@ -26,6 +26,23 @@ class TestTokenizer:
         assert tokenize_sentence("A man, riding; a BIKE!") == ["a", "man", "riding", "a", "bike"]
         assert tokenize_sentence("  hello   world.  ") == ["hello", "world"]
 
+    def test_ptb_pipeline_effects(self):
+        """Token identities the Stanford-PTB + strip-list pipeline produces
+        (ptbtokenizer.py:21-68): clitics split and SURVIVE (not on the strip
+        list), quotes/brackets vanish, word-internal hyphens/periods stay."""
+        assert tokenize_sentence('a dog\'s ball ("red")') == \
+            ["a", "dog", "'s", "ball", "red"]
+        assert tokenize_sentence("don't stop") == ["do", "n't", "stop"]
+        assert tokenize_sentence("it's an 'old' bike...") == \
+            ["it", "'s", "an", "old", "bike"]
+        assert tokenize_sentence("twenty-one birds -- flying") == \
+            ["twenty-one", "birds", "flying"]
+        assert tokenize_sentence("a u.s. flag.") == ["a", "u.s.", "flag"]
+        assert tokenize_sentence("we're they've i'll i'm he'd") == \
+            ["we", "'re", "they", "'ve", "i", "'ll", "i", "'m", "he", "'d"]
+        assert tokenize_sentence("the {large} [sign]") == \
+            ["the", "large", "sign"]
+
 
 class TestBleu:
     def test_perfect_match(self):
