@@ -24,6 +24,9 @@ CLI_WINS = {
     "model_path", "infos_path", "load_model_id", "eval_flip_ensemble",
     # runtime knobs the checkpoint must not override at eval time
     "dtype", "profile_dir", "profile_steps", "checkpoint_async",
+    # raw-image mode: checkpoints save image_folder=\"\" (the training
+    # default), which would clobber --image_folder and silently disable it
+    "image_folder", "image_root", "backbone_weights", "backbone_arch",
 }
 
 

@@ -8,7 +8,8 @@ the reference expects at --top_words_path (dataloader.py:122-123) but never
 ships a builder for.
 
 Labels are written as .npz by default (same keys as the reference h5:
-'labels', 'label_start_ix', 'label_end_ix'); pass --output_h5 for h5.
+'labels', 'label_start_ix', 'label_end_ix'); give --output_labels a .h5
+extension for reference-identical h5 output.
 
 Usage:
   python -m recurrent_fusion_network_tpu.data.prepro_labels \

@@ -185,6 +185,11 @@ def spice_fn_from_scorer(scorer, ix_to_word: Optional[Dict] = None):
                for i, refs in enumerate(refs_per_hyp)}
         res = {i: [to_sentence(h)] for i, h in enumerate(hyps)}
         _, sent = scorer.compute_score(gts, res)
-        return np.asarray(sent, np.float64)
+        # scorers emit per-image scores in STRING-sorted id order
+        # (0,1,10,11,...,2,...); the reward combiner consumes positionally,
+        # so invert the permutation back to hyp order
+        order = sorted(res.keys(), key=str)
+        by_id = dict(zip(order, sent))
+        return np.asarray([by_id[i] for i in range(len(hyps))], np.float64)
 
     return spice_fn

@@ -154,6 +154,26 @@ class TestRewardHook:
         assert scores[0] == 1.0  # "dog runs" vs "dog runs"
         assert scores[1] == 0.0  # "cat" vs "dog runs"
 
+    def test_scores_align_with_hyp_order_beyond_ten(self, tmp_path):
+        """Regression: scorers emit per-image scores in STRING-sorted id
+        order (0,1,10,11,...,2,...); with 12 hyps the adapter must invert
+        that permutation so hyp i gets ITS score."""
+        ix_to_word = {"1": "dog", "2": "runs", "3": "cat"}
+        scorer = SpiceJavaScorer(work_dir=str(tmp_path), runner=fake_jar)
+        fn = spice_fn_from_scorer(scorer, ix_to_word)
+        # hyp 2 and hyp 10 differ: 2 matches its refs exactly, 10 does not
+        N = 12
+        hyps, refs = [], []
+        for i in range(N):
+            if i == 2:
+                hyps.append(np.array([1, 2, 0]))   # "dog runs"
+            else:
+                hyps.append(np.array([3, 0, 0]))   # "cat"
+            refs.append([np.array([1, 2])])        # ref "dog runs"
+        scores = fn(hyps, refs)
+        assert scores[2] == 1.0, scores
+        assert all(scores[i] == 0.0 for i in range(N) if i != 2), scores
+
     def test_rl_loop_wires_service_from_opt(self, tmp_path, monkeypatch):
         """train_rl with spice_weight>0 must target opt.ip/opt.port
         (reference get_rewards.py:75-94)."""
