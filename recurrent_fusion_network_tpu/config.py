@@ -228,7 +228,11 @@ def _wire_features(opt) -> None:
         opt.feat_array_info = feat_registry.feat_array_info(opt.data_root)
         return
     info = feat_registry.encoder_info(opt.feature_type, opt.data_root)
-    opt.feat_array_info = []
+    # single-encoder runs carry their one EncoderInfo here: build_loader
+    # resolves the feature backend from it and the model factories read
+    # dims from feat_array_info[0] (an empty list made the default
+    # --feature_type inception_v3 file-backed path unreachable)
+    opt.feat_array_info = [info]
     opt.input_fc_dir = info["original"]["fc"]
     opt.input_att_dir = info["original"]["att"]
     for variant in feat_registry.VARIANTS:

@@ -61,7 +61,11 @@ def synthetic_dataset(
         images.append(img)
         starts.append(row + 1)  # 1-based like the reference
         if correlated:
-            ln = int(g.integers(4, min(seq_length, V // 4) + 1))
+            # clamp so tiny fixtures (seq_length < 4 or vocab < 16 words)
+            # still generate instead of hitting an empty integers() range
+            hi = max(1, min(seq_length, V // 4))
+            lo = min(4, hi)
+            ln = int(g.integers(lo, hi + 1))
             base = np.sort(g.choice(np.arange(1, V + 1), size=ln, replace=False))
         for c in range(caps_per_image):
             cap = np.zeros(seq_length, dtype=np.int64)
