@@ -1,0 +1,170 @@
+"""HTTP caption service: concurrent requests batched onto the TPU.
+
+The production-serving front end over ``CaptionServer``: a threading HTTP
+server whose handler threads submit one image's features (or one raw image)
+each and block on their Future — concurrent requests coalesce into
+STATIC-shape device batches (one jit graph, padded tails), so the service
+drives the chip at the batched-pipelined rate no matter how requests arrive.
+
+The reference has no serving story at all (its closest analogue is the
+offline eval loop); this is a TPU-native addition. stdlib-only (no web
+framework): ``ThreadingHTTPServer`` + JSON bodies.
+
+Endpoints:
+  GET  /healthz            -> {"ok": true, "model": ..., "batch_size": ...}
+  POST /caption            -> body {"fc": [[...] per encoder],
+                                    "att": [[[...]] per encoder]}
+                              resp {"caption": str, "logprob": float}
+  POST /caption_image      -> body = raw image bytes (jpeg/png)
+                              resp {"caption": str, "logprob": float}
+                              (requires a backbone; features extracted
+                              on-device then queued like any request)
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional, Sequence
+
+import numpy as np
+
+from ..data.vocab import decode_sequence
+from .serve import CaptionServer
+
+
+class CaptionService:
+    """Bundles the batched decode server with vocab decoding and an optional
+    raw-image backbone."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        vocab,
+        *,
+        batch_size: int = 16,
+        beam_size: int = 3,
+        depth: int = 2,
+        mesh=None,
+        backbone=None,  # optional (params, feats_fn, image_size) triple
+        flush_interval: float = 0.005,
+    ):
+        import jax
+
+        from .api import model_sample
+
+        self.vocab = vocab
+        self.model = model
+        self.beam_size = beam_size
+        self.batch_size = batch_size
+        single = not hasattr(model, "fc_feat_sizes")
+
+        def decode(fcs, atts):
+            f = fcs[0] if single else list(fcs)
+            a = atts[0] if single else list(atts)
+            out = model_sample(model, params, f, a, beam_size=beam_size)
+            return {"seq": out.seq, "seq_logprobs": out.seq_logprobs}
+
+        self._decode = jax.jit(decode)
+        self.server = CaptionServer(
+            self._decode, batch_size, depth=depth, mesh=mesh,
+            flush_interval=flush_interval,
+        )
+        self._backbone = None
+        if backbone is not None:
+            bb_params, feats_fn, image_size = backbone
+            extract = jax.jit(lambda img: feats_fn(bb_params, img))
+            self._backbone = (extract, image_size)
+
+    # ------------------------------------------------------------------ API
+
+    def caption_features(self, fcs: Sequence, atts: Sequence) -> dict:
+        """One image's per-encoder features -> {'caption', 'logprob'}."""
+        fut = self.server.submit(
+            [np.asarray(f, np.float32) for f in fcs],
+            [np.asarray(a, np.float32) for a in atts],
+        )
+        row = fut.result()
+        toks = np.asarray(row["seq"])
+        caption = decode_sequence(self.vocab, toks[None, :])[0]
+        lps = np.asarray(row["seq_logprobs"])
+        # sentence log-prob: generated tokens through the first EOS
+        eos = np.nonzero(toks == 0)[0]
+        n = int(eos[0]) + 1 if len(eos) else len(toks)
+        return {"caption": caption, "logprob": float(lps[:n].sum())}
+
+    def caption_image(self, image_bytes: bytes) -> dict:
+        """Raw image -> backbone features -> queued caption."""
+        if self._backbone is None:
+            raise RuntimeError("service started without a backbone "
+                               "(--backbone_weights); /caption_image disabled")
+        from PIL import Image
+
+        extract, image_size = self._backbone
+        img = Image.open(io.BytesIO(image_bytes)).convert("RGB")
+        img = img.resize((image_size, image_size))
+        arr = np.asarray(img, np.float32)[None] / 255.0
+        fc, att = extract(arr)
+        att = np.asarray(att)
+        att = att.reshape(att.shape[0], -1, att.shape[-1])
+        return self.caption_features([np.asarray(fc)[0]], [att[0]])
+
+    def close(self):
+        self.server.close()
+
+
+def make_handler(service: CaptionService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {
+                    "ok": True,
+                    "model": type(service.model).__name__,
+                    "batch_size": service.batch_size,
+                    "beam_size": service.beam_size,
+                    "stats": dict(service.server.stats),
+                })
+            else:
+                self._send(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(n)
+            try:
+                if self.path == "/caption":
+                    req = json.loads(body)
+                    out = service.caption_features(req["fc"], req["att"])
+                elif self.path == "/caption_image":
+                    out = service.caption_image(body)
+                else:
+                    self._send(404, {"error": "unknown path"})
+                    return
+                self._send(200, out)
+            except Exception as e:  # surface the reason to the client
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def run_server(service: CaptionService, host: str = "0.0.0.0",
+               port: int = 8080) -> ThreadingHTTPServer:
+    """Start the HTTP front end; returns the (running) server object."""
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    httpd._serve_thread = thread  # for clean shutdown by callers/tests
+    return httpd

@@ -1,0 +1,82 @@
+"""Caption-serving entry point: an HTTP service over a trained checkpoint.
+
+TPU-native addition (the reference has no serving path): concurrent HTTP
+requests are coalesced into static-shape device batches by CaptionServer,
+so the service runs at the batched-pipelined decode rate regardless of how
+requests arrive (see decoding/http_serve.py and PERF_NOTES.md §4b).
+
+  python serve.py --model_path checkpoint --load_model_id myrun \
+      --port 8080 --serve_batch_size 16 --beam_size 3
+  # raw-image mode (adds POST /caption_image):
+  python serve.py ... --backbone_weights resnet101.pth --backbone_arch resnet101
+
+  curl localhost:8080/healthz
+  curl -X POST localhost:8080/caption -d '{"fc": [[...]], "att": [[[...]]]}'
+  curl -X POST localhost:8080/caption_image --data-binary @img.jpg
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None):
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--port", type=int, default=8080)
+    pre.add_argument("--host", default="0.0.0.0")
+    pre.add_argument("--serve_batch_size", type=int, default=16)
+    pre.add_argument("--serve_depth", type=int, default=2)
+    pre_args, rest = pre.parse_known_args(argv)
+
+    from recurrent_fusion_network_tpu.config import parse_opt
+    from recurrent_fusion_network_tpu.decoding.http_serve import (
+        CaptionService,
+        run_server,
+    )
+    from recurrent_fusion_network_tpu.models import setup
+    from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+
+    from eval import merge_checkpoint_opt
+
+    opt = parse_opt(rest)
+    ckpt_dir = opt.model_path or opt.checkpoint_path
+    params, _, infos = load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
+    if "opt" in infos:
+        merge_checkpoint_opt(opt, infos["opt"])
+    vocab = infos.get("vocab")
+    assert vocab, "checkpoint infos missing vocab"
+    opt.vocab_size = len(vocab)
+    opt.seq_length = infos.get("opt", {}).get("seq_length") or 16
+    model = setup(opt)
+
+    backbone = None
+    if getattr(opt, "backbone_weights", ""):
+        from recurrent_fusion_network_tpu.data.feature_extraction.backbones import (
+            build_backbone,
+        )
+
+        bb_params, feats_fn, _, _ = build_backbone(
+            opt.backbone_arch, 14, opt.backbone_weights
+        )
+        backbone = (bb_params, feats_fn, 448)
+
+    service = CaptionService(
+        model, params, vocab,
+        batch_size=pre_args.serve_batch_size,
+        beam_size=opt.beam_size,
+        depth=pre_args.serve_depth,
+        backbone=backbone,
+    )
+    httpd = run_server(service, pre_args.host, pre_args.port)
+    print(f"caption service on {pre_args.host}:{pre_args.port} "
+          f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size}, "
+          f"image mode {'on' if backbone else 'off'})")
+    try:
+        httpd._serve_thread.join()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+        service.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,6 @@
 """Pipelined serving tests (decoding/serve.py)."""
 
+import json
 from concurrent.futures import Future
 
 import numpy as np
@@ -202,6 +203,85 @@ class TestCaptionServer:
                 )
         with pytest.raises(RuntimeError):
             bad[1].result(timeout=1)
+
+    def test_http_service_batches_concurrent_requests(self):
+        """The HTTP front end: concurrent clients coalesce into device
+        batches and each gets ITS caption; /healthz reports stats."""
+        import http.client
+        import threading
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+            run_server,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        service = CaptionService(model, params, loader.get_vocab(),
+                                 batch_size=4, beam_size=2,
+                                 flush_interval=0.01)
+        httpd = run_server(service, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        try:
+            # healthz
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            c.request("GET", "/healthz")
+            h = json.loads(c.getresponse().read())
+            assert h["ok"] and h["model"] == "ShowTellModel"
+
+            f0 = opt.feat_array_info[0]
+            g = np.random.default_rng(0)
+            n_req = 9
+            feats = [
+                (g.standard_normal(f0["fc_feat_size"]).astype(np.float32),
+                 g.standard_normal(
+                     (f0["att_num"], f0["att_feat_size"])).astype(np.float32))
+                for _ in range(n_req)
+            ]
+            results = [None] * n_req
+
+            def client(i):
+                conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+                body = json.dumps({"fc": [feats[i][0].tolist()],
+                                   "att": [feats[i][1].tolist()]})
+                conn.request("POST", "/caption", body)
+                results[i] = json.loads(conn.getresponse().read())
+
+            threads = [threading.Thread(target=client, args=(i,))
+                       for i in range(n_req)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=180)
+            assert all(r is not None and "caption" in r for r in results)
+
+            # every client got ITS OWN row: compare to direct batched decode
+            from recurrent_fusion_network_tpu.data.vocab import decode_sequence
+            from recurrent_fusion_network_tpu.decoding.api import model_sample
+
+            fc = jnp.asarray(np.stack([f for f, _ in feats]))
+            att = jnp.asarray(np.stack([a for _, a in feats]))
+            want = decode_sequence(
+                loader.get_vocab(),
+                np.asarray(model_sample(model, params, fc, att,
+                                        beam_size=2).seq),
+            )
+            assert [r["caption"] for r in results] == want
+            assert all(np.isfinite(r["logprob"]) for r in results)
+
+            # malformed request fails alone with a 400
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("POST", "/caption", json.dumps({"fc": [[1.0]],
+                                                         "att": [[[1.0]]]}))
+            resp = conn.getresponse()
+            assert resp.status == 400 and "error" in json.loads(resp.read())
+        finally:
+            httpd.shutdown()
+            service.close()
 
     def test_submit_after_close_raises(self):
         srv = CaptionServer(_fake_decode, batch_size=2)
