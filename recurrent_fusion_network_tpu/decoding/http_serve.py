@@ -1,10 +1,13 @@
 """HTTP caption service: concurrent requests batched onto the TPU.
 
-The production-serving front end over ``CaptionServer``: a threading HTTP
-server whose handler threads submit one image's features (or one raw image)
-each and block on their Future — concurrent requests coalesce into
-STATIC-shape device batches (one jit graph, padded tails), so the service
-drives the chip at the batched-pipelined rate no matter how requests arrive.
+The serving front end over ``CaptionServer``: a threading HTTP server whose
+handler threads submit one image's features (or one raw image) each and
+block on their Future — concurrent requests coalesce into STATIC-shape
+device batches (one jit graph, padded tails). Scope: the decode itself runs
+at the batched rate, but Python's HTTP stack bounds request throughput
+(measured ~270 req/s at 64 concurrent clients on a tiny model, zero
+errors); bulk offline workloads should drive CaptionServer or
+pipelined_map in-process instead.
 
 The reference has no serving story at all (its closest analogue is the
 offline eval loop); this is a TPU-native addition. stdlib-only (no web
@@ -160,10 +163,17 @@ def make_handler(service: CaptionService):
     return Handler
 
 
+class _Server(ThreadingHTTPServer):
+    # stdlib default backlog is 5: under concurrent clients the SYN queue
+    # overflows and connections get RESET before the handler ever runs
+    request_queue_size = 128
+    daemon_threads = True
+
+
 def run_server(service: CaptionService, host: str = "0.0.0.0",
                port: int = 8080) -> ThreadingHTTPServer:
     """Start the HTTP front end; returns the (running) server object."""
-    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    httpd = _Server((host, port), make_handler(service))
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
     thread.start()
     httpd._serve_thread = thread  # for clean shutdown by callers/tests
