@@ -39,6 +39,22 @@ def main():
     loader = DataLoader(opt, base.dataset, base.sources, prefetch=False,
                         host_shard=host_shard())
     mesh = global_dp_mesh()
+    if mode == "eval":
+        # per-host eval over the host-sharded loader: process_count()>1 makes
+        # eval_split fall back to per-host local eval, which must dedupe with
+        # the LOCAL image count (regression: it used the global batch size)
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.eval_split import eval_split
+
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        _, preds, _ = eval_split(
+            model, params, loader, opt, split="val", val_images_use=16,
+            beam_size=2, language_eval_flag=False, mesh=mesh,
+        )
+        print("PREDS:" + json.dumps(preds), flush=True)
+        return
     if mode == "rl":
         import numpy as np
 

@@ -128,11 +128,12 @@ def _run_cluster(mode, n=2):
         for k in range(n)
     ]
     outs = []
+    prefix = "PREDS:" if mode == "eval" else "LOSSES:"
     for p in procs:
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("LOSSES:")][-1]
-        outs.append(json.loads(line[len("LOSSES:"):]))
+        line = [l for l in out.splitlines() if l.startswith(prefix)][-1]
+        outs.append(json.loads(line[len(prefix):]))
     return outs
 
 
@@ -163,6 +164,41 @@ class TestTwoProcessCluster:
         np.testing.assert_allclose(
             outs[0], list(infos["loss_history"].values()), rtol=1e-3
         )
+
+    def test_cluster_eval_covers_every_image_once(self):
+        """Real 2-process cluster eval: each host captions exactly ITS local
+        block (the multi-host eval dedupe fix), and the hosts' predictions
+        interleave per batch to the single-process reference."""
+        outs = _run_cluster("eval")
+        # the fixture's 8 val images / 2 hosts -> 4 predictions each,
+        # no overlap (the pre-fix dedupe produced clamped duplicates here)
+        assert len(outs[0]) == len(outs[1]) == 4
+        ids0 = [p["image_id"] for p in outs[0]]
+        ids1 = [p["image_id"] for p in outs[1]]
+        assert not (set(ids0) & set(ids1))
+
+        # single-process reference on the same stream/params
+        import jax
+
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.eval_split import eval_split
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                    seq_per_img=2)
+        opt.vocab_size, opt.seq_length = base.vocab_size, base.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        loader = DataLoader(opt, base.dataset, base.sources, prefetch=False)
+        _, preds_full, _ = eval_split(model, params, loader, opt, split="val",
+                                      val_images_use=16, beam_size=2,
+                                      language_eval_flag=False)
+        got = outs[0] + outs[1]  # one batch: host0's block then host1's
+        assert [p["image_id"] for p in got] == \
+            [p["image_id"] for p in preds_full]
+        assert [p["caption"] for p in got] == \
+            [p["caption"] for p in preds_full]
 
     def test_dp_rl_runs_with_local_reward_scoring(self):
         """Multi-host SCST executes end-to-end: each host scores ITS rollout
