@@ -144,6 +144,32 @@ def bench_decode(model):
     }
 
 
+def _flagship_options(model, **extra):
+    """Options mirroring a flagship model's dims (shared by every train/rl
+    phase so the benchmarked configurations cannot silently diverge)."""
+    from recurrent_fusion_network_tpu.config import Options
+
+    opt = Options(
+        caption_model="recurrent_fusion_model",
+        feature_type="feat_array",
+        feat_array_info=[
+            {"fc_feat_size": f, "att_feat_size": a, "att_num": n}
+            for f, a, n in zip(model.fc_feat_sizes, model.att_feat_sizes,
+                               model.att_nums)
+        ],
+        rnn_size=model.rnn_size,
+        input_encoding_size=model.input_encoding_size,
+        att_hid_size=model.att_hid_size,
+        num_review_steps=model.num_review_steps,
+        num_review_steps_0=model.num_review_steps_0,
+        top_words_count=model.top_words_count,
+        **extra,
+    )
+    opt.vocab_size = model.vocab_size
+    opt.seq_length = model.seq_length
+    return opt
+
+
 def bench_train(model, dtype_name):
     """One full jitted XE train step at flagship dims; returns metrics."""
     import dataclasses
@@ -153,28 +179,12 @@ def bench_train(model, dtype_name):
         rows = int(os.environ["BENCH_TRAIN_ROWS"])
     if remat:
         model = dataclasses.replace(model, use_remat=True)
-    from recurrent_fusion_network_tpu.config import Options
     from recurrent_fusion_network_tpu.training.criterion import make_criterion
     from recurrent_fusion_network_tpu.training.optim import make_optimizer
     from recurrent_fusion_network_tpu.training.train_loop import make_train_step
 
     dt = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
-    opt = Options(
-        caption_model="recurrent_fusion_model",
-        feature_type="feat_array",
-        feat_array_info=[
-            {"fc_feat_size": f, "att_feat_size": a, "att_num": n}
-            for f, a, n in zip(model.fc_feat_sizes, model.att_feat_sizes, model.att_nums)
-        ],
-        rnn_size=model.rnn_size,
-        input_encoding_size=model.input_encoding_size,
-        att_hid_size=model.att_hid_size,
-        num_review_steps=model.num_review_steps,
-        num_review_steps_0=model.num_review_steps_0,
-        top_words_count=model.top_words_count,
-    )
-    opt.vocab_size = model.vocab_size
-    opt.seq_length = model.seq_length
+    opt = _flagship_options(model)
 
     key = jax.random.PRNGKey(0)
     # bf16 phase = the real --dtype bfloat16 mixed-precision policy:
@@ -241,7 +251,6 @@ def bench_rl(model):
     policy-gradient step. This is the recipe's LONG phase
     (train_recurrent_fusion_model_rl.sh); the reference runs it as two
     sequential per-batch rollouts + a dict-of-tuples Python scorer."""
-    from recurrent_fusion_network_tpu.config import Options
     from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
     from recurrent_fusion_network_tpu.rewards.self_critical import compute_reward
     from recurrent_fusion_network_tpu.training.criterion import make_rl_criterion
@@ -252,24 +261,7 @@ def bench_rl(model):
     )
 
     B = 256  # rollout + grad re-eval both live on chip; 256 is the fit point
-    opt = Options(
-        caption_model="recurrent_fusion_model",
-        feature_type="feat_array",
-        feat_array_info=[
-            {"fc_feat_size": f, "att_feat_size": a, "att_num": n}
-            for f, a, n in zip(model.fc_feat_sizes, model.att_feat_sizes,
-                               model.att_nums)
-        ],
-        rnn_size=model.rnn_size,
-        input_encoding_size=model.input_encoding_size,
-        att_hid_size=model.att_hid_size,
-        num_review_steps=model.num_review_steps,
-        num_review_steps_0=model.num_review_steps_0,
-        top_words_count=model.top_words_count,
-        use_remat=1,
-    )
-    opt.vocab_size = model.vocab_size
-    opt.seq_length = model.seq_length
+    opt = _flagship_options(model, use_remat=1)
 
     import dataclasses
 
@@ -405,6 +397,11 @@ def main():
             }
         )
     )
+    if results["decode"] is None:
+        # a zero headline must read as a FAILED run, not a measurement
+        print("# headline decode phase failed — exiting nonzero",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -20,6 +20,7 @@
 #include <cerrno>
 #include <cstdint>
 #include <cstring>
+#include <system_error>
 #include <thread>
 #include <vector>
 
@@ -52,7 +53,9 @@ int gather_rows(const char* path, const int64_t* offsets, int64_t n,
                 int64_t row_bytes, char* out, int n_threads) {
     if (n <= 0) return 0;
     if (row_bytes <= 0 || !path || !offsets || !out) return -EINVAL;
-    int fd = open(path, O_RDONLY);
+    // O_CLOEXEC: the loader's prefetch thread gathers while other threads
+    // may fork/exec (e.g. metric subprocesses) — don't leak shard fds
+    int fd = open(path, O_RDONLY | O_CLOEXEC);
     if (fd < 0) return -errno;
 
     if (n_threads < 1) n_threads = 1;
@@ -78,12 +81,22 @@ int gather_rows(const char* path, const int64_t* offsets, int64_t n,
         std::vector<std::thread> pool;
         pool.reserve(n_threads);
         int64_t chunk = (n + n_threads - 1) / n_threads;
+        int64_t spawned_hi = 0;  // rows covered by successfully spawned threads
         for (int t = 0; t < n_threads; ++t) {
             int64_t lo = t * chunk;
             int64_t hi = lo + chunk < n ? lo + chunk : n;
             if (lo >= hi) break;
-            pool.emplace_back(worker, lo, hi);
+            // a std::system_error here (thread exhaustion) must not cross
+            // the C ABI into ctypes — that would std::terminate the whole
+            // Python process; run the remaining rows inline instead
+            try {
+                pool.emplace_back(worker, lo, hi);
+                spawned_hi = hi;
+            } catch (const std::system_error&) {
+                break;
+            }
         }
+        if (spawned_hi < n) worker(spawned_hi, n);
         for (auto& th : pool) th.join();
     }
     close(fd);

@@ -156,9 +156,17 @@ def make_handler(service: CaptionService):
                 else:
                     self._send(404, {"error": "unknown path"})
                     return
-                self._send(200, out)
-            except Exception as e:  # surface the reason to the client
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError,
+                    OSError) as e:  # malformed request/image -> client error
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except Exception as e:  # device/batch failure -> server error
+                self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            try:
+                self._send(200, out)
+            except OSError:  # client disconnected mid-write: never attempt
+                pass  # a second response on the corrupted stream
 
     return Handler
 

@@ -117,6 +117,8 @@ class CaptionServer:
         self._queue: queue.Queue = queue.Queue()
         self._closing = threading.Event()
         self._spec = None  # per-request shape contract, set by first submit
+        self._spec_lock = threading.Lock()  # submit() runs on many threads
+        # (e.g. HTTP handlers); check-then-set on the contract must be atomic
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
@@ -134,13 +136,14 @@ class CaptionServer:
         spec = (
             tuple(x.shape for x in fcs), tuple(x.shape for x in atts),
         )
-        if self._spec is None:
-            self._spec = spec
-        elif spec != self._spec:
-            raise ValueError(
-                f"request feature shapes {spec} differ from the server's "
-                f"established contract {self._spec}"
-            )
+        with self._spec_lock:
+            if self._spec is None:
+                self._spec = spec
+            elif spec != self._spec:
+                raise ValueError(
+                    f"request feature shapes {spec} differ from the server's "
+                    f"established contract {self._spec}"
+                )
         fut: Future = Future()
         self._queue.put((fcs, atts, fut))
         return fut
