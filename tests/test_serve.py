@@ -283,6 +283,57 @@ class TestCaptionServer:
             httpd.shutdown()
             service.close()
 
+    def test_http_error_codes_distinguish_client_and_server(self):
+        """400 for malformed requests; 500 when the decode itself fails."""
+        import http.client
+        import threading
+
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+            run_server,
+        )
+
+        class Boom:
+            pass
+
+        calls = {"n": 0}
+
+        def flaky_decode(fcs, atts):
+            calls["n"] += 1
+            if calls["n"] >= 2:  # first (warm/contract) batch fine
+                raise RuntimeError("device exploded")
+            B = np.asarray(fcs[0]).shape[0]
+            return {"seq": np.ones((B, 3), np.int32),
+                    "seq_logprobs": np.zeros((B, 3), np.float32)}
+
+        svc = CaptionService.__new__(CaptionService)
+        svc.vocab = {"1": "w"}
+        svc.model = Boom()
+        svc.beam_size, svc.batch_size = 1, 2
+        svc._backbone = None
+        svc._decode = flaky_decode
+        svc.server = CaptionServer(flaky_decode, 2, depth=1,
+                                   flush_interval=0.01)
+        httpd = run_server(svc, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        try:
+            body = json.dumps({"fc": [[1.0, 2.0, 3.0, 4.0]],
+                               "att": [[[0.5, 0.5, 0.5]] * 2]})
+            c = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c.request("POST", "/caption", body)
+            assert c.getresponse().status == 200  # first batch decodes
+            c2 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c2.request("POST", "/caption", body)
+            r2 = c2.getresponse()
+            assert r2.status == 500  # device failure -> server error
+            assert "RuntimeError" in json.loads(r2.read())["error"]
+            c3 = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            c3.request("POST", "/caption", b"{not json")
+            assert c3.getresponse().status == 400  # malformed -> client error
+        finally:
+            httpd.shutdown()
+            svc.server.close()
+
     def test_submit_after_close_raises(self):
         srv = CaptionServer(_fake_decode, batch_size=2)
         srv.close()
