@@ -92,6 +92,24 @@ class TestEnsemble:
         )
         assert [p["caption"] for p in preds2] == [p["caption"] for p in preds1]
 
+    def test_mixed_tied_and_parity_member_ensemble(self, tmp_path):
+        """A --tied_att_keys checkpoint ensembles with a parity checkpoint:
+        members carry their own (model, params), so the variant interops in
+        the mean-logit ensemble like any other member."""
+        import dataclasses
+
+        opt, loader, model, p1 = build(
+            caption_model="recurrent_fusion_model", batch_size=4
+        )
+        tied = dataclasses.replace(model, tied_att_keys=True)
+        p2 = tied.init_params(jax.random.PRNGKey(7))
+        preds, stats = eval_ensemble(
+            [(model, p1), (tied, p2)], loader, opt,
+            split="val", beam_size=2, val_images_use=8,
+            language_eval_flag=False,
+        )
+        assert len(preds) == 8 and all(p["caption"] for p in preds)
+
     def test_diff_feat_ensemble(self, tmp_path):
         opt, loader, _, _ = build(caption_model="recurrent_fusion_model")
         opt.eval_results_dir = str(tmp_path)
