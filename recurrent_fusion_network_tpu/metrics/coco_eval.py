@@ -31,6 +31,7 @@ def evaluate_captions(
     already_tokenized: bool = False,
     extra_scorers: Optional[Dict[str, Callable]] = None,
     meteor_synonyms=None,  # SynonymTable | path | None (env fallback)
+    meteor_paraphrases=None,  # ParaphraseTable | path | None (env fallback)
 ) -> Dict[str, object]:
     """gts: {image_id: [sentence, ...]}, res: {image_id: [sentence]}.
 
@@ -63,11 +64,13 @@ def evaluate_captions(
     for k, s in zip(keys, cider_sent):
         img_scores[k]["CIDEr"] = float(s)
 
-    # Java-free METEOR: exact+stem stages, plus the synonym stage when a
-    # synonym-group file is supplied (see metrics/meteor.py)
+    # Java-free METEOR: exact+stem stages, plus the synonym/paraphrase
+    # stages when their data files are supplied (see metrics/meteor.py)
     from .meteor import compute_meteor
 
-    meteor_mean, meteor_sent = compute_meteor(gts, res, meteor_synonyms)
+    meteor_mean, meteor_sent = compute_meteor(
+        gts, res, meteor_synonyms, meteor_paraphrases
+    )
     overall["METEOR"] = meteor_mean
     for k, s in zip(keys, meteor_sent):
         img_scores[k]["METEOR"] = s

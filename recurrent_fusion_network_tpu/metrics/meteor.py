@@ -5,13 +5,12 @@ The reference runs the official meteor-1.5.jar as a persistent subprocess
 implementation of the METEOR algorithm (Banerjee & Lavie 2005 / Denkowski &
 Lavie 2014) with documented simplifications:
 
-  * match stages: EXACT, STEM (Porter), and — when the caller supplies a
-    synonym table — SYNONYM. The WordNet data itself cannot ship here, so
-    the synonym stage reads a user-supplied file (one synonym group per
-    line, whitespace-separated lowercase words; '#' comments — e.g. WordNet
-    synsets dumped one synset per line). Without a table, scores are a
-    close lower bound of official METEOR; the paraphrase-table stage is
-    omitted either way;
+  * match stages: EXACT, STEM (Porter), plus — with user-supplied data
+    files — SYNONYM (one word group per line) and PARAPHRASE (phrase groups
+    separated by '|||', applied by canonicalization; see ParaphraseTable
+    for the documented approximation). The WordNet/paraphrase data itself
+    cannot ship here. Without the tables, scores are a close lower bound of
+    official METEOR;
   * alignment: the jar's objective — maximize matches, then MINIMIZE chunks
     — solved exactly by budgeted branch-and-bound (caption-length sentences
     explore a tiny search space); inputs exceeding the node budget fall back
@@ -74,6 +73,63 @@ class SynonymTable:
 
 def load_synonyms(path: str) -> SynonymTable:
     return SynonymTable.from_file(path)
+
+
+class ParaphraseTable:
+    """Phrase-pair groups for the METEOR paraphrase stage (approximate).
+
+    The meteor-1.5 jar matches multi-word PHRASES from paraphrase-en.gz as
+    single alignment units. Here the stage is implemented by
+    CANONICALIZATION: occurrences of any group phrase in the hypothesis and
+    references are replaced (longest-first, non-overlapping, left-to-right)
+    by one synthetic token shared by the group, which then matches exactly
+    in the ordinary alignment. Deviation from the jar (documented): a
+    substituted phrase counts as ONE token in precision/recall rather than
+    its word count, so scores are approximate where paraphrases fire.
+
+    File format: one group per line, phrases separated by '|||'
+    (words space-separated; '#' comments).
+    """
+
+    def __init__(self, groups: Sequence[Sequence[str]]):
+        self._gid: Dict[tuple, int] = {}
+        self.max_len = 1
+        for gid, group in enumerate(groups):
+            for phrase in group:
+                words = tuple(w.lower() for w in phrase.split())
+                if words:
+                    self._gid.setdefault(words, gid)
+                    self.max_len = max(self.max_len, len(words))
+
+    @classmethod
+    def from_file(cls, path: str) -> "ParaphraseTable":
+        groups = []
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.split("#", 1)[0].strip()
+                if line and "|||" in line:
+                    groups.append([p.strip() for p in line.split("|||")
+                                   if p.strip()])
+        return cls(groups)
+
+    def canonicalize(self, toks: Sequence[str]) -> List[str]:
+        """Replace table phrases with their group's synthetic token."""
+        out: List[str] = []
+        i, n = 0, len(toks)
+        while i < n:
+            hit = None
+            for ln in range(min(self.max_len, n - i), 0, -1):
+                gid = self._gid.get(tuple(w.lower() for w in toks[i : i + ln]))
+                if gid is not None:
+                    hit = (gid, ln)
+                    break
+            if hit is None:
+                out.append(toks[i])
+                i += 1
+            else:
+                out.append(f"\x00para{hit[0]}\x00")  # un-typeable token
+                i += hit[1]
+        return out
 
 
 def _match_fn(synonyms: Optional[SynonymTable]):
@@ -226,7 +282,11 @@ def _chunks(match: List[int]) -> int:
 def meteor_sentence(
     hyp: Sequence[str], refs: List[Sequence[str]],
     synonyms: Optional[SynonymTable] = None,
+    paraphrases: Optional[ParaphraseTable] = None,
 ) -> float:
+    if paraphrases is not None:
+        hyp = paraphrases.canonicalize(list(hyp))
+        refs = [paraphrases.canonicalize(list(r)) for r in refs]
     best = 0.0
     for ref in refs:
         if not hyp or not ref:
@@ -244,11 +304,12 @@ def meteor_sentence(
     return best
 
 
-def compute_meteor(gts: Dict, res: Dict, synonyms=None):
+def compute_meteor(gts: Dict, res: Dict, synonyms=None, paraphrases=None):
     """pycocoevalcap-style surface: (mean, per-sentence scores).
 
-    synonyms: a SynonymTable, a path to a synonym-group file, or None; when
-    None, the RFNET_METEOR_SYNONYMS env var may name the file.
+    synonyms / paraphrases: table objects, file paths, or None; when None,
+    the RFNET_METEOR_SYNONYMS / RFNET_METEOR_PARAPHRASES env vars may name
+    the files.
     """
     import numpy as np
 
@@ -258,10 +319,17 @@ def compute_meteor(gts: Dict, res: Dict, synonyms=None):
             synonyms = path
     if isinstance(synonyms, str):
         synonyms = SynonymTable.from_file(synonyms)
+    if paraphrases is None:
+        path = os.environ.get("RFNET_METEOR_PARAPHRASES")
+        if path and os.path.exists(path):
+            paraphrases = path
+    if isinstance(paraphrases, str):
+        paraphrases = ParaphraseTable.from_file(paraphrases)
 
     keys = sorted(gts.keys(), key=str)
     scores = [
-        meteor_sentence(res[k][0].split(), [r.split() for r in gts[k]], synonyms)
+        meteor_sentence(res[k][0].split(), [r.split() for r in gts[k]],
+                        synonyms, paraphrases)
         for k in keys
     ]
     return float(np.mean(scores)) if scores else 0.0, scores

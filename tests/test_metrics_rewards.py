@@ -392,6 +392,52 @@ class TestMeteor:
         hooked, _ = compute_meteor({0: ["a car"]}, {0: ["a automobile"]})
         assert hooked > base
 
+    def test_paraphrase_stage_with_user_table(self, tmp_path):
+        """A user-supplied '|||' phrase-group file enables the (approximate)
+        paraphrase stage: multi-word phrase pairs canonicalize to one shared
+        token and match."""
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            ParaphraseTable,
+            compute_meteor,
+            meteor_sentence,
+        )
+
+        hyp = "the man kicked the bucket yesterday".split()
+        refs = ["the man died yesterday".split()]
+        without = meteor_sentence(hyp, refs)
+        tab = ParaphraseTable([["kicked the bucket", "died"]])
+        with_tab = meteor_sentence(hyp, refs, paraphrases=tab)
+        assert with_tab > without
+        # canonicalized: [the, man, P, yesterday] both sides -> full match
+        assert with_tab == pytest.approx(1 - 0.5 * (1 / 4) ** 3, rel=1e-6)
+
+        # longest-first, non-overlapping substitution
+        t2 = ParaphraseTable([["a b", "x"], ["a b c", "y"]])
+        assert t2.canonicalize("a b c".split()) == t2.canonicalize(["y"])
+        assert t2.canonicalize("a b".split()) == t2.canonicalize(["x"])
+
+        # file loader + env hook via compute_meteor
+        p = tmp_path / "para.txt"
+        p.write_text("# table\nkicked the bucket ||| died\nlarge car ||| big automobile\n")
+        mean, _ = compute_meteor(
+            {0: ["the man died yesterday"]},
+            {0: ["the man kicked the bucket yesterday"]},
+            paraphrases=str(p),
+        )
+        assert mean == pytest.approx(with_tab, rel=1e-6)
+
+    def test_paraphrase_env_hook(self, tmp_path, monkeypatch):
+        from recurrent_fusion_network_tpu.metrics.meteor import compute_meteor
+
+        p = tmp_path / "para.txt"
+        p.write_text("big automobile ||| large car\n")
+        base, _ = compute_meteor({0: ["a large car"]},
+                                 {0: ["a big automobile"]})
+        monkeypatch.setenv("RFNET_METEOR_PARAPHRASES", str(p))
+        hooked, _ = compute_meteor({0: ["a large car"]},
+                                   {0: ["a big automobile"]})
+        assert hooked > base
+
     def test_synonym_alignment_minimizes_chunks(self):
         """Synonym matches participate in the chunk-minimizing objective."""
         from recurrent_fusion_network_tpu.metrics.meteor import (
