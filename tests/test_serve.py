@@ -283,6 +283,33 @@ class TestCaptionServer:
             httpd.shutdown()
             service.close()
 
+    def test_caption_service_multi_encoder_rfnet(self):
+        """CaptionService serves the 5-encoder flagship family too: the
+        feat_array path hands per-encoder lists through the batched queue."""
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.http_serve import CaptionService
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="recurrent_fusion_model",
+                                      batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2, flush_interval=0.01)
+        try:
+            g = np.random.default_rng(0)
+            feats = opt.feat_array_info
+            out = svc.caption_features(
+                [g.standard_normal(f["fc_feat_size"]).astype(np.float32)
+                 for f in feats],
+                [g.standard_normal((f["att_num"], f["att_feat_size"]))
+                 .astype(np.float32) for f in feats],
+            )
+            assert out["caption"] and np.isfinite(out["logprob"])
+        finally:
+            svc.close()
+
     def test_http_error_codes_distinguish_client_and_server(self):
         """400 for malformed requests; 500 when the decode itself fails."""
         import http.client
