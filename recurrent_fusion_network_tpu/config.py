@@ -118,6 +118,11 @@ def _defaults() -> dict:
         bleu4_weight=0.0,
         cider_weight=1.0,
         spice_weight=0.0,
+        # SPICE reward backend: 'approx' = in-repo pure-Python approximate
+        # scorer (works standalone); 'http' = external spiceD-protocol
+        # service at --ip/--port, the reference deployment (spiceD.py:30-114;
+        # `rfnet-spice-server` implements it in-repo)
+        spice_backend="approx",
         # self attention (declared-but-unused in reference, kept for parity:
         # opts.py:201-204)
         num_head=8,

@@ -305,6 +305,7 @@ class _Prefetcher:
         self.split = split
         self.q: "queue.Queue" = queue.Queue(maxsize=self.DEPTH)
         self._stop = threading.Event()
+        self._error = None  # sticky: every get() after a failure re-raises
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -313,7 +314,8 @@ class _Prefetcher:
             try:
                 batch = self.loader._assemble_batch(self.split)
             except Exception as e:  # surface IO/shape errors to the consumer
-                self._put(("error", e))
+                self._error = e  # set BEFORE the sentinel so get() never
+                self._put(("error", e))  # blocks on the dead thread's queue
                 return
             state = {
                 "iterators": self.loader._prod_it[self.split],
@@ -330,7 +332,13 @@ class _Prefetcher:
                 continue
 
     def get(self):
-        kind, payload = self.q.get()
+        # once the worker has died on an error, deliver any batches it
+        # queued first, then raise on EVERY subsequent call — a consumer
+        # that catches and retries must not block on the dead queue
+        try:
+            kind, payload = self.q.get(block=self._error is None)
+        except queue.Empty:
+            kind, payload = "error", self._error
         if kind == "error":
             raise RuntimeError(
                 f"batch prefetcher for split '{self.split}' failed"

@@ -64,6 +64,23 @@ class CaptionService:
         self.beam_size = beam_size
         self.batch_size = batch_size
         single = not hasattr(model, "fc_feat_sizes")
+        if backbone is not None and not single:
+            # /caption_image extracts ONE backbone's features; against a
+            # multi-encoder model every such request would fail at decode
+            # (per-request HTTP 500) — refuse the misconfiguration at startup
+            raise ValueError(
+                f"--backbone_weights serves single-encoder models only; "
+                f"{type(model).__name__} expects "
+                f"{len(model.fc_feat_sizes)} encoders (drop the backbone or "
+                f"serve a show_tell/review_net checkpoint)"
+            )
+        if single:
+            # show_tell has no attention encoder: its att dim is unconstrained
+            feat_dims = ((model.fc_feat_size,),
+                         (getattr(model, "att_feat_size", None),))
+        else:
+            feat_dims = (tuple(model.fc_feat_sizes),
+                         tuple(model.att_feat_sizes))
 
         def decode(fcs, atts):
             f = fcs[0] if single else list(fcs)
@@ -74,7 +91,7 @@ class CaptionService:
         self._decode = jax.jit(decode)
         self.server = CaptionServer(
             self._decode, batch_size, depth=depth, mesh=mesh,
-            flush_interval=flush_interval,
+            flush_interval=flush_interval, feat_dims=feat_dims,
         )
         self._backbone = None
         if backbone is not None:

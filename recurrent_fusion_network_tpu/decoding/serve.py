@@ -96,6 +96,7 @@ class CaptionServer:
         depth: int = 2,
         mesh=None,
         flush_interval: float = 0.005,
+        feat_dims=None,
     ):
         if depth < 1:
             raise ValueError("depth must be >= 1")
@@ -113,10 +114,16 @@ class CaptionServer:
         self.depth = depth
         self.mesh = mesh
         self.flush_interval = flush_interval
+        # optional ((fc_dim, ...), (att_dim, ...)) per-encoder feature dims:
+        # validates every request's trailing dims at submit(), so a malformed
+        # FIRST request cannot establish a bogus shape contract that then
+        # rejects all well-formed traffic
+        self.feat_dims = feat_dims
         self.stats = {"requests": 0, "batches": 0, "padded_rows": 0}
         self._queue: queue.Queue = queue.Queue()
         self._closing = threading.Event()
         self._spec = None  # per-request shape contract, set by first submit
+        self._spec_confirmed = False  # a batch under it dispatched OK
         self._spec_lock = threading.Lock()  # submit() runs on many threads
         # (e.g. HTTP handlers); check-then-set on the contract must be atomic
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -136,6 +143,27 @@ class CaptionServer:
         spec = (
             tuple(x.shape for x in fcs), tuple(x.shape for x in atts),
         )
+        if self.feat_dims is not None:
+            fc_dims, att_dims = self.feat_dims
+            got = (
+                tuple(x.shape[-1] if x.ndim else 0 for x in fcs),
+                tuple(x.shape[-1] if x.ndim else 0 for x in atts),
+            )
+            # a None expected dim is unconstrained (e.g. show_tell's unused
+            # att slot); ranks are always checked
+            def _bad(gots, dims, rank, arrs):
+                return (len(arrs) != len(dims)
+                        or any(d is not None and g != d
+                               for g, d in zip(gots, dims))
+                        or any(x.ndim != rank for x in arrs))
+
+            if (_bad(got[0], fc_dims, 1, fcs)
+                    or _bad(got[1], att_dims, 2, atts)):
+                raise ValueError(
+                    f"request feature dims {got} do not match the model's "
+                    f"per-encoder dims (fc={tuple(fc_dims)}, "
+                    f"att={tuple(att_dims)}; fc rank 1, att rank 2)"
+                )
         with self._spec_lock:
             if self._spec is None:
                 self._spec = spec
@@ -172,7 +200,9 @@ class CaptionServer:
     def _run(self) -> None:
         inflight: deque = deque()
         while True:
-            while len(inflight) > self.depth:
+            # drain to depth-1 BEFORE dispatching the next batch, so at most
+            # `depth` batches are ever in flight (the documented window)
+            while len(inflight) >= self.depth:
                 self._resolve(*inflight.popleft())
             # only park indefinitely when nothing is in flight; otherwise a
             # quiet queue must not delay delivering already-dispatched work
@@ -238,7 +268,15 @@ class CaptionServer:
             # error: fail THIS batch only, keep the worker alive
             for f in futures:
                 f.set_exception(e)
+            with self._spec_lock:
+                if not self._spec_confirmed:
+                    # the contract was established by a batch that never
+                    # dispatched — likely a malformed first request; reset so
+                    # subsequent well-formed requests are not rejected forever
+                    self._spec = None
             return [], None
+        with self._spec_lock:
+            self._spec_confirmed = True
         return futures, out
 
     def _resolve(self, futures, out) -> None:

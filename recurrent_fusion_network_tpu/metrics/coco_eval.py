@@ -32,11 +32,16 @@ def evaluate_captions(
     extra_scorers: Optional[Dict[str, Callable]] = None,
     meteor_synonyms=None,  # SynonymTable | path | None (env fallback)
     meteor_paraphrases=None,  # ParaphraseTable | path | None (env fallback)
+    spice="approx",  # "approx" | None | scorer with .compute_score
 ) -> Dict[str, object]:
     """gts: {image_id: [sentence, ...]}, res: {image_id: [sentence]}.
 
     Returns {"overall": {...}, "img_scores": {image_id: {...}}} with keys
-    Bleu_1..4, ROUGE_L, CIDEr (CIDEr-D variant) + any extra scorers.
+    Bleu_1..4, ROUGE_L, CIDEr (CIDEr-D variant), METEOR, SPICE + any extra
+    scorers. SPICE defaults to the in-repo APPROXIMATE scorer
+    (metrics/spice_approx.py — rule-based scene graphs, not the jar's
+    CoreNLP pipeline); pass a SpiceJavaScorer/SpiceHTTPScorer instance to
+    use external jar tooling instead, or spice=None to omit the column.
     """
     assert set(res.keys()) <= set(gts.keys()), "results for unknown image ids"
     gts = {k: gts[k] for k in res.keys()}
@@ -74,6 +79,16 @@ def evaluate_captions(
     overall["METEOR"] = meteor_mean
     for k, s in zip(keys, meteor_sent):
         img_scores[k]["METEOR"] = s
+
+    if spice is not None and "SPICE" not in (extra_scorers or {}):
+        if spice == "approx":
+            from .spice_approx import SpiceApprox
+
+            spice = SpiceApprox()
+        spice_mean, spice_sent = spice.compute_score(gts, res)
+        overall["SPICE"] = spice_mean
+        for k, s in zip(keys, spice_sent):
+            img_scores[k]["SPICE"] = s
 
     for name, fn in (extra_scorers or {}).items():
         mean, sent = fn(gts, res)

@@ -193,3 +193,28 @@ def spice_fn_from_scorer(scorer, ix_to_word: Optional[Dict] = None):
         return np.asarray([by_id[i] for i in range(len(hyps))], np.float64)
 
     return spice_fn
+
+
+def make_spice_fn(opt, ix_to_word):
+    """The trainers' SPICE reward hook for --spice_weight > 0, selected by
+    --spice_backend:
+
+      * 'approx' (default): the in-repo pure-Python approximate scorer
+        (metrics/spice_approx.py) — works out of the box, no service.
+      * 'http': the reference deployment — an external service at
+        --ip/--port speaking the spiceD file-handoff protocol
+        (spiceD.py:30-114). `rfnet-spice-server` provides an in-repo
+        implementation of that service; a real spice-1.0.jar service is
+        drop-in identical.
+    """
+    backend = getattr(opt, "spice_backend", "approx")
+    if backend == "approx":
+        from .spice_approx import SpiceApprox
+
+        return spice_fn_from_scorer(SpiceApprox(), ix_to_word)
+    if backend == "http":
+        return spice_fn_from_scorer(
+            SpiceHTTPScorer(opt.ip, opt.port), ix_to_word
+        )
+    raise ValueError(f"unknown spice_backend {backend!r} "
+                     "(expected 'approx' or 'http')")

@@ -334,11 +334,9 @@ def train_multi_seed_rl(
 
     spice_fn = None
     if opt.spice_weight > 0:
-        from ..metrics.spice import SpiceHTTPScorer, spice_fn_from_scorer
+        from ..metrics.spice import make_spice_fn
 
-        spice_fn = spice_fn_from_scorer(
-            SpiceHTTPScorer(opt.ip, opt.port), loader.get_vocab()
-        )
+        spice_fn = make_spice_fn(opt, loader.get_vocab())
 
     step_fun, old_fun = make_rl_step(model, rl_crit, tx, jit=False)
     vstep = jax.jit(

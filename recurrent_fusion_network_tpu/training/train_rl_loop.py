@@ -188,14 +188,13 @@ def train_rl(
         rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
 
     # SPICE reward hook: reference get_rewards.py:75-94 calls the external
-    # SPICE service at opt.ip/opt.port when spice_weight > 0
+    # SPICE service at opt.ip/opt.port when spice_weight > 0; here the
+    # backend is selectable (--spice_backend approx|http, metrics/spice.py)
     spice_fn = None
     if opt.spice_weight > 0:
-        from ..metrics.spice import SpiceHTTPScorer, spice_fn_from_scorer
+        from ..metrics.spice import make_spice_fn
 
-        spice_fn = spice_fn_from_scorer(
-            SpiceHTTPScorer(opt.ip, opt.port), loader.get_vocab()
-        )
+        spice_fn = make_spice_fn(opt, loader.get_vocab())
 
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)

@@ -34,13 +34,16 @@ def main(argv=None):
         run_server,
     )
     from recurrent_fusion_network_tpu.models import setup
-    from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+    from recurrent_fusion_network_tpu.training import checkpoint
 
     from eval import merge_checkpoint_opt
 
     opt = parse_opt(rest)
     ckpt_dir = opt.model_path or opt.checkpoint_path
-    params, _, infos = load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
+    # honor --checkpoint_backend: a checkpoint written with the orbax backend
+    # must be servable too, so resolve the loader through backend(opt)
+    ckpt = checkpoint.backend(opt)
+    params, _, infos = ckpt.load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
     if "opt" in infos:
         merge_checkpoint_opt(opt, infos["opt"])
     vocab = infos.get("vocab")

@@ -392,3 +392,33 @@ class TestOfficialSplit:
         assert loader.split_image_id["val"] == ids[30:35]
         batch = loader.get_batch("val")
         assert batch["infos"][0]["id"] in ids[30:35]
+
+
+class TestPrefetcherFailure:
+    def test_prefetch_error_sticky_not_deadlock(self):
+        """After the prefetcher thread dies on an assembly error, EVERY
+        subsequent get_batch raises instead of blocking on the dead queue
+        (ADVICE r2: loader.py:316). Queued-good batches still drain first."""
+        import pytest
+
+        opt, loader = synthetic_setup(prefetch=True, seed=11)
+        loader.get_batch("train")  # spin up the train prefetcher
+        pre = loader._prefetchers["train"]
+        boom = RuntimeError("disk on fire")
+
+        def broken(split):
+            raise boom
+
+        loader._assemble_batch = broken
+        # drain whatever good batches were already buffered (DEPTH=2 max),
+        # then the error must surface — and KEEP surfacing
+        raised = 0
+        for _ in range(pre.DEPTH + 2):
+            try:
+                loader.get_batch("train")
+            except RuntimeError:
+                raised += 1
+        assert raised >= 2, "error must re-deliver, not deadlock"
+        with pytest.raises(RuntimeError, match="prefetcher"):
+            loader.get_batch("train")
+        loader.close()

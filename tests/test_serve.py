@@ -1,6 +1,7 @@
 """Pipelined serving tests (decoding/serve.py)."""
 
 import json
+import time
 from concurrent.futures import Future
 
 import numpy as np
@@ -394,3 +395,58 @@ class TestCaptionServer:
         srv.close()
         with pytest.raises(RuntimeError, match="server closed"):
             fut.result(timeout=5)
+
+    def test_feat_dims_rejects_malformed_first_request(self):
+        """With feat_dims, a malformed FIRST request fails at submit and
+        cannot establish a bogus shape contract (ADVICE r2: serve.py:141)."""
+        with CaptionServer(jax.jit(_fake_decode), batch_size=2, depth=1,
+                           flush_interval=0.01,
+                           feat_dims=((4,), (3,))) as srv:
+            with pytest.raises(ValueError, match="per-encoder dims"):
+                srv.submit([np.zeros((7,), np.float32)],  # wrong fc dim
+                           [np.zeros((2, 3), np.float32)])
+            with pytest.raises(ValueError, match="per-encoder dims"):
+                srv.submit([np.zeros((4, 1), np.float32)],  # wrong fc rank
+                           [np.zeros((2, 3), np.float32)])
+            futs = [srv.submit(*_request(i)) for i in range(2)]
+            for i, f in enumerate(futs):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+
+    def test_feat_dims_none_entry_unconstrained(self):
+        """A None expected dim (show_tell's unused att slot) skips the dim
+        check but still enforces rank."""
+        with CaptionServer(jax.jit(_fake_decode), batch_size=2, depth=1,
+                           flush_interval=0.01,
+                           feat_dims=((4,), (None,))) as srv:
+            futs = [srv.submit(*_request(i)) for i in range(2)]
+            for i, f in enumerate(futs):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+
+    def test_contract_resets_if_establishing_batch_fails(self):
+        """Without feat_dims, a first request whose batch fails dispatch
+        must not pin the contract forever: once the failing batch resolves,
+        well-formed requests re-establish the contract and succeed."""
+        def strict(fcs, atts):  # a real jitted model rejects wrong dims
+            if fcs[0].shape[-1] != 4:
+                raise ValueError("wrong fc dim")
+            return _fake_decode(fcs, atts)
+
+        with CaptionServer(strict, batch_size=1, depth=1,
+                           flush_interval=0.01) as srv:
+            bad = srv.submit([np.zeros((7,), np.float32)],  # wrong fc dim:
+                             [np.zeros((2, 3), np.float32)])  # decode breaks
+            with pytest.raises(ValueError, match="wrong fc dim"):
+                bad.result(timeout=60)
+            # the malformed request's (7,) contract must now be gone
+            deadline = time.time() + 10
+            while srv._spec is not None and time.time() < deadline:
+                time.sleep(0.01)
+            assert srv._spec is None
+            good = srv.submit(*_request(1))
+            np.testing.assert_array_equal(
+                good.result(timeout=60)["seq"], [1, 2, 3]
+            )

@@ -198,6 +198,7 @@ class TestRewardHook:
                                       seq_per_img=2)
         opt.checkpoint_path = str(tmp_path)
         opt.spice_weight = 0.5
+        opt.spice_backend = "http"  # default is the in-repo approx scorer
         opt.ip, opt.port = "10.0.0.5", 1234
         ids = loader.split_image_id["train"]
         scorer = CiderD(compute_doc_freq(loader.dataset, ids),

@@ -1,0 +1,311 @@
+"""Approximate-SPICE tests: scene-graph extraction, F-scoring, the jar
+file protocol, the spiceD HTTP service, and harness/RL wiring.
+
+Reference contracts exercised: spice.py:27-97 (jar CLI + JSON formats),
+spiceD.py:30-114 (HTTP file-handoff service), pycocoevalcap/eval.py (SPICE
+column in the metric dict)."""
+
+import json
+import math
+
+import numpy as np
+import pytest
+
+from recurrent_fusion_network_tpu.metrics.spice_approx import (
+    SpiceApprox,
+    parse_scene_graph,
+    score_pair,
+    spice_approx_runner,
+)
+
+pytestmark = pytest.mark.quick
+
+
+class TestSceneGraphParser:
+    def test_np_objects_and_attributes(self):
+        g = parse_scene_graph("a large red truck")
+        assert ("truck",) in g.objects
+        assert ("truck", "large") in g.attributes
+        assert ("truck", "red") in g.attributes
+
+    def test_verb_relation(self):
+        g = parse_scene_graph("a man riding a horse")
+        assert ("man", "ride", "horse") in g.relations
+
+    def test_verb_particle_relation(self):
+        g = parse_scene_graph("a cat sitting on a table")
+        assert ("cat", "sit on", "table") in g.relations
+
+    def test_prepositional_relation(self):
+        g = parse_scene_graph("a dog on a bench")
+        assert ("dog", "on", "bench") in g.relations
+
+    def test_prep_reanchors_to_subject_after_object(self):
+        g = parse_scene_graph("a man riding a horse on a beach")
+        assert ("man", "ride", "horse") in g.relations
+        assert ("man", "on", "beach") in g.relations
+
+    def test_cardinality(self):
+        g = parse_scene_graph("two dogs are running in the grass")
+        assert ("dog", "2") in g.attributes
+        assert ("dog", "run in", "grass") in g.relations
+
+    def test_copula_attribute(self):
+        g = parse_scene_graph("the shirt is red")
+        assert ("shirt", "red") in g.attributes
+
+    def test_conjoined_subjects_distribute_relation(self):
+        g = parse_scene_graph("a man and a woman sitting on a bench")
+        assert ("man", "sit on", "bench") in g.relations
+        assert ("woman", "sit on", "bench") in g.relations
+
+    def test_conjoined_modifiers_stay_in_np(self):
+        g = parse_scene_graph("a black and white cat sitting on a table")
+        assert ("cat", "black") in g.attributes
+        assert ("cat", "white") in g.attributes
+        assert ("cat", "sit on", "table") in g.relations
+        assert ("black",) not in g.objects
+
+    def test_participle_modifier_np_initial(self):
+        g = parse_scene_graph("a running man")
+        assert ("man", "run") in g.attributes
+        assert not g.relations
+
+    def test_ing_nouns_not_verbs(self):
+        g = parse_scene_graph("a tall building")
+        assert ("building",) in g.objects
+        assert not g.relations
+
+    def test_plural_lemmatization(self):
+        for plural, singular in [("dogs", "dog"), ("children", "child"),
+                                 ("men", "man"), ("knives", "knife"),
+                                 ("parties", "party")]:
+            g = parse_scene_graph(f"the {plural}")
+            assert (singular,) in g.objects, plural
+
+    def test_verb_lemmatization_merges_forms(self):
+        r1 = parse_scene_graph("a man riding a bike").relations
+        r2 = parse_scene_graph("a man rides a bike").relations
+        assert r1 == r2 == {("man", "ride", "bike")}
+
+
+class TestScoring:
+    def test_identical_is_one(self):
+        s = score_pair("a man riding a horse", ["a man riding a horse"])
+        assert s["All"]["f"] == pytest.approx(1.0)
+
+    def test_disjoint_is_zero(self):
+        s = score_pair("a cat", ["a dog on a bench"])
+        assert s["All"]["f"] == 0.0
+
+    def test_partial_precision_recall(self):
+        # cand tuples: {(man,),(horse,),(man,ride,horse)} all in refs;
+        # refs add beach tuples -> P=1, R<1
+        s = score_pair("a man riding a horse",
+                       ["a man riding a horse on a beach"])
+        assert s["All"]["pr"] == pytest.approx(1.0)
+        assert 0 < s["All"]["re"] < 1
+        p, r = s["All"]["pr"], s["All"]["re"]
+        assert s["All"]["f"] == pytest.approx(2 * p * r / (p + r))
+
+    def test_refs_union_not_best_single(self):
+        # each half matched by a DIFFERENT reference; the union credits both
+        s = score_pair("a red car and a blue boat",
+                       ["a red car", "a blue boat"])
+        assert s["All"]["f"] == pytest.approx(1.0)
+
+    def test_category_subsets(self):
+        s = score_pair("two big red apples",
+                       ["two big red apples on a table"])
+        for cat in ("Object", "Attribute", "Color", "Cardinality", "Size"):
+            assert s[cat]["pr"] == pytest.approx(1.0), cat
+        # no relations in the candidate but refs have one -> f == 0
+        assert s["Relation"]["f"] == 0.0
+
+    def test_empty_category_is_nan(self):
+        s = score_pair("a dog", ["a dog"])
+        assert math.isnan(s["Color"]["f"])  # the jar emits NaN there too
+
+    def test_builtin_synonyms_match(self):
+        s = score_pair("a man riding a bicycle", ["a man riding a bike"])
+        assert s["All"]["f"] == pytest.approx(1.0)
+
+    def test_user_synonym_table(self):
+        from recurrent_fusion_network_tpu.metrics.meteor import SynonymTable
+
+        syn = SynonymTable([["canine", "dog"]])
+        assert score_pair("a canine", ["a dog"])["All"]["f"] == 0.0
+        s = score_pair("a canine", ["a dog"], synonyms=syn)
+        assert s["All"]["f"] == pytest.approx(1.0)
+
+    def test_exact_match_not_stolen_by_synonym(self):
+        # cand has both 'bike' and 'bicycle'; refs have both too — greedy
+        # matching must pair exacts first so everything matches
+        s = score_pair("a bike and a bicycle", ["a bike and a bicycle"])
+        assert s["All"]["f"] == pytest.approx(1.0)
+
+    def test_compute_score_contract(self):
+        scorer = SpiceApprox()
+        gts = {"b": ["a man riding a horse"], "a": ["a dog on a bench"]}
+        res = {"b": ["a man riding a horse"], "a": ["a cat"]}
+        mean, sent = scorer.compute_score(gts, res)
+        # string-sorted id order: 'a' first (0.0), then 'b' (1.0)
+        assert sent == [0.0, pytest.approx(1.0)]
+        assert mean == pytest.approx(0.5)
+        assert set(scorer.last_details) == {"a", "b"}
+        assert scorer.last_details["b"]["All"]["f"] == pytest.approx(1.0)
+
+
+class TestJarProtocol:
+    def test_runner_backs_java_scorer(self, tmp_path):
+        """SpiceJavaScorer(runner=spice_approx_runner) == direct scorer —
+        the full jar file-format round trip (spice.py:32-90)."""
+        from recurrent_fusion_network_tpu.metrics.spice import SpiceJavaScorer
+
+        gts = {1: ["a man riding a horse", "a person on a horse"],
+               2: ["two dogs running in the grass"]}
+        res = {1: ["a man riding a horse"], 2: ["a dog in the grass"]}
+        jar = SpiceJavaScorer(work_dir=str(tmp_path),
+                              runner=spice_approx_runner)
+        mean_j, sent_j = jar.compute_score(gts, res)
+        mean_d, sent_d = SpiceApprox().compute_score(gts, res)
+        assert mean_j == pytest.approx(mean_d)
+        assert sent_j == pytest.approx(sent_d)
+        assert jar.last_details[1]["All"]["f"] == pytest.approx(sent_d[0])
+
+    def test_runner_file_formats(self, tmp_path):
+        in_path = tmp_path / "in.json"
+        out_path = tmp_path / "out.json"
+        in_path.write_text(json.dumps(
+            [{"image_id": 7, "test": "a red car",
+              "refs": ["a red car", "a parked car"]}]
+        ))
+        spice_approx_runner(str(in_path), str(out_path), str(tmp_path))
+        out = json.loads(out_path.read_text())
+        assert out[0]["image_id"] == 7
+        scores = out[0]["scores"]
+        assert set(scores) >= {"All", "Object", "Attribute", "Relation",
+                               "Color", "Cardinality", "Size"}
+        assert set(scores["All"]) == {"f", "pr", "re"}
+        # refs' union adds (car, park): P=1, R=2/3 -> F=0.8
+        assert scores["All"]["pr"] == pytest.approx(1.0)
+        assert scores["All"]["f"] == pytest.approx(0.8)
+
+
+class TestSpiceHTTPService:
+    def test_service_speaks_reference_protocol(self, tmp_path):
+        """rfnet-spice-server answers the spiceD GET contract
+        (spiceD.py:66-88): writes the out file AND echoes the JSON body;
+        SpiceHTTPScorer against it == the direct scorer."""
+        from recurrent_fusion_network_tpu.metrics.spice import SpiceHTTPScorer
+        from recurrent_fusion_network_tpu.metrics.spice_server import (
+            run_spice_server,
+        )
+
+        httpd = run_spice_server("127.0.0.1", 0)  # ephemeral port
+        port = httpd.server_address[1]
+        try:
+            gts = {0: ["a man riding a horse"], 1: ["a large red truck"]}
+            res = {0: ["a man on a horse"], 1: ["a red truck"]}
+            scorer = SpiceHTTPScorer("127.0.0.1", port,
+                                     work_dir=str(tmp_path))
+            mean_h, sent_h = scorer.compute_score(gts, res)
+            mean_d, sent_d = SpiceApprox().compute_score(gts, res)
+            assert mean_h == pytest.approx(mean_d)
+            assert sent_h == pytest.approx(sent_d)
+        finally:
+            httpd.shutdown()
+
+    def test_service_error_paths(self, tmp_path):
+        import urllib.error
+        import urllib.request
+
+        from recurrent_fusion_network_tpu.metrics.spice_server import (
+            run_spice_server,
+        )
+
+        httpd = run_spice_server("127.0.0.1", 0)
+        port = httpd.server_address[1]
+        try:
+            body = urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10).read()
+            assert json.loads(body)["ok"] is True
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/test?in=/nonexistent"
+                    f"&out={tmp_path}/o.json", timeout=10)
+            assert ei.value.code == 400
+        finally:
+            httpd.shutdown()
+
+
+class TestWiring:
+    def test_evaluate_captions_has_spice_column(self):
+        from recurrent_fusion_network_tpu.metrics.coco_eval import (
+            evaluate_captions,
+        )
+
+        gts = {1: ["A man rides a bike.", "a person on a bicycle"],
+               2: ["the dog runs in the park."]}
+        res = {1: ["a man rides a bike"], 2: ["a dog runs"]}
+        out = evaluate_captions(gts, res)
+        assert "SPICE" in out["overall"]
+        assert 0 < out["overall"]["SPICE"] <= 1.0
+        assert "SPICE" in out["img_scores"][1]
+        # opt-out still available
+        out2 = evaluate_captions(gts, res, spice=None)
+        assert "SPICE" not in out2["overall"]
+
+    def test_make_spice_fn_approx_backend(self):
+        """The RL reward hook: per-hyp scores in HYP order even when
+        string-sorting permutes ids (>10 rows), via the approx backend."""
+        from types import SimpleNamespace
+
+        from recurrent_fusion_network_tpu.metrics.spice import make_spice_fn
+
+        vocab = {"1": "a", "2": "man", "3": "riding", "4": "horse",
+                 "5": "dog", "6": "bench", "7": "on"}
+        opt = SimpleNamespace(spice_backend="approx")
+        fn = make_spice_fn(opt, vocab)
+        perfect = np.array([1, 2, 3, 1, 4, 0, 0], np.int32)  # EOS-padded
+        miss = np.array([1, 5, 0, 0, 0, 0, 0], np.int32)
+        hyps = np.stack([perfect] * 11 + [miss])
+        refs = np.stack([np.stack([perfect])] * 12)
+        scores = fn(hyps, refs)
+        assert scores.shape == (12,)
+        np.testing.assert_allclose(scores[:11], 1.0)
+        assert scores[11] == 0.0
+
+    def test_make_spice_fn_http_backend_selected(self):
+        from types import SimpleNamespace
+
+        from recurrent_fusion_network_tpu.metrics.spice import make_spice_fn
+
+        with pytest.raises(ValueError, match="spice_backend"):
+            make_spice_fn(SimpleNamespace(spice_backend="java"), None)
+
+    def test_rl_loop_default_backend_is_approx(self, tmp_path):
+        """train_rl with spice_weight>0 and NO service configured runs on
+        the in-repo approximate scorer (the round-2 gap: the SPICE reward
+        needed an external service the sandbox cannot supply)."""
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+            compute_doc_freq,
+        )
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+        from recurrent_fusion_network_tpu.training.train_rl_loop import (
+            train_rl,
+        )
+
+        opt, loader = synthetic_setup(caption_model="show_tell",
+                                      batch_size=3, seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.spice_weight = 0.5
+        assert opt.spice_backend == "approx"
+        ids = loader.split_image_id["train"]
+        scorer = CiderD(compute_doc_freq(loader.dataset, ids),
+                        float(np.log(len(ids))))
+        train_rl(opt, loader, scorer, max_iterations=1,
+                 log_fn=lambda *a, **k: None)
