@@ -40,9 +40,20 @@ def merge_checkpoint_opt(opt, saved: dict):
 
 
 def main():
-    opt = parse_opt()
+    import argparse
+
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--rl_prefix", type=int, default=0,
+                     help="load the rl_-prefixed (SCST) checkpoint")
+    pre.add_argument("--rank", type=int, default=0,
+                     help="checkpoint rank (fleet seed index)")
+    pre_args, rest = pre.parse_known_args()
+    opt = parse_opt(rest)
     ckpt_dir = opt.model_path or opt.checkpoint_path
-    params, _, infos = load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
+    params, _, infos = load_checkpoint(
+        ckpt_dir, opt.load_model_id, pre_args.rank, best=True,
+        prefix="rl_" if pre_args.rl_prefix else "",
+    )
     if "opt" in infos:
         merge_checkpoint_opt(opt, infos["opt"])
 

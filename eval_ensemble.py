@@ -26,7 +26,12 @@ from eval import merge_checkpoint_opt
 def main():
     pre = argparse.ArgumentParser(add_help=False)
     pre.add_argument("--model_ids", type=str, required=True,
-                     help="comma-separated checkpoint ids")
+                     help="comma-separated checkpoint ids; 'id:rank' selects "
+                          "a specific rank (default rank 0)")
+    pre.add_argument("--n_ranks", type=int, default=1,
+                     help="with a single model id, load ranks 0..n_ranks-1 "
+                          "(the vmapped fleet's per-seed checkpoints share "
+                          "one id across ranks)")
     pre.add_argument("--rl_prefix", type=int, default=0)
     pre.add_argument("--diff_feat", type=int, default=0)
     pre_args, rest = pre.parse_known_args()
@@ -34,10 +39,20 @@ def main():
 
     ckpt_dir = opt.model_path or opt.checkpoint_path
     prefix = "rl_" if pre_args.rl_prefix else ""
+    mids = pre_args.model_ids.split(",")
+    pairs = [(m.split(":")[0], int(m.split(":")[1])) if ":" in m else (m, 0)
+             for m in mids]
+    if pre_args.n_ranks > 1:
+        assert len(pairs) == 1 and pairs[0][1] == 0, (
+            "--n_ranks expands a SINGLE model id over ranks; do not combine "
+            "with id lists or id:rank"
+        )
+        pairs = [(pairs[0][0], r) for r in range(pre_args.n_ranks)]
     members = []
     merged = False
-    for mid in pre_args.model_ids.split(","):
-        params, _, infos = load_checkpoint(ckpt_dir, mid, 0, best=True, prefix=prefix)
+    for mid, rank in pairs:
+        params, _, infos = load_checkpoint(ckpt_dir, mid, rank, best=True,
+                                           prefix=prefix)
         if not merged and "opt" in infos:
             merge_checkpoint_opt(opt, infos["opt"])
             merged = True
@@ -56,7 +71,11 @@ def main():
                                                  "input_encoding_size", "att_hid_size",
                                                  "num_review_steps", "num_review_steps_0",
                                                  "use_mos", "num_expert", "maxout",
-                                                 "review_maxout", "fusion_maxout")}})
+                                                 "review_maxout", "fusion_maxout",
+                                                 # architecture variant: each
+                                                 # member keeps ITS trained
+                                                 # (un)tied key layout
+                                                 "tied_att_keys")}})
         mo.vocab_size = loader.vocab_size
         mo.seq_length = loader.seq_length
         model_members.append((setup(mo), params))

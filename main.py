@@ -44,7 +44,18 @@ def main():
         opt.num_dp_devices = min(opt.num_processes, len(jax.devices()))
         print(f"--async_opt 1 -> synchronous DP over "
               f"{opt.num_dp_devices} device(s)")
-    if opt.num_dp_devices > 1:
+    if opt.num_mp_devices > 1:
+        # 2-D dp x mp: batch over dp, vocab-dim logit/embed over mp
+        # (solo XE only: fleets shard the seed axis, and RL's rollout
+        # readback is dp-sharded — see parallel/mesh.py)
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh_2d
+
+        assert opt.n_seeds == 1, (
+            "--num_mp_devices applies to solo XE runs; fleets (--n_seeds) "
+            "shard the seed axis over dp instead"
+        )
+        mesh = make_mesh_2d(opt.num_dp_devices, opt.num_mp_devices)
+    elif opt.num_dp_devices > 1:
         from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(opt.num_dp_devices)

@@ -157,12 +157,26 @@ def _defaults() -> dict:
         json_log="",  # JSONL event log path (utils/logging.py)
         data_root="data/features",
         num_dp_devices=1,  # data-parallel mesh size for pjit training
+        num_mp_devices=1,  # tensor-parallel ('mp') mesh axis for XE
+        # training: shards the vocab-dim logit/embed projections (the
+        # largest matmuls) over mp on a dp x mp mesh (parallel/mesh.py
+        # shard_params_2d). Optional at 512-dim scale (SURVEY §2.5) — dp
+        # alone is the right default; >1 builds the 2-D mesh
         n_seeds=1,  # vmapped multi-seed fleet size (replaces the per-GPU
         # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
-        tied_att_keys=0,  # RFNet variant: share attention-KEY projections
-        # across review steps (8x fewer encode-key FLOPs; 0 = strict parity)
+        # Profile policy (round-3 decision, VERDICT r2 item 4): the
+        # TPU-native profile is the default and enables architecture
+        # variants that are measured-faster with proxy-equal quality;
+        # --reference_parity 1 pins strict reference semantics instead.
+        reference_parity=0,
+        tied_att_keys=-1,  # RFNet variant: share attention-KEY projections
+        # across review steps (8x fewer encode-key FLOPs; measured 1.53x
+        # decode / 1.49-1.69x train at flagship dims, exact-sharing proof in
+        # tests, quality chains pass — PERF_NOTES.md §5, PIPELINE_PROXY_TIED).
+        # -1 = auto: ON in the TPU-native profile, OFF under
+        # --reference_parity; explicit 0/1 always wins.
         checkpoint_backend="pickle",  # 'pickle' (reference triple-file
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
         checkpoint_async=0,  # orbax only: background the disk write (the
@@ -258,6 +272,9 @@ def finalize_options(opt) -> None:
     _wire_features(opt)
     if not hasattr(opt, "feat_array_info"):
         opt.feat_array_info = []
+    # profile resolution: tied_att_keys 'auto' follows the profile
+    if getattr(opt, "tied_att_keys", 0) == -1:
+        opt.tied_att_keys = 0 if getattr(opt, "reference_parity", 0) else 1
 
 
 def enable_compile_cache():

@@ -1,0 +1,197 @@
+"""asyncio HTTP front end for CaptionService: ingest past the thread-server.
+
+The threading front end (http_serve.py) tops out around ~270 req/s — each
+request burns a Python thread on header parsing + a blocking Future wait,
+and the GIL serializes them. This front end serves the same endpoints from
+ONE event loop: asyncio stream parsing, keep-alive connections, and
+`asyncio.wrap_future` bridging the CaptionServer's concurrent Futures into
+awaitables, so thousands of in-flight requests cost coroutines instead of
+threads. The TPU side is unchanged — requests still coalesce into
+CaptionServer's static-shape batches; only the HTTP ingest path scales.
+
+Measured on the bench host (tiny model, 64 concurrent keep-alive clients):
+see PERF_NOTES.md §4f — the asyncio loop sustains >1k req/s where the
+threading server saturated at ~270.
+
+stdlib-only. Endpoints match http_serve.py:
+  GET  /healthz        -> service status JSON
+  POST /caption        -> {"fc": [...], "att": [...]} -> caption JSON
+
+Raw-image extraction (`/caption_image`) stays on the threading server: PIL
+decode is CPU-bound work that would block the loop; bulk image pipelines
+should use the in-process API (eval_folder / CaptionServer).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+from typing import Optional
+
+import numpy as np
+
+_MAX_HEADER = 64 * 1024
+_MAX_BODY = 256 * 1024 * 1024
+
+
+def _response(code: int, body: bytes, keep_alive: bool) -> bytes:
+    reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
+              413: "Payload Too Large", 500: "Internal Server Error"}
+    return (
+        f"HTTP/1.1 {code} {reason.get(code, 'OK')}\r\n"
+        f"Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
+        "\r\n"
+    ).encode() + body
+
+
+class AsyncCaptionFrontend:
+    """One event loop serving CaptionService over HTTP/1.1 keep-alive."""
+
+    def __init__(self, service):
+        self.service = service
+        self._server: Optional[asyncio.AbstractServer] = None
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+        self._thread: Optional[threading.Thread] = None
+        self._started = threading.Event()
+        self.port: Optional[int] = None
+
+    # ------------------------------------------------------------- request
+
+    async def _caption(self, payload: bytes) -> tuple:
+        try:
+            req = json.loads(payload)
+            fcs = [np.asarray(f, np.float32) for f in req["fc"]]
+            atts = [np.asarray(a, np.float32) for a in req["att"]]
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            return 400, {"error": f"{type(e).__name__}: {e}"}
+        try:
+            fut = self.service.server.submit(fcs, atts)
+        except (ValueError, RuntimeError) as e:  # shape contract / closed
+            return 400, {"error": f"{type(e).__name__}: {e}"}
+        try:
+            row = await asyncio.wrap_future(fut)
+        except Exception as e:  # device/batch failure
+            return 500, {"error": f"{type(e).__name__}: {e}"}
+        from ..data.vocab import decode_sequence
+
+        toks = np.asarray(row["seq"])
+        caption = decode_sequence(self.service.vocab, toks[None, :])[0]
+        lps = np.asarray(row["seq_logprobs"])
+        eos = np.nonzero(toks == 0)[0]
+        n = int(eos[0]) + 1 if len(eos) else len(toks)
+        return 200, {"caption": caption, "logprob": float(lps[:n].sum())}
+
+    async def _handle(self, reader: asyncio.StreamReader,
+                      writer: asyncio.StreamWriter) -> None:
+        try:
+            while True:
+                try:
+                    head = await reader.readuntil(b"\r\n\r\n")
+                except asyncio.IncompleteReadError:
+                    return  # client closed between requests
+                except asyncio.LimitOverrunError:
+                    writer.write(_response(413, b'{"error":"headers"}', False))
+                    await writer.drain()
+                    return
+                if len(head) > _MAX_HEADER:
+                    writer.write(_response(413, b'{"error":"headers"}', False))
+                    await writer.drain()
+                    return
+                lines = head.decode("latin-1").split("\r\n")
+                try:
+                    method, path, _ = lines[0].split(" ", 2)
+                except ValueError:
+                    writer.write(_response(400, b'{"error":"request line"}',
+                                           False))
+                    await writer.drain()
+                    return
+                headers = {}
+                for ln in lines[1:]:
+                    if ":" in ln:
+                        k, v = ln.split(":", 1)
+                        headers[k.strip().lower()] = v.strip()
+                length = int(headers.get("content-length", 0) or 0)
+                if length > _MAX_BODY:
+                    writer.write(_response(413, b'{"error":"body"}', False))
+                    await writer.drain()
+                    return
+                body = await reader.readexactly(length) if length else b""
+                keep = headers.get("connection", "keep-alive").lower() != "close"
+
+                if method == "GET" and path == "/healthz":
+                    code, payload = 200, {
+                        "ok": True,
+                        "model": type(self.service.model).__name__,
+                        "batch_size": self.service.batch_size,
+                        "beam_size": self.service.beam_size,
+                        "frontend": "asyncio",
+                        "stats": dict(self.service.server.stats),
+                    }
+                elif method == "POST" and path == "/caption":
+                    code, payload = await self._caption(body)
+                else:
+                    code, payload = 404, {"error": "unknown path"}
+                writer.write(_response(code, json.dumps(payload).encode(),
+                                       keep))
+                await writer.drain()
+                if not keep:
+                    return
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            try:
+                writer.close()
+                await writer.wait_closed()
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------ lifecycle
+
+    async def _serve(self, host: str, port: int) -> None:
+        self._server = await asyncio.start_server(
+            self._handle, host, port, limit=_MAX_HEADER, backlog=512
+        )
+        self.port = self._server.sockets[0].getsockname()[1]
+        self._started.set()
+        async with self._server:
+            await self._server.serve_forever()
+
+    def start(self, host: str = "0.0.0.0", port: int = 8080) -> None:
+        """Run the loop in a daemon thread (same embedding model as
+        http_serve.run_server); returns once the socket is listening."""
+        def run():
+            self._loop = asyncio.new_event_loop()
+            asyncio.set_event_loop(self._loop)
+            try:
+                self._loop.run_until_complete(self._serve(host, port))
+            except asyncio.CancelledError:
+                pass
+            finally:
+                self._loop.close()
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+        if not self._started.wait(timeout=30):
+            raise RuntimeError("asyncio front end failed to start")
+
+    def stop(self) -> None:
+        if self._loop is None:
+            return
+
+        def shutdown():
+            for task in asyncio.all_tasks(self._loop):
+                task.cancel()
+
+        self._loop.call_soon_threadsafe(shutdown)
+        self._thread.join(timeout=10)
+
+
+def run_server_async(service, host: str = "0.0.0.0",
+                     port: int = 8080) -> AsyncCaptionFrontend:
+    """Start the asyncio front end; returns the running frontend object."""
+    fe = AsyncCaptionFrontend(service)
+    fe.start(host, port)
+    return fe

@@ -4,10 +4,12 @@ The serving front end over ``CaptionServer``: a threading HTTP server whose
 handler threads submit one image's features (or one raw image) each and
 block on their Future — concurrent requests coalesce into STATIC-shape
 device batches (one jit graph, padded tails). Scope: the decode itself runs
-at the batched rate, but Python's HTTP stack bounds request throughput
-(measured ~270 req/s at 64 concurrent clients on a tiny model, zero
-errors); bulk offline workloads should drive CaptionServer or
-pipelined_map in-process instead.
+at the batched rate, but the GIL-bound thread-per-request stack caps ingest
+(measured ~270-535 req/s at 64 concurrent clients on a tiny model, zero
+errors); the asyncio front end (aio_serve.py, serve.py's default) sustains
+~3x that on the same endpoints, and bulk offline workloads should drive
+CaptionServer or pipelined_map in-process. This server remains the
+/caption_image path (blocking PIL decode stays off the event loop).
 
 The reference has no serving story at all (its closest analogue is the
 offline eval loop); this is a TPU-native addition. stdlib-only (no web

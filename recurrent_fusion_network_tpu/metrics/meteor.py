@@ -79,13 +79,18 @@ class ParaphraseTable:
     """Phrase-pair groups for the METEOR paraphrase stage (approximate).
 
     The meteor-1.5 jar matches multi-word PHRASES from paraphrase-en.gz as
-    single alignment units. Here the stage is implemented by
-    CANONICALIZATION: occurrences of any group phrase in the hypothesis and
-    references are replaced (longest-first, non-overlapping, left-to-right)
-    by one synthetic token shared by the group, which then matches exactly
-    in the ordinary alignment. Deviation from the jar (documented): a
-    substituted phrase counts as ONE token in precision/recall rather than
-    its word count, so scores are approximate where paraphrases fire.
+    single alignment units weighted by their word counts
+    (meteor.py:17-47's jar; Denkowski & Lavie 2014 §3). Here the stage is
+    implemented by CANONICALIZATION: occurrences of any group phrase in the
+    hypothesis and references are replaced (longest-first, non-overlapping,
+    left-to-right) by one synthetic token shared by the group, which then
+    matches exactly in the ordinary alignment — and each synthetic token
+    REMEMBERS its original span's word count, which precision/recall weight
+    by (canonicalize_weighted; the jar's span semantics, closing the
+    round-2 one-token-per-phrase deviation). Remaining deviation
+    (documented): the jar's phrase pairs are directional and
+    non-transitive; groups here are symmetric closures, so chained
+    paraphrases can match where the jar would not.
 
     File format: one group per line, phrases separated by '|||'
     (words space-separated; '#' comments).
@@ -114,7 +119,14 @@ class ParaphraseTable:
 
     def canonicalize(self, toks: Sequence[str]) -> List[str]:
         """Replace table phrases with their group's synthetic token."""
+        return self.canonicalize_weighted(toks)[0]
+
+    def canonicalize_weighted(self, toks: Sequence[str]):
+        """(tokens, weights): like canonicalize, but each token carries its
+        original word count (1 for plain tokens, the span length for
+        substituted phrases) — the jar weighs a phrase match by its words."""
         out: List[str] = []
+        weights: List[int] = []
         i, n = 0, len(toks)
         while i < n:
             hit = None
@@ -125,11 +137,13 @@ class ParaphraseTable:
                     break
             if hit is None:
                 out.append(toks[i])
+                weights.append(1)
                 i += 1
             else:
                 out.append(f"\x00para{hit[0]}\x00")  # un-typeable token
+                weights.append(hit[1])
                 i += hit[1]
-        return out
+        return out, weights
 
 
 def _match_fn(synonyms: Optional[SynonymTable]):
@@ -285,20 +299,30 @@ def meteor_sentence(
     paraphrases: Optional[ParaphraseTable] = None,
 ) -> float:
     if paraphrases is not None:
-        hyp = paraphrases.canonicalize(list(hyp))
-        refs = [paraphrases.canonicalize(list(r)) for r in refs]
+        hyp, hyp_w = paraphrases.canonicalize_weighted(list(hyp))
+        ref_pairs = [paraphrases.canonicalize_weighted(list(r)) for r in refs]
+    else:
+        hyp_w = [1] * len(hyp)
+        ref_pairs = [(list(r), [1] * len(r)) for r in refs]
     best = 0.0
-    for ref in refs:
+    for ref, ref_w in ref_pairs:
         if not hyp or not ref:
             continue
         match = _align(hyp, ref, synonyms)
         m = sum(1 for j in match if j >= 0)
         if m == 0:
             continue
-        p = m / len(hyp)
-        r = m / len(ref)
+        # span weighting (jar semantics): a matched paraphrase span covers
+        # its WORD COUNT on each side — precision over the hypothesis's
+        # original words, recall over the reference's; the fragmentation
+        # penalty uses the averaged covered-word mass (all weights 1 without
+        # a paraphrase table, which reduces to the plain formula)
+        m_h = sum(hyp_w[i] for i, j in enumerate(match) if j >= 0)
+        m_r = sum(ref_w[j] for j in match if j >= 0)
+        p = m_h / sum(hyp_w)
+        r = m_r / sum(ref_w)
         f_mean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-        frag = _chunks(match) / m
+        frag = _chunks(match) / ((m_h + m_r) / 2.0)
         score = f_mean * (1 - GAMMA * frag**BETA)
         best = max(best, score)
     return best

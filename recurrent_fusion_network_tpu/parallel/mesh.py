@@ -60,6 +60,15 @@ def make_mesh_2d(dp: int, mp: int, devices: Optional[Sequence] = None) -> Mesh:
     return Mesh(np.array(devs[: dp * mp]).reshape(dp, mp), ("dp", "mp"))
 
 
+def is_mesh_2d(mesh) -> bool:
+    """True when the mesh carries a non-trivial 'mp' (tensor) axis."""
+    return (
+        mesh is not None
+        and "mp" in getattr(mesh, "axis_names", ())
+        and dict(mesh.shape).get("mp", 1) > 1
+    )
+
+
 def shard_params_2d(mesh: Mesh, params):
     """device_put params with vocab-dim sharding over 'mp':
 
@@ -79,3 +88,28 @@ def shard_params_2d(mesh: Mesh, params):
         }
         out["embed"] = jax.device_put(params["embed"], NamedSharding(mesh, P("mp", None)))
     return out
+
+
+def shard_opt_state_2d(mesh: Mesh, opt_state, params_template, sharded_params):
+    """Place an optax state on a 2-D mesh, mirroring the parameter shardings
+    onto every params-shaped subtree (adam's mu/nu moments share the param
+    treedef — a moment must live WITH its weight shard or every step pays an
+    all-gather); scalar leaves (step counts) replicate."""
+    p_struct = jax.tree_util.tree_structure(params_template)
+    shardings = jax.tree_util.tree_map(lambda x: x.sharding, sharded_params)
+    rep = replicated(mesh)
+
+    def params_shaped(node):
+        try:
+            return jax.tree_util.tree_structure(node) == p_struct
+        except Exception:
+            return False
+
+    def place(node):
+        if params_shaped(node):
+            return jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s), node, shardings
+            )
+        return jax.device_put(node, rep)
+
+    return jax.tree_util.tree_map(place, opt_state, is_leaf=params_shaped)

@@ -20,6 +20,18 @@ seeds are independent). This is the literal TPU analogue of the reference's
 one-job-per-GPU fleet (train_recurrent_fusion_model.sh:7-30): a v5e-8 slice
 trains 8 seeds at single-seed wall-clock. n_seeds must divide by the mesh
 size; trajectories are identical to the unsharded vmap (tested).
+
+Multi-host fleets: the mesh may span processes (parallel.distributed's
+global_dp_mesh). Each host materializes and owns only ITS contiguous block
+of seeds (`_local_seed_ids`): rollout reward scoring, validation eval, best
+tracking, and checkpoint writes all run per-host over local seeds, and the
+vmapped step executes as one GSPMD program over the global mesh. Every host
+reads the FULL (unsharded) data stream — seeds share the batch — so fleet
+loaders must NOT be host-sharded. RL warm start (--start_from) reads every
+seed's XE checkpoint on every host and commits only local rows; use a
+shared checkpoint filesystem (the standard pod setup) for multi-host RL.
+Trajectories are identical to the single-process fleet (2-process CPU
+cluster test, tests/test_distributed.py).
 """
 
 from __future__ import annotations
@@ -37,29 +49,78 @@ from .eval_split import batch_feats, eval_split
 from .optim import apply_updates, lr_for_epoch, make_optimizer, ss_prob_for_epoch
 
 
-def _shard_seed_axis(mesh, n_seeds, *trees):
-    """device_put each tree with its leading (seed) axis split over the
-    mesh's 'dp' axis; returns the trees in order."""
+def _seed_sharding(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    return NamedSharding(mesh, P("dp"))
+
+
+def _shard_seed_axis(mesh, n_seeds, *trees):
+    """Commit each tree with its leading (seed) axis split over the mesh's
+    'dp' axis; returns the trees in order.
+
+    Multi-process meshes are supported: every process computes the full
+    stacked host array (seed init is deterministic from opt.seed), and
+    `make_array_from_callback` materializes only this process's addressable
+    seed rows into the global array — the per-host half of the reference's
+    multi-host fleet (train_recurrent_fusion_model.sh's 8-job loop run
+    across hosts). Host-side readback of non-local seeds is never needed:
+    scoring/eval/saving go through `_local_seed_ids` + `_seed_row`.
+    """
     d = mesh.shape["dp"]
     assert n_seeds % d == 0, (
         f"n_seeds {n_seeds} must divide by the mesh size {d}"
     )
-    # host-side readback (reward scoring, seed_slice) uses np.asarray on the
-    # seed-sharded arrays, which needs every shard addressable locally; a
-    # multi-process fleet would need per-host seed scoring (cf.
-    # train_rl_loop._local_rows) — not implemented, fail loudly instead
-    assert jax.process_count() == 1, (
-        "fleet-over-mesh supports single-process meshes only; use one fleet "
-        "process per host or the dp-sharded solo loops for multi-host"
-    )
-    sharding = NamedSharding(mesh, P("dp"))
-    out = tuple(
-        jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), t)
-        for t in trees
-    )
+    sharding = _seed_sharding(mesh)
+    if jax.process_count() == 1:
+        out = tuple(
+            jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), t)
+            for t in trees
+        )
+        return out if len(out) > 1 else out[0]
+
+    def commit(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx]
+        )
+
+    out = tuple(jax.tree_util.tree_map(commit, t) for t in trees)
     return out if len(out) > 1 else out[0]
+
+
+def _local_seed_ids(mesh, n_seeds):
+    """The seed rows whose shards live on THIS process's devices, sorted.
+    With the process-major 1-D mesh these are one contiguous block per
+    host — each host owns n_seeds/process_count fleet members."""
+    sharding = _seed_sharding(mesh)
+    local = set(jax.local_devices())
+    ids = set()
+    for dev, idx in sharding.devices_indices_map((n_seeds,)).items():
+        if dev in local:
+            sl = idx[0]
+            start = sl.start or 0
+            stop = sl.stop if sl.stop is not None else n_seeds
+            ids.update(range(start, stop))
+    return sorted(ids)
+
+
+def _seed_row(x, r) -> np.ndarray:
+    """Host copy of seed r's row of a (possibly multi-host seed-sharded)
+    array. Only valid for r in _local_seed_ids on multi-process meshes."""
+    shards = getattr(x, "addressable_shards", None)
+    if shards is None or x.is_fully_addressable:
+        return np.asarray(x[r])
+    for s in shards:
+        sl = s.index[0]
+        start = sl.start or 0
+        stop = sl.stop if sl.stop is not None else x.shape[0]
+        if start <= r < stop:
+            return np.asarray(s.data[r - start])
+    raise IndexError(
+        f"seed {r} is not addressable on process {jax.process_index()} "
+        f"(local seeds: use _local_seed_ids)"
+    )
 
 
 def train_multi_seed(
@@ -119,6 +180,14 @@ def train_multi_seed(
 
     if mesh is not None:
         rngs = _shard_seed_axis(mesh, n_seeds, rngs)
+    # per-host seed ownership: on a multi-process mesh each host evaluates,
+    # tracks, and checkpoints ONLY its local block of seeds (disjoint across
+    # hosts; together they cover the fleet)
+    local_seeds = (
+        _local_seed_ids(mesh, n_seeds)
+        if mesh is not None and jax.process_count() > 1
+        else list(range(n_seeds))
+    )
     iteration, epoch = 0, 0
     loss_histories = [dict() for _ in range(n_seeds)]
     lr_history = {}  # shared schedule; checkpointed per seed so the RL
@@ -138,10 +207,10 @@ def train_multi_seed(
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), tree)
+        return jax.tree_util.tree_map(lambda x: _seed_row(x, r), tree)
 
     def eval_seeds(at_iter):
-        for r in range(n_seeds):
+        for r in local_seeds:
             p = seed_slice(r)
             val_loss, _, stats = eval_split(
                 model, p, loader, opt, split="val", rank=r,
@@ -155,7 +224,8 @@ def train_multi_seed(
                 best_opt_states[r] = seed_slice(r, opt_state)
         log_fn(
             f"iter {at_iter} fleet val scores: "
-            + " ".join(f"{s:.3f}" for s in best_scores)
+            + " ".join("-" if best_scores[r] is None else
+                       f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
     while True:
@@ -182,12 +252,14 @@ def train_multi_seed(
             epoch += 1
             update_lr_flag = True
         if iteration % opt.losses_log_every == 0:
-            for r in range(n_seeds):
-                loss_histories[r][iteration] = float(losses[r])
+            local_losses = {r: float(_seed_row(losses, r))
+                            for r in local_seeds}
+            for r, l in local_losses.items():
+                loss_histories[r][iteration] = l
             lr_history[iteration] = lr
             log_fn(
                 f"iter {iteration} (epoch {epoch}) losses: "
-                + " ".join(f"{float(l):.3f}" for l in losses)
+                + " ".join(f"{l:.3f}" for l in local_losses.values())
             )
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
@@ -200,13 +272,15 @@ def train_multi_seed(
     result = {"params": params, "loss_histories": loss_histories, "model": model}
 
     # the saved '-best' artifacts need at least one scored snapshot per seed
-    if eval_at_end or (save and any(p is None for p in best_params)):
+    if eval_at_end or (save and any(best_params[r] is None
+                               for r in local_seeds)):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)
     result["val_histories"] = val_histories
     result["best_params"] = best_params
+    result["local_seeds"] = list(local_seeds)
     if save:
-        for r in range(n_seeds):
+        for r in local_seeds:
             infos = {
                 "iter": iteration,
                 "epoch": epoch,
@@ -345,6 +419,13 @@ def train_multi_seed_rl(
     )
     vold = jax.jit(jax.vmap(old_fun, in_axes=(0, None, None, 0)))
 
+    # per-host seed ownership (see train_multi_seed): rollout scoring, eval,
+    # best tracking, and checkpointing run over each host's local seed block
+    local_seeds = (
+        _local_seed_ids(mesh, n_seeds)
+        if mesh is not None and jax.process_count() > 1
+        else list(range(n_seeds))
+    )
     iteration, epoch = 0, 0
     reward_histories = [dict() for _ in range(n_seeds)]
     best_scores = list(warm_start_scores)
@@ -356,10 +437,10 @@ def train_multi_seed_rl(
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
-        return jax.tree_util.tree_map(lambda x: np.asarray(x[r]), tree)
+        return jax.tree_util.tree_map(lambda x: _seed_row(x, r), tree)
 
     def eval_seeds(at_iter):
-        for r in range(n_seeds):
+        for r in local_seeds:
             p = seed_slice(r)
             val_loss, _, stats = eval_split(
                 model, p, loader, opt, split="val", rank=r,
@@ -373,7 +454,8 @@ def train_multi_seed_rl(
                 best_opt_states[r] = seed_slice(r, opt_state)
         log_fn(
             f"iter {at_iter} rl fleet val scores: "
-            + " ".join(f"{s:.3f}" for s in best_scores)
+            + " ".join("-" if best_scores[r] is None else
+                       f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
     while True:
@@ -389,22 +471,33 @@ def train_multi_seed_rl(
         sk = jax.vmap(jax.random.split)(run_rngs)
         run_rngs, roll_rngs = sk[:, 0], sk[:, 1]
         seqs, greedy_seqs = vrollout(params, fc, att, roll_rngs)
-        seqs_np, greedy_np = np.asarray(seqs), np.asarray(greedy_seqs)
 
-        rewards = np.stack([
-            compute_reward(
-                cider_scorer, seqs_np[r], greedy_np[r], data["gts"],
+        # score each host's LOCAL seed rows only (multi-process: non-local
+        # rollout shards are not addressable; every host sees the full data
+        # stream so gts are shared) — the fleet analogue of the solo loop's
+        # _local_rows reward scoring
+        local_rewards = {
+            r: compute_reward(
+                cider_scorer, _seed_row(seqs, r), _seed_row(greedy_seqs, r),
+                data["gts"],
                 use_baseline=bool(opt.use_baseline),
                 cider_weight=opt.cider_weight,
                 bleu4_weight=opt.bleu4_weight,
                 spice_weight=opt.spice_weight,
                 spice_fn=spice_fn,
             )
-            for r in range(n_seeds)
-        ])
-        reward_dev = jnp.asarray(rewards, jnp.float32)
+            for r in local_seeds
+        }
+        row_shape = next(iter(local_rewards.values())).shape
+        rewards = np.zeros((n_seeds,) + row_shape, np.float32)
+        for r, v in local_rewards.items():
+            rewards[r] = v
         if mesh is not None:
-            reward_dev = _shard_seed_axis(mesh, n_seeds, reward_dev)
+            # multi-process: the callback materializes only local seed rows,
+            # so the zero placeholders for remote seeds never reach a device
+            reward_dev = _shard_seed_axis(mesh, n_seeds, rewards)
+        else:
+            reward_dev = jnp.asarray(rewards, jnp.float32)
 
         if opt.use_ppo:
             slp_old = jax.lax.stop_gradient(vold(params, fc, att, seqs))
@@ -423,12 +516,13 @@ def train_multi_seed_rl(
             epoch += 1
             update_lr_flag = True
         if iteration % opt.losses_log_every == 0:
-            avg_r = rewards[:, :, 0].mean(axis=1)
-            for r in range(n_seeds):
-                reward_histories[r][iteration] = float(avg_r[r])
+            avg_r = {r: float(local_rewards[r][:, 0].mean())
+                     for r in local_seeds}
+            for r, v in avg_r.items():
+                reward_histories[r][iteration] = v
             log_fn(
                 f"rl iter {iteration} (epoch {epoch}) avg rewards: "
-                + " ".join(f"{v:.3f}" for v in avg_r)
+                + " ".join(f"{v:.3f}" for v in avg_r.values())
             )
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
@@ -443,13 +537,15 @@ def train_multi_seed_rl(
         "reward_histories": reward_histories,
         "model": model,
     }
-    if eval_at_end or (save and any(p is None for p in best_params)):
+    if eval_at_end or (save and any(best_params[r] is None
+                               for r in local_seeds)):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)
     result["val_histories"] = val_histories
     result["best_params"] = best_params
+    result["local_seeds"] = list(local_seeds)
     if save:
-        for r in range(n_seeds):
+        for r in local_seeds:
             infos = {
                 "iter": iteration,
                 "epoch": epoch,

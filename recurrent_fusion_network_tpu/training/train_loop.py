@@ -130,10 +130,24 @@ def train(
 
         opt_state = adopt_structure(opt_state, saved_opt_state)
     if mesh is not None:
-        from ..parallel.mesh import replicate
+        from ..parallel.mesh import (
+            is_mesh_2d,
+            replicate,
+            shard_opt_state_2d,
+            shard_params_2d,
+        )
 
-        params = replicate(mesh, params)
-        opt_state = replicate(mesh, opt_state)
+        if is_mesh_2d(mesh):
+            # 2-D dp x mp: batch over 'dp', the vocab-dim projections
+            # (logit/embed — the model's largest matmuls) over 'mp',
+            # optimizer moments co-located with their weight shards;
+            # GSPMD inserts the vocab-axis collectives (--num_mp_devices)
+            sharded = shard_params_2d(mesh, params)
+            opt_state = shard_opt_state_2d(mesh, opt_state, params, sharded)
+            params = sharded
+        else:
+            params = replicate(mesh, params)
+            opt_state = replicate(mesh, opt_state)
 
     from .eval_split import eval_dtype
 

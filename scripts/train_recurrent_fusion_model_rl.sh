@@ -11,7 +11,11 @@ NUM_SEEDS=${NUM_SEEDS:-8}
 FLEET_MODE=${FLEET_MODE:-vmap}
 mkdir -p log checkpoint
 
+# PARITY=1 pins the strict reference architecture (untied attention
+# keys); default is the TPU-native profile (tied keys, ~1.5x faster,
+# PERF_NOTES.md 4d)
 COMMON_ARGS=(
+  --reference_parity ${PARITY:-0}
   --caption_model recurrent_fusion_model --feature_type feat_array
   --batch_size 10 --seq_per_img 5
   --optim adam --optim_rl_lr 5e-5 --optim_rl_lr_ratio 2.0

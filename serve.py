@@ -26,6 +26,11 @@ def main(argv=None):
     pre.add_argument("--host", default="0.0.0.0")
     pre.add_argument("--serve_batch_size", type=int, default=16)
     pre.add_argument("--serve_depth", type=int, default=2)
+    pre.add_argument("--serve_frontend", default="asyncio",
+                     choices=("asyncio", "threads"),
+                     help="asyncio: single-loop keep-alive ingest (>1k "
+                          "req/s); threads: stdlib ThreadingHTTPServer "
+                          "(~270 req/s, required for /caption_image)")
     pre_args, rest = pre.parse_known_args(argv)
 
     from recurrent_fusion_network_tpu.config import parse_opt
@@ -70,6 +75,26 @@ def main(argv=None):
         depth=pre_args.serve_depth,
         backbone=backbone,
     )
+    frontend = pre_args.serve_frontend
+    if backbone is not None and frontend == "asyncio":
+        # /caption_image does blocking PIL decode; keep it off the loop
+        print("--backbone_weights set: using the threading front end "
+              "(/caption_image support)")
+        frontend = "threads"
+    if frontend == "asyncio":
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+
+        fe = run_server_async(service, pre_args.host, pre_args.port)
+        print(f"caption service (asyncio) on {pre_args.host}:{fe.port} "
+              f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size})")
+        try:
+            fe._thread.join()
+        except KeyboardInterrupt:
+            fe.stop()
+            service.close()
+        return
     httpd = run_server(service, pre_args.host, pre_args.port)
     print(f"caption service on {pre_args.host}:{pre_args.port} "
           f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size}, "

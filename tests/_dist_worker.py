@@ -69,6 +69,45 @@ def main():
                         float(np.log(len(ids))))
         infos = train_rl(opt, loader, scorer, max_iterations=3, mesh=mesh,
                          log_fn=lambda *a, **k: None)
+    elif mode in ("fleet", "fleetrl"):
+        # multi-host fleet-over-mesh: 4 seeds over the global 4-device mesh
+        # (2 per host); fleet loaders read the FULL stream (seeds share the
+        # batch), so use an UNSHARDED loader — only the seed axis is sharded
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+            train_multi_seed_rl,
+        )
+
+        full_loader = DataLoader(opt, base.dataset, base.sources,
+                                 prefetch=False)
+        opt.save_checkpoint_every = 10**9  # no mid-run eval in 3 iters
+        if mode == "fleet":
+            out = train_multi_seed(
+                opt, full_loader, 4, max_iterations=3, eval_at_end=False,
+                save=False, mesh=mesh, log_fn=lambda *a, **k: None,
+            )
+            payload = {str(r): out["loss_histories"][r]
+                       for r in out["local_seeds"]}
+        else:
+            from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+                compute_doc_freq,
+            )
+            from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+
+            ids = full_loader.split_image_id["train"]
+            scorer = CiderD(compute_doc_freq(full_loader.dataset, ids),
+                            float(np.log(len(ids))))
+            out = train_multi_seed_rl(
+                opt, full_loader, scorer, 4, max_iterations=3,
+                eval_at_end=False, save=False, mesh=mesh,
+                log_fn=lambda *a, **k: None,
+            )
+            payload = {str(r): out["reward_histories"][r]
+                       for r in out["local_seeds"]}
+        print("LOSSES:" + json.dumps(payload), flush=True)
+        return
     else:
         infos = train(opt, loader, max_iterations=3, mesh=mesh,
                       log_fn=lambda *a, **k: None)

@@ -236,3 +236,146 @@ class TestLocalRows:
         x = np.arange(16 * 3).reshape(16, 3).astype(np.int32)
         xs = jax.device_put(x, shard_batch_spec(mesh))
         np.testing.assert_array_equal(_local_rows(xs), x)
+
+
+class TestMultiHostFleet:
+    def test_fleet_seed_trajectories_match_single_process(self, tmp_path):
+        """2-process fleet-over-mesh (4 seeds, 2 hosts x 2 devices): hosts
+        own disjoint seed blocks covering the fleet, and every seed's XE
+        loss trajectory equals the single-process vmapped fleet on the same
+        stream (VERDICT r2 item 2: the fleet formerly asserted
+        process_count()==1)."""
+        outs = _run_cluster("fleet")
+        owned = [sorted(int(r) for r in o) for o in outs]
+        assert owned[0] == [0, 1] and owned[1] == [2, 3]
+
+        from recurrent_fusion_network_tpu.data.loader import DataLoader
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+        )
+
+        opt, base = synthetic_setup(caption_model="show_tell", batch_size=8,
+                                    seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path)
+        opt.losses_log_every = 1
+        opt.save_checkpoint_every = 10**9
+        loader = DataLoader(opt, base.dataset, base.sources, prefetch=False)
+        ref = train_multi_seed(opt, loader, 4, max_iterations=3,
+                               eval_at_end=False, save=False,
+                               log_fn=lambda *a, **k: None)
+        for o in outs:
+            for r_str, hist in o.items():
+                got = [hist[str(i)] for i in range(3)]
+                want = [ref["loss_histories"][int(r_str)][i]
+                        for i in range(3)]
+                np.testing.assert_allclose(got, want, rtol=1e-4,
+                                           err_msg=f"seed {r_str}")
+
+    def test_fleet_rl_runs_multi_host(self):
+        """Multi-host SCST fleet executes end-to-end: per-host local-seed
+        reward scoring, global-mesh policy step, finite reward histories on
+        the CIDEr-D scale for every owned seed."""
+        outs = _run_cluster("fleetrl")
+        owned = [sorted(int(r) for r in o) for o in outs]
+        assert owned[0] == [0, 1] and owned[1] == [2, 3]
+        for o in outs:
+            for r_str, hist in o.items():
+                vals = [hist[str(i)] for i in range(3)]
+                assert all(np.isfinite(vals)), (r_str, vals)
+                assert all(abs(v) < 10.0 for v in vals), (r_str, vals)
+
+
+class TestTwoDMeshTraining:
+    """--num_mp_devices: the 2-D dp x mp XE path (VERDICT r2 item 5 — wire
+    the 2-D mesh at real dims and make it CLI-reachable)."""
+
+    def test_2d_train_matches_unsharded(self, tmp_path):
+        import jax
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh_2d
+        from recurrent_fusion_network_tpu.training.train_loop import train
+
+        opt, loader = synthetic_setup(batch_size=8, seq_per_img=2)
+        opt.checkpoint_path = str(tmp_path / "a")
+        opt.losses_log_every = 1
+        opt.save_checkpoint_every = 10**9
+        infos = train(opt, loader, max_iterations=3, mesh=make_mesh_2d(4, 2),
+                      log_fn=lambda *a, **k: None)
+
+        opt2, loader2 = synthetic_setup(batch_size=8, seq_per_img=2)
+        opt2.checkpoint_path = str(tmp_path / "b")
+        opt2.losses_log_every = 1
+        opt2.save_checkpoint_every = 10**9
+        ref = train(opt2, loader2, max_iterations=3,
+                    log_fn=lambda *a, **k: None)
+        np.testing.assert_allclose(
+            list(infos["loss_history"].values()),
+            list(ref["loss_history"].values()), rtol=2e-3,
+        )
+
+    def test_2d_shards_flagship_vocab_projections(self, tmp_path):
+        """At the REAL vocab width (9487+1) the logit/embed projections — the
+        model's largest matmuls — shard over 'mp' and their adam moments
+        co-locate with the weight shards; one full train step executes."""
+        import jax
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.parallel.mesh import (
+            make_mesh_2d,
+            shard_opt_state_2d,
+            shard_params_2d,
+        )
+        from recurrent_fusion_network_tpu.training.criterion import (
+            make_criterion,
+        )
+        from recurrent_fusion_network_tpu.training.optim import make_optimizer
+        from recurrent_fusion_network_tpu.training.train_loop import (
+            _device_batch,
+            make_train_step,
+        )
+
+        opt, loader = synthetic_setup(batch_size=8, seq_per_img=2)
+        # real vocab; tiny rnn keeps the CPU-mesh test light — the sharded
+        # dims under test are the vocab-width ones
+        opt.vocab_size, opt.seq_length = 9487, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        assert params["logit"]["w"].shape[1] == 9488
+        mesh = make_mesh_2d(4, 2)
+        tx = make_optimizer(opt)
+        opt_state = tx.init(params)
+        sharded = shard_params_2d(mesh, params)
+        opt_state = shard_opt_state_2d(mesh, opt_state, params, sharded)
+
+        from jax.sharding import PartitionSpec as P
+
+        assert sharded["logit"]["w"].sharding.spec == P(None, "mp")
+        assert sharded["embed"].sharding.spec == P("mp", None)
+        # every device holds a 9488/2 slice of the logit, not the whole
+        assert (sharded["logit"]["w"].addressable_shards[0].data.shape[1]
+                == 9488 // 2)
+        # moments mirror the weight shardings (no per-step all-gather)
+        mu = jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda x: x, opt_state),
+        )
+        flat_mu = [x for x in mu if hasattr(x, "sharding")
+                   and getattr(x, "shape", None) == (opt.rnn_size, 9488)]
+        assert flat_mu and all(x.sharding.spec == P(None, "mp")
+                               for x in flat_mu)
+
+        crit = make_criterion(opt)
+        step = make_train_step(model, crit, tx, mesh)
+        data = loader.get_batch("train")
+        fc, att, labels, masks, top_words = _device_batch(data, mesh)
+        rng = jax.random.PRNGKey(1)
+        import jax.numpy as jnp
+
+        p2, o2, loss = step(sharded, opt_state, fc, att, labels, masks,
+                            top_words, jnp.float32(5e-4), jnp.float32(0.0),
+                            rng)
+        assert np.isfinite(float(loss))
+        # the step preserves the 2-D placement (no silent re-replication)
+        assert p2["logit"]["w"].sharding.spec == P(None, "mp")

@@ -408,8 +408,10 @@ class TestMeteor:
         tab = ParaphraseTable([["kicked the bucket", "died"]])
         with_tab = meteor_sentence(hyp, refs, paraphrases=tab)
         assert with_tab > without
-        # canonicalized: [the, man, P, yesterday] both sides -> full match
-        assert with_tab == pytest.approx(1 - 0.5 * (1 / 4) ** 3, rel=1e-6)
+        # canonicalized: [the, man, P, yesterday] both sides -> full match;
+        # SPAN weighting (jar semantics): the phrase covers 3 hyp words /
+        # 1 ref word, so P = 6/6, R = 4/4, frag = 1 / ((6+4)/2)
+        assert with_tab == pytest.approx(1 - 0.5 * (1 / 5) ** 3, rel=1e-6)
 
         # longest-first, non-overlapping substitution
         t2 = ParaphraseTable([["a b", "x"], ["a b c", "y"]])
@@ -451,3 +453,57 @@ class TestMeteor:
         ref = "the cat sat".split()
         m = _align(hyp, ref, syn)
         assert m == [0, 1, 2] and _chunks(m) == 1
+
+
+@pytest.mark.quick
+class TestParaphraseSpanWeighting:
+    """Round-3: the paraphrase stage weighs matched phrase spans by their
+    WORD COUNTS (the meteor-1.5 jar's semantics, closing VERDICT r2 item 7's
+    one-token-per-phrase deviation)."""
+
+    def test_partial_match_weights_spans(self):
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            ParaphraseTable,
+            meteor_sentence,
+        )
+
+        # hyp 'a cat got on quickly' (5 words) vs ref 'a dog boarded'
+        # (3 words); matches: 'a' (1 word) + the phrase (hyp span 2 words,
+        # ref span 1 word) -> P = (1+2)/5, R = (1+1)/3 — the old
+        # one-token rule gave P = 2/4
+        tab = ParaphraseTable([["got on", "boarded"]])
+        hyp = "a cat got on quickly".split()
+        refs = ["a dog boarded".split()]
+        got = meteor_sentence(hyp, refs, paraphrases=tab)
+        p, r = 3 / 5, 2 / 3
+        f_mean = p * r / (0.9 * p + 0.1 * r)
+        m_avg = (3 + 2) / 2.0
+        want = f_mean * (1 - 0.5 * (2 / m_avg) ** 3)
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_weights_reduce_to_plain_without_table(self):
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            ParaphraseTable,
+            meteor_sentence,
+        )
+
+        hyp = "a man rides a bike".split()
+        refs = ["a man rides a horse".split()]
+        plain = meteor_sentence(hyp, refs)
+        # a table whose phrases never fire must not perturb the score
+        tab = ParaphraseTable([["kicked the bucket", "died"]])
+        assert meteor_sentence(hyp, refs, paraphrases=tab) == \
+            pytest.approx(plain, rel=1e-12)
+
+    def test_canonicalize_weighted_contract(self):
+        from recurrent_fusion_network_tpu.metrics.meteor import (
+            ParaphraseTable,
+        )
+
+        tab = ParaphraseTable([["kicked the bucket", "died"]])
+        toks, w = tab.canonicalize_weighted(
+            "he kicked the bucket today".split())
+        assert w == [1, 3, 1]
+        assert toks[1].startswith("\x00para")
+        # total weight always equals the original word count
+        assert sum(w) == 5

@@ -342,3 +342,31 @@ class TestTiedAttKeys:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(rt[0]), np.asarray(ru[0]),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.quick
+class TestProfilePolicy:
+    """Round-3 profile policy: the TPU-native default trains the tied-keys
+    RFNet; --reference_parity pins the strict reference architecture."""
+
+    def _opt(self, **kw):
+        return Options(caption_model="recurrent_fusion_model",
+                       feature_type="synthetic", **kw)
+
+    def test_default_profile_ties_keys(self):
+        assert self._opt().tied_att_keys == 1
+
+    def test_reference_parity_unties(self):
+        assert self._opt(reference_parity=1).tied_att_keys == 0
+
+    def test_explicit_flag_beats_profile(self):
+        assert self._opt(tied_att_keys=0).tied_att_keys == 0
+        assert self._opt(reference_parity=1, tied_att_keys=1).tied_att_keys == 1
+
+    def test_model_factory_follows_profile(self):
+        opt = self._opt()
+        opt.vocab_size, opt.seq_length = 50, 8
+        assert setup(opt).tied_att_keys
+        opt2 = self._opt(reference_parity=1)
+        opt2.vocab_size, opt2.seq_length = 50, 8
+        assert not setup(opt2).tied_att_keys

@@ -450,3 +450,69 @@ class TestCaptionServer:
             np.testing.assert_array_equal(
                 good.result(timeout=60)["seq"], [1, 2, 3]
             )
+
+
+class TestAsyncFrontend:
+    def test_asyncio_server_serves_captions(self):
+        """The asyncio front end returns the same captions as the threading
+        path and survives malformed requests + keep-alive reuse."""
+        import http.client
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(seed=0)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=4, beam_size=2, depth=2)
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        try:
+            b = loader.get_batch("val")
+            fcs = [np.asarray(f[0]).tolist() for f in b["fc_feats_array"]]
+            atts = [np.asarray(a[0]).tolist() for a in b["att_feats_array"]]
+            want = svc.caption_features(
+                [np.asarray(f) for f in fcs], [np.asarray(a) for a in atts]
+            )
+
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port, timeout=60)
+            # healthz
+            conn.request("GET", "/healthz")
+            r = conn.getresponse()
+            health = json.loads(r.read())
+            assert r.status == 200 and health["frontend"] == "asyncio"
+            # two captions on the SAME keep-alive connection
+            for _ in range(2):
+                conn.request("POST", "/caption",
+                             body=json.dumps({"fc": fcs, "att": atts}))
+                r = conn.getresponse()
+                out = json.loads(r.read())
+                assert r.status == 200, out
+                assert out["caption"] == want["caption"]
+            # malformed JSON -> 400, connection stays usable
+            conn.request("POST", "/caption", body=b"{nope")
+            r = conn.getresponse()
+            assert r.status == 400
+            json.loads(r.read())
+            # wrong dims -> 400 (submit-time validation)
+            conn.request("POST", "/caption", body=json.dumps(
+                {"fc": [[0.0] * 3] * len(fcs), "att": [[[0.0] * 2]] * len(atts)}
+            ))
+            r = conn.getresponse()
+            assert r.status == 400
+            json.loads(r.read())
+            # unknown path -> 404
+            conn.request("GET", "/nothing")
+            r = conn.getresponse()
+            assert r.status == 404
+            json.loads(r.read())
+            conn.close()
+        finally:
+            fe.stop()
+            svc.close()
