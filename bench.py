@@ -424,6 +424,11 @@ def main():
                 "value": round(cps, 2),
                 "unit": "captions/s",
                 "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+                "vs_baseline_note": (
+                    "multiple of a 10 captions/s ESTIMATE of the "
+                    "reference's per-image Python beam loop (it publishes "
+                    "no number; see bench.py docstring)"
+                ),
                 "decode": dec,
                 "train": {"f32": results["train_f32"],
                           "bf16": results["train_bf16"],

@@ -64,6 +64,14 @@ def build_loader(opt, *, prefetch: bool = True, synthetic: bool = False) -> Data
         sources = sources[:1]
     import jax
 
-    host_shard = (jax.process_index(), jax.process_count())
+    # solo runs shard the input stream per host (each host loads its block
+    # of the dp-sharded global batch); FLEETS must not — the vmapped seed
+    # step broadcasts ONE batch to every seed (in_axes=None), so on a
+    # multi-host fleet every host reads the identical full stream and only
+    # the seed axis is sharded (multi_seed.py module docstring)
+    if getattr(opt, "n_seeds", 1) > 1:
+        host_shard = (0, 1)
+    else:
+        host_shard = (jax.process_index(), jax.process_count())
     return DataLoader(opt, dataset, sources, prefetch=prefetch,
                       host_shard=host_shard)

@@ -75,14 +75,9 @@ class AsyncCaptionFrontend:
             row = await asyncio.wrap_future(fut)
         except Exception as e:  # device/batch failure
             return 500, {"error": f"{type(e).__name__}: {e}"}
-        from ..data.vocab import decode_sequence
-
-        toks = np.asarray(row["seq"])
-        caption = decode_sequence(self.service.vocab, toks[None, :])[0]
-        lps = np.asarray(row["seq_logprobs"])
-        eos = np.nonzero(toks == 0)[0]
-        n = int(eos[0]) + 1 if len(eos) else len(toks)
-        return 200, {"caption": caption, "logprob": float(lps[:n].sum())}
+        # shared row postprocessing: one EOS/logprob semantics for both
+        # front ends (http_serve.CaptionService.postprocess_row)
+        return 200, self.service.postprocess_row(row)
 
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
@@ -113,7 +108,15 @@ class AsyncCaptionFrontend:
                     if ":" in ln:
                         k, v = ln.split(":", 1)
                         headers[k.strip().lower()] = v.strip()
-                length = int(headers.get("content-length", 0) or 0)
+                try:
+                    length = int(headers.get("content-length", 0) or 0)
+                except ValueError:
+                    length = -1
+                if length < 0:
+                    writer.write(_response(
+                        400, b'{"error":"content-length"}', False))
+                    await writer.drain()
+                    return
                 if length > _MAX_BODY:
                     writer.write(_response(413, b'{"error":"body"}', False))
                     await writer.drain()

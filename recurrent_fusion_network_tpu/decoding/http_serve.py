@@ -109,7 +109,12 @@ class CaptionService:
             [np.asarray(f, np.float32) for f in fcs],
             [np.asarray(a, np.float32) for a in atts],
         )
-        row = fut.result()
+        return self.postprocess_row(fut.result())
+
+    def postprocess_row(self, row) -> dict:
+        """One decode-output row -> {'caption', 'logprob'} (shared by the
+        threading and asyncio front ends, so EOS/logprob semantics cannot
+        drift between them)."""
         toks = np.asarray(row["seq"])
         caption = decode_sequence(self.vocab, toks[None, :])[0]
         lps = np.asarray(row["seq_logprobs"])

@@ -131,6 +131,19 @@ def language_eval(
     img_to_eval = {
         str(k): dict(v, caption=res[k][0]) for k, v in result["img_scores"].items()
     }
+
+    def _finite(obj):
+        # SPICE emits NaN for undefined pairs (the jar's convention); bare
+        # NaN literals are invalid JSON — serialize them as null
+        if isinstance(obj, dict):
+            return {k: _finite(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [_finite(v) for v in obj]
+        if isinstance(obj, float) and obj != obj:
+            return None
+        return obj
+
     with open(os.path.join(out_dir, tag), "w") as f:
-        json.dump({"overall": result["overall"], "imgToEval": img_to_eval}, f)
+        json.dump(_finite({"overall": result["overall"],
+                           "imgToEval": img_to_eval}), f)
     return result["overall"]

@@ -190,7 +190,11 @@ def spice_fn_from_scorer(scorer, ix_to_word: Optional[Dict] = None):
         # so invert the permutation back to hyp order
         order = sorted(res.keys(), key=str)
         by_id = dict(zip(order, sent))
-        return np.asarray([by_id[i] for i in range(len(hyps))], np.float64)
+        scores = np.asarray([by_id[i] for i in range(len(hyps))], np.float64)
+        # a scorer may emit NaN for undefined pairs (e.g. the jar/approx
+        # convention when both scene graphs are empty); ONE NaN reward
+        # poisons the whole batch's policy gradient — score those rows 0
+        return np.nan_to_num(scores, nan=0.0)
 
     return spice_fn
 

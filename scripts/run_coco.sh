@@ -24,13 +24,21 @@
 # Knobs: ID (run id), NUM_SEEDS (default 8; dry 2), DATA_DIR (default data),
 # STAGES (comma subset of prepro,features,xe,rl,eval to resume a run).
 set -e
+set -o pipefail  # a failed stage must fail the run even through `| tee`
 cd "$(dirname "$0")/.."
 
 ID=${ID:-rfnet}
-DATA_DIR=${DATA_DIR:-data}
+DRY_RUN=${DRY_RUN:-0}
+if [ "$DRY_RUN" = "1" ]; then
+  # keep dry artifacts away from the repo's DEFAULT data paths: committing
+  # an 8-image corpus at data/cocotalk.json would shadow the synthetic
+  # fallback and mask a skipped prepro stage on a later real run
+  DATA_DIR=${DATA_DIR:-data/dryrun}
+else
+  DATA_DIR=${DATA_DIR:-data}
+fi
 FEATURES_ROOT=${FEATURES_ROOT:-${DATA_DIR}/features}
 STAGES=${STAGES:-prepro,features,xe,rl,eval}
-DRY_RUN=${DRY_RUN:-0}
 if [ "$DRY_RUN" = "1" ]; then
   NUM_SEEDS=${NUM_SEEDS:-2}
   VARIANTS=original        # dry training disables flip/crop augmentation

@@ -7,6 +7,7 @@
 # fall back to one process per seed. Canonical hyperparameters from the
 # reference script (:15-29).
 set -e
+set -o pipefail
 ID=${ID:-rfnet}
 NUM_SEEDS=${NUM_SEEDS:-8}
 FLEET_MODE=${FLEET_MODE:-vmap}

@@ -6,6 +6,7 @@
 # starts from the rank-r XE best checkpoint. Set FLEET_MODE=loop to fall back
 # to one process per seed.
 set -e
+set -o pipefail
 ID=${ID:-rfnet}
 NUM_SEEDS=${NUM_SEEDS:-8}
 FLEET_MODE=${FLEET_MODE:-vmap}

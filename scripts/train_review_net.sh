@@ -1,6 +1,7 @@
 #!/bin/bash
 # ReviewNet XE training on a single encoder (reference train_review_net.sh).
 set -e
+set -o pipefail
 ID=${ID:-review_net}
 FEATURE=${FEATURE:-inception_v3}
 mkdir -p log checkpoint

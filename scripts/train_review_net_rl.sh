@@ -1,6 +1,7 @@
 #!/bin/bash
 # ReviewNet SCST fine-tune (reference train_review_net_rl.sh).
 set -e
+set -o pipefail
 ID=${ID:-review_net}
 FEATURE=${FEATURE:-inception_v3}
 mkdir -p log checkpoint

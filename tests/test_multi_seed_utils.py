@@ -358,3 +358,28 @@ class TestSpiceHook:
         assert calls["n"] == 4  # 2 sampled + 2 greedy
         # sampled==greedy -> spice baseline-subtracts to zero
         np.testing.assert_allclose(r, 0.0, atol=1e-12)
+
+
+@pytest.mark.quick
+class TestFleetLoaderNotHostSharded:
+    def test_build_loader_fleet_reads_full_stream(self, monkeypatch):
+        """On a multi-process runtime, build_loader host-shards SOLO runs
+        but must NOT shard fleet runs: the vmapped seed step broadcasts one
+        batch to every seed, so every host needs the identical full stream
+        (review r3: main.py fed a host-sharded loader into the multi-host
+        fleet, silently halving the batch per host)."""
+        import jax
+
+        from recurrent_fusion_network_tpu.config import Options
+        from recurrent_fusion_network_tpu.data.build import build_loader
+
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        opt = Options(caption_model="show_tell", feature_type="synthetic",
+                      n_seeds=4)
+        loader = build_loader(opt, prefetch=False, synthetic=True)
+        assert (loader.host_index, loader.host_count) == (0, 1)
+        opt2 = Options(caption_model="show_tell", feature_type="synthetic",
+                       n_seeds=1)
+        solo = build_loader(opt2, prefetch=False, synthetic=True)
+        assert (solo.host_index, solo.host_count) == (1, 2)
