@@ -62,8 +62,11 @@ BEAM = 3
 # (B=512 fails to compile). The top rows sit near the HBM edge and can hit
 # transient backend errors, so main() retries a failed train phase at the
 # next FALLBACK_ROWS entry (fresh subprocess; env override BENCH_TRAIN_ROWS).
-TRAIN_CFG = {"float32": (384, True), "bfloat16": (768, True)}
-FALLBACK_ROWS = {"float32": (256,), "bfloat16": (512, 256)}
+TRAIN_CFG = {"float32": (384, True), "bfloat16": (1024, True)}
+# the default (tied-keys) profile compiles at bf16 B=1024 (r2: 5088
+# captions/s there; the parity model does not fit past 768) — fall back
+# through the parity-safe sizes on compile failure
+FALLBACK_ROWS = {"float32": (256,), "bfloat16": (768, 512, 256)}
 WARMUP = 2
 ITERS = 5
 

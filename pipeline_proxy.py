@@ -40,7 +40,12 @@ import time
 
 import numpy as np
 
-from recurrent_fusion_network_tpu.config import Options
+from recurrent_fusion_network_tpu.config import (
+    Options,
+    enable_compile_cache,
+)
+
+enable_compile_cache()  # flagship graphs take minutes on remote-compile hosts
 from recurrent_fusion_network_tpu.data.loader import DataLoader
 from recurrent_fusion_network_tpu.data.prepro_ngrams import compute_doc_freq
 from recurrent_fusion_network_tpu.data.synthetic import (

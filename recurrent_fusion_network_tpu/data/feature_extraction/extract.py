@@ -49,6 +49,13 @@ def image_id_from_name(name: str) -> int:
 
 
 def main(argv=None):
+    # standalone CLI (own argparse, not config.parse_opt): enable the
+    # persistent compile cache explicitly — the backbone conv graphs take
+    # minutes (inception_v4: ~50 min cold on remote-compile hosts) and must
+    # not be paid again on every extraction run
+    from ...config import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser()
     p.add_argument("--images_dir", required=True)
     p.add_argument("--output_dir", required=True)

@@ -13,6 +13,9 @@ from __future__ import annotations
 import sys
 import time
 
+from recurrent_fusion_network_tpu.config import enable_compile_cache
+
+enable_compile_cache()  # flagship graphs take minutes on remote-compile hosts
 import jax
 import jax.numpy as jnp
 import numpy as np
