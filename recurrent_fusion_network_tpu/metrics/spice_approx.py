@@ -79,6 +79,14 @@ SKIP_WORDS = {
     "'s", "'", ",", ".", ";", ":", "!", "?", "-", "--",
 }
 
+# light locative nouns that fold into compound prepositions
+# ("on top of", "in front of"): the scene-graph parser treats them as part
+# of the relation, not as objects
+LIGHT_NOUNS = {
+    "top", "front", "side", "middle", "back", "bottom", "edge", "end",
+    "center", "rear",
+}
+
 COLORS = {
     "red", "orange", "yellow", "green", "blue", "purple", "pink", "brown",
     "black", "white", "gray", "grey", "golden", "gold", "silver", "tan",
@@ -306,6 +314,15 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
             i += 1
             continue
         if w in PREPOSITIONS:
+            # compound preposition: "<rel> top of", "<rel> front of" —
+            # the light noun belongs to the relation, not the graph
+            if (w == "of" and len(np_words) == 1 and not np_nums
+                    and np_words[0] in LIGHT_NOUNS
+                    and pending_rel is not None and not objects_grp):
+                pending_rel = f"{pending_rel} {np_words[0]} of"
+                np_words, np_nums, in_np = [], [], False
+                i += 1
+                continue
             if np_words:
                 finish_np_into_role()
             if rel_is_verb and pending_rel is not None and not objects_grp:
