@@ -39,9 +39,10 @@ def main():
 
     ckpt_dir = opt.model_path or opt.checkpoint_path
     prefix = "rl_" if pre_args.rl_prefix else ""
-    mids = pre_args.model_ids.split(",")
-    pairs = [(m.split(":")[0], int(m.split(":")[1])) if ":" in m else (m, 0)
-             for m in mids]
+    pairs = []
+    for m in pre_args.model_ids.split(","):
+        mid, _, rank = m.partition(":")
+        pairs.append((mid, int(rank) if rank else 0))
     if pre_args.n_ranks > 1:
         assert len(pairs) == 1 and pairs[0][1] == 0, (
             "--n_ranks expands a SINGLE model id over ranks; do not combine "

@@ -144,26 +144,7 @@ class CaptionServer:
             tuple(x.shape for x in fcs), tuple(x.shape for x in atts),
         )
         if self.feat_dims is not None:
-            fc_dims, att_dims = self.feat_dims
-            got = (
-                tuple(x.shape[-1] if x.ndim else 0 for x in fcs),
-                tuple(x.shape[-1] if x.ndim else 0 for x in atts),
-            )
-            # a None expected dim is unconstrained (e.g. show_tell's unused
-            # att slot); ranks are always checked
-            def _bad(gots, dims, rank, arrs):
-                return (len(arrs) != len(dims)
-                        or any(d is not None and g != d
-                               for g, d in zip(gots, dims))
-                        or any(x.ndim != rank for x in arrs))
-
-            if (_bad(got[0], fc_dims, 1, fcs)
-                    or _bad(got[1], att_dims, 2, atts)):
-                raise ValueError(
-                    f"request feature dims {got} do not match the model's "
-                    f"per-encoder dims (fc={tuple(fc_dims)}, "
-                    f"att={tuple(att_dims)}; fc rank 1, att rank 2)"
-                )
+            self._validate_dims(fcs, atts)
         with self._spec_lock:
             if self._spec is None:
                 self._spec = spec
@@ -175,6 +156,29 @@ class CaptionServer:
         fut: Future = Future()
         self._queue.put((fcs, atts, fut))
         return fut
+
+    def _validate_dims(self, fcs, atts) -> None:
+        """Check one request's trailing dims/ranks against feat_dims; a
+        None expected dim is unconstrained (e.g. show_tell's unused att
+        slot), ranks are always checked."""
+        fc_dims, att_dims = self.feat_dims
+        got = (
+            tuple(x.shape[-1] if x.ndim else 0 for x in fcs),
+            tuple(x.shape[-1] if x.ndim else 0 for x in atts),
+        )
+
+        def bad(gots, dims, rank, arrs):
+            return (len(arrs) != len(dims)
+                    or any(d is not None and g != d
+                           for g, d in zip(gots, dims))
+                    or any(x.ndim != rank for x in arrs))
+
+        if bad(got[0], fc_dims, 1, fcs) or bad(got[1], att_dims, 2, atts):
+            raise ValueError(
+                f"request feature dims {got} do not match the model's "
+                f"per-encoder dims (fc={tuple(fc_dims)}, "
+                f"att={tuple(att_dims)}; fc rank 1, att rank 2)"
+            )
 
     def close(self) -> None:
         """Flush pending requests, drain in-flight batches, stop the worker."""

@@ -464,10 +464,15 @@ def _prf(cand: Set[tuple], ref: Set[tuple], matcher: _Matcher):
     return {"pr": p, "re": r, "f": f}
 
 
-def score_pair(test: str, refs: Sequence[str], *, synonyms=None) -> Dict:
+def score_pair(test: str, refs: Sequence[str], *, synonyms=None,
+               matcher: Optional[_Matcher] = None) -> Dict:
     """One image: candidate sentence vs reference list -> the jar's per-image
-    scores dict {'All': {'f','pr','re'}, 'Object': ..., ...}."""
-    matcher = _Matcher(synonyms)
+    scores dict {'All': {'f','pr','re'}, 'Object': ..., ...}.
+
+    Batch callers pass a shared `matcher` so the synonym-group index is
+    built once per corpus, not once per image."""
+    if matcher is None:
+        matcher = _Matcher(synonyms)
     cand = parse_scene_graph(test).tuples()
     ref_graph = SceneGraph()
     for r in refs:
@@ -493,12 +498,13 @@ class SpiceApprox:
     def compute_score(self, gts: Dict, res: Dict):
         assert sorted(gts.keys(), key=str) == sorted(res.keys(), key=str)
         image_ids = sorted(res.keys(), key=str)
+        matcher = _Matcher(self.synonyms)  # one synonym index per corpus
         sent, details = [], {}
         for image_id in image_ids:
             hypo, refs = res[image_id], gts[image_id]
             assert isinstance(hypo, list) and len(hypo) == 1
             assert isinstance(refs, list) and len(refs) >= 1
-            scores = score_pair(hypo[0], refs, synonyms=self.synonyms)
+            scores = score_pair(hypo[0], refs, matcher=matcher)
             sent.append(scores["All"]["f"])
             details[image_id] = scores
         self.last_details = details
@@ -514,9 +520,10 @@ def spice_approx_runner(in_path: str, out_path: str, cache_dir: str,
     for contract parity; this scorer needs no cache."""
     with open(in_path, encoding="utf-8") as f:
         data = json.load(f)
+    matcher = _Matcher(synonyms)
     results = []
     for item in data:
-        scores = score_pair(item["test"], item["refs"], synonyms=synonyms)
+        scores = score_pair(item["test"], item["refs"], matcher=matcher)
         results.append({"image_id": item["image_id"], "scores": scores})
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(results, f, indent=2)

@@ -65,7 +65,7 @@ def is_mesh_2d(mesh) -> bool:
     return (
         mesh is not None
         and "mp" in getattr(mesh, "axis_names", ())
-        and dict(mesh.shape).get("mp", 1) > 1
+        and mesh.shape["mp"] > 1
     )
 
 
