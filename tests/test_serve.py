@@ -516,3 +516,38 @@ class TestAsyncFrontend:
         finally:
             fe.stop()
             svc.close()
+
+    def test_asyncio_malformed_content_length(self):
+        """Non-numeric/negative Content-Length gets a 400 response, not a
+        dead handler task (review r3)."""
+        import socket
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=1)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2)
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        try:
+            for bad in ("abc", "-5"):
+                s = socket.create_connection(("127.0.0.1", fe.port),
+                                             timeout=30)
+                s.sendall(
+                    f"POST /caption HTTP/1.1\r\nHost: x\r\n"
+                    f"Content-Length: {bad}\r\n\r\n".encode()
+                )
+                resp = s.recv(4096).decode()
+                assert resp.startswith("HTTP/1.1 400"), resp
+                s.close()
+        finally:
+            fe.stop()
+            svc.close()
