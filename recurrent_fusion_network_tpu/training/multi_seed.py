@@ -348,8 +348,12 @@ def train_multi_seed_rl(
     )
     split_keys = jax.vmap(jax.random.split)(base_keys)  # (S, 2, key)
     run_rngs, init_rngs = split_keys[:, 0], split_keys[:, 1]
-    params = jax.vmap(model.init_params)(init_rngs)
 
+    # HBM discipline: the flagship RFNet is ~440M params (1.76 GB f32), so a
+    # fleet's params + adam moments already claim 3x fleet-size of HBM. Never
+    # materialize a throwaway random-init fleet when warm-starting, and never
+    # allocate zero moments that a checkpoint restore immediately replaces —
+    # those transients pushed a 2-seed flagship fleet past a 16 GB chip.
     rl_lr_bases = np.full(n_seeds, opt.optim_rl_lr, np.float64)
     warm_start_params = [None] * n_seeds
     warm_start_scores = [None] * n_seeds
@@ -373,25 +377,38 @@ def train_multi_seed_rl(
         params = jax.tree_util.tree_map(
             lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
         )
+        del per_seed
         if opt.load_lr:
             for r, h in enumerate(lr_hists):
                 if h:
                     rl_lr_bases[r] = min(h.values()) / opt.optim_rl_lr_ratio
-    opt_state = jax.vmap(tx.init)(params)
+    else:
+        params = jax.vmap(model.init_params)(init_rngs)
+    opt_state = None
     if opt.load_lr and all(s is not None for s in saved_opt_states):
         # reference semantics: the optimizer is restored only under
-        # --load_lr (train_rl.py:96-98) — same as the solo loop
+        # --load_lr (train_rl.py:96-98) — same as the solo loop. The
+        # structure template is abstract (eval_shape): adopt_structure only
+        # needs treedef + shapes, so no device moments are allocated here.
         from .checkpoint import adopt_structure
 
-        template = tx.init(jax.tree_util.tree_map(lambda x: x[0], params))
+        template = jax.eval_shape(
+            tx.init,
+            jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype), params
+            ),
+        )
         try:
             adopted = [adopt_structure(template, s) for s in saved_opt_states]
             opt_state = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *adopted
             )
+            del adopted
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; "
                   "re-initialized")
+    if opt_state is None:
+        opt_state = jax.vmap(tx.init)(params)
     if mesh is not None:
         params, opt_state, run_rngs = _shard_seed_axis(
             mesh, n_seeds, params, opt_state, run_rngs

@@ -96,7 +96,6 @@ def train(
 
     rng = jax.random.PRNGKey(opt.seed + rank)
     rng, init_rng = jax.random.split(rng)
-    params = model.init_params(init_rng)
 
     infos = {}
     saved_opt_state = None
@@ -112,6 +111,10 @@ def train(
                 )
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"])
+    else:
+        # only materialize the random init when it will actually be used
+        # (the flagship model is 1.76 GB f32 — HBM discipline on resume)
+        params = model.init_params(init_rng)
 
     iteration = infos.get("iter", 0)
     epoch = infos.get("epoch", 0)
@@ -123,12 +126,17 @@ def train(
 
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
-    opt_state = tx.init(params)
     if saved_opt_state is not None:
-        # restore optimizer moments on resume (train.py:87-88 contract)
+        # restore optimizer moments on resume (train.py:87-88 contract); the
+        # adoption template is abstract so no throwaway zero moments are
+        # allocated on device
         from .checkpoint import adopt_structure
 
-        opt_state = adopt_structure(opt_state, saved_opt_state)
+        opt_state = adopt_structure(
+            jax.eval_shape(tx.init, params), saved_opt_state
+        )
+    else:
+        opt_state = tx.init(params)
     if mesh is not None:
         from ..parallel.mesh import (
             is_mesh_2d,

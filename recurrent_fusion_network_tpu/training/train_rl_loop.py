@@ -165,16 +165,20 @@ def train_rl(
 
     rng = jax.random.PRNGKey(opt.seed + rank)
     rng, init_rng = jax.random.split(rng)
-    params = model.init_params(init_rng)
 
     infos = {}
     saved_opt_state = None
     if opt.start_from is not None:
+        # warm start replaces the params entirely — don't materialize a
+        # throwaway 1.76 GB random init on device first (HBM discipline;
+        # init_rng is still split off so the run RNG chain is unchanged)
         params, saved_opt_state, infos = _ckpt.load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=True
         )
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"])
+    else:
+        params = model.init_params(init_rng)
 
     iteration = infos.get("iter", 0)
     epoch = infos.get("epoch", 0)
@@ -198,16 +202,21 @@ def train_rl(
 
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
-    opt_state = tx.init(params)
+    opt_state = None
     if opt.load_lr and saved_opt_state is not None:
         # the reference restores the optimizer only under --load_lr
-        # (train_rl.py:96-98)
+        # (train_rl.py:96-98); the adoption template is abstract so no
+        # throwaway zero moments are allocated on device
         from .checkpoint import adopt_structure
 
         try:
-            opt_state = adopt_structure(opt_state, saved_opt_state)
+            opt_state = adopt_structure(
+                jax.eval_shape(tx.init, params), saved_opt_state
+            )
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; re-initialized")
+    if opt_state is None:
+        opt_state = tx.init(params)
     if mesh is not None:
         from ..parallel.mesh import replicate
 
