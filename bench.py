@@ -252,11 +252,15 @@ def bench_train(model, dtype_name):
         b = jax.random.normal(jax.random.fold_in(key, 99), (M, M)).astype(
             jnp.bfloat16)
         mm = jax.jit(lambda a, b: a @ b)
-        np.asarray(mm(a, b))  # compile + warm
+        jax.block_until_ready(mm(a, b))  # compile + warm
         t = []
         for _ in range(3):
+            # block_until_ready, NOT np.asarray: the probe must time the
+            # matmul alone — a 128 MB device-to-host readback in the timed
+            # region would understate the ceiling and inflate
+            # mfu_vs_demonstrated (the train step only reads back a scalar)
             t0 = time.perf_counter()
-            np.asarray(mm(a, b))
+            jax.block_until_ready(mm(a, b))
             t.append(time.perf_counter() - t0)
         probe_tflops = 2 * M**3 / float(np.median(t)) / 1e12
     except Exception:

@@ -12,7 +12,7 @@ then run eval_split on val/test.
 from recurrent_fusion_network_tpu.config import Options, parse_opt
 from recurrent_fusion_network_tpu.data.build import build_loader
 from recurrent_fusion_network_tpu.models import setup
-from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+from recurrent_fusion_network_tpu.training import checkpoint
 from recurrent_fusion_network_tpu.training.eval_split import eval_split
 
 # flags the CLI controls at eval time even when a checkpoint opt exists
@@ -50,7 +50,9 @@ def main():
     pre_args, rest = pre.parse_known_args()
     opt = parse_opt(rest)
     ckpt_dir = opt.model_path or opt.checkpoint_path
-    params, _, infos = load_checkpoint(
+    # honor --checkpoint_backend (orbax checkpoints must be evaluable
+    # too — same altitude as serve.py's loader resolution)
+    params, _, infos = checkpoint.backend(opt).load_checkpoint(
         ckpt_dir, opt.load_model_id, pre_args.rank, best=True,
         prefix="rl_" if pre_args.rl_prefix else "",
     )

@@ -17,7 +17,7 @@ import argparse
 from recurrent_fusion_network_tpu.config import parse_opt
 from recurrent_fusion_network_tpu.data.build import build_loader
 from recurrent_fusion_network_tpu.models import setup
-from recurrent_fusion_network_tpu.training.checkpoint import load_checkpoint
+from recurrent_fusion_network_tpu.training import checkpoint
 from recurrent_fusion_network_tpu.training.eval_ensemble import eval_ensemble
 
 from eval import merge_checkpoint_opt
@@ -52,8 +52,9 @@ def main():
     members = []
     merged = False
     for mid, rank in pairs:
-        params, _, infos = load_checkpoint(ckpt_dir, mid, rank, best=True,
-                                           prefix=prefix)
+        # honor --checkpoint_backend (same resolution as serve.py/eval.py)
+        params, _, infos = checkpoint.backend(opt).load_checkpoint(
+            ckpt_dir, mid, rank, best=True, prefix=prefix)
         if not merged and "opt" in infos:
             merge_checkpoint_opt(opt, infos["opt"])
             merged = True

@@ -121,7 +121,10 @@ class AsyncCaptionFrontend:
                     writer.write(_response(413, b'{"error":"body"}', False))
                     await writer.drain()
                     return
-                body = await reader.readexactly(length) if length else b""
+                try:
+                    body = await reader.readexactly(length) if length else b""
+                except asyncio.IncompleteReadError:
+                    return  # client closed mid-body (not Connection*Error)
                 keep = headers.get("connection", "keep-alive").lower() != "close"
 
                 if method == "GET" and path == "/healthz":
@@ -165,6 +168,8 @@ class AsyncCaptionFrontend:
     def start(self, host: str = "0.0.0.0", port: int = 8080) -> None:
         """Run the loop in a daemon thread (same embedding model as
         http_serve.run_server); returns once the socket is listening."""
+        startup_error: list = []
+
         def run():
             self._loop = asyncio.new_event_loop()
             asyncio.set_event_loop(self._loop)
@@ -172,6 +177,9 @@ class AsyncCaptionFrontend:
                 self._loop.run_until_complete(self._serve(host, port))
             except asyncio.CancelledError:
                 pass
+            except Exception as e:  # e.g. OSError(EADDRINUSE) from bind
+                startup_error.append(e)
+                self._started.set()  # unblock start() immediately
             finally:
                 self._loop.close()
 
@@ -179,6 +187,10 @@ class AsyncCaptionFrontend:
         self._thread.start()
         if not self._started.wait(timeout=30):
             raise RuntimeError("asyncio front end failed to start")
+        if startup_error:
+            raise RuntimeError(
+                f"asyncio front end failed to start: {startup_error[0]}"
+            ) from startup_error[0]
 
     def stop(self) -> None:
         if self._loop is None:

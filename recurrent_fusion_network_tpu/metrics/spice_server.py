@@ -15,7 +15,13 @@ for the deviation list). A real spice-1.0.jar service remains drop-in
 compatible: nothing in the client side knows which backend answered.
 
 CLI (console script `rfnet-spice-server`):
-  rfnet-spice-server --port 8090 [--host 0.0.0.0] [--synonyms groups.txt]
+  rfnet-spice-server --port 8090 [--host 127.0.0.1] [--synonyms groups.txt]
+
+SECURITY: the protocol hands FILESYSTEM PATHS to the service in query
+params (the jar convention — client and service share a filesystem), so
+any peer that can reach the socket can make it read/write files as this
+process. The default bind is therefore loopback; set --host 0.0.0.0 only
+on a trusted network where remote SCST workers share the filesystem.
 """
 
 from __future__ import annotations
@@ -85,7 +91,7 @@ class _Server(ThreadingHTTPServer):
     request_queue_size = 64
 
 
-def run_spice_server(host: str = "0.0.0.0", port: int = 8090,
+def run_spice_server(host: str = "127.0.0.1", port: int = 8090,
                      synonyms=None) -> ThreadingHTTPServer:
     """Start the service; returns the running server (serve thread attached
     as ._serve_thread, same pattern as decoding/http_serve.run_server)."""
@@ -98,7 +104,7 @@ def run_spice_server(host: str = "0.0.0.0", port: int = 8090,
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--host", default="0.0.0.0")
+    ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8090)
     ap.add_argument("--synonyms", default="",
                     help="optional synonym-groups file "

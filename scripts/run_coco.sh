@@ -27,15 +27,18 @@ set -e
 set -o pipefail  # a failed stage must fail the run even through `| tee`
 cd "$(dirname "$0")/.."
 
-ID=${ID:-rfnet}
 DRY_RUN=${DRY_RUN:-0}
 if [ "$DRY_RUN" = "1" ]; then
-  # keep dry artifacts away from the repo's DEFAULT data paths: committing
+  # keep dry artifacts away from the repo's DEFAULT paths — data AND run id:
   # an 8-image corpus at data/cocotalk.json would shadow the synthetic
-  # fallback and mask a skipped prepro stage on a later real run
+  # fallback, and checkpoint/rfnet* from a dry run could be silently
+  # warm-started by a later real `STAGES=rl,...` run (checkpoints and logs
+  # are keyed by ID, so a distinct dry id isolates them)
   DATA_DIR=${DATA_DIR:-data/dryrun}
+  ID=${ID:-dryrun}
 else
   DATA_DIR=${DATA_DIR:-data}
+  ID=${ID:-rfnet}
 fi
 FEATURES_ROOT=${FEATURES_ROOT:-${DATA_DIR}/features}
 STAGES=${STAGES:-prepro,features,xe,rl,eval}

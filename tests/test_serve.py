@@ -551,3 +551,50 @@ class TestAsyncFrontend:
         finally:
             fe.stop()
             svc.close()
+
+    def test_asyncio_mid_body_disconnect_and_bind_error(self):
+        """A client that dies mid-body must not leave an unhandled
+        IncompleteReadError task, and a bind failure must surface the real
+        OSError immediately instead of a 30 s generic timeout (review r3)."""
+        import socket
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            AsyncCaptionFrontend,
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=2)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2)
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        try:
+            # disconnect mid-body: Content-Length promises more than sent
+            s = socket.create_connection(("127.0.0.1", fe.port), timeout=30)
+            s.sendall(b"POST /caption HTTP/1.1\r\nHost: x\r\n"
+                      b"Content-Length: 100000\r\n\r\npartial")
+            s.close()
+            # the server must still answer new requests afterwards
+            import http.client
+
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port,
+                                              timeout=30)
+            conn.request("GET", "/healthz")
+            assert conn.getresponse().status == 200
+            conn.close()
+
+            # second bind on the same port -> immediate OSError-carrying error
+            fe2 = AsyncCaptionFrontend(svc)
+            t0 = time.monotonic()
+            with pytest.raises(RuntimeError, match="failed to start"):
+                fe2.start("127.0.0.1", fe.port)
+            assert time.monotonic() - t0 < 10, "bind error took the slow path"
+        finally:
+            fe.stop()
+            svc.close()
