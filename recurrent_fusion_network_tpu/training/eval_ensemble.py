@@ -22,12 +22,13 @@ import numpy as np
 from ..data.vocab import decode_sequence
 from ..decoding.ensemble import ensemble_sample, flip_combine
 from ..metrics.coco_eval import language_eval
-from .eval_split import batch_feats, dedupe_feats
+from .eval_split import batch_feats, cast_tree, dedupe_feats, eval_dtype
 
 
-def _member_feats(data, n_members, diff_feat, batch_size, seq_per_img):
+def _member_feats(data, n_members, diff_feat, batch_size, seq_per_img,
+                  dtype=None):
     """Per-member (fc, att), deduped to one row per image."""
-    fc, att = batch_feats(data)
+    fc, att = batch_feats(data, dtype)
     fc1, att1 = dedupe_feats(fc, att, batch_size, seq_per_img)
     if diff_feat:
         assert isinstance(fc1, list) and len(fc1) >= n_members, (
@@ -72,6 +73,14 @@ def eval_ensemble(
 
     models = [m for m, _ in members]
     params_list = [p for _, p in members]
+    # --dtype bfloat16 halves member residency, same policy as eval_split
+    # (score math stays f32 inside the engine). At flagship scale this is
+    # what makes the 8-member ensemble fit one 16 GB chip: 8 x 1.76 GB f32
+    # members leave no decode workspace, 8 x 0.88 GB bf16 do. The cast runs
+    # on HOST numpy (ml_dtypes), so peak device memory never sees f32.
+    dtype = eval_dtype(opt)
+    if dtype is not None:
+        params_list = [cast_tree(p, dtype) for p in params_list]
     decode_jit = jax.jit(
         lambda ps, feats: ensemble_sample(models, ps, feats, beam_size=beam_size)
     )
@@ -103,7 +112,7 @@ def eval_ensemble(
     def dispatch(data):
         """Queue the decode(s) for one batch; returns device futures."""
         feats = _shard(_member_feats(data, len(members), diff_feat,
-                                     local_bs, loader.seq_per_img))
+                                     local_bs, loader.seq_per_img, dtype))
         out_a = decode(feats)
         if not flip_ensemble:
             return out_a, None
@@ -111,7 +120,7 @@ def eval_ensemble(
         # the SAME batch's images reload under the flip variant)
         data_flip = _reload_variant(loader, data, "flip")
         feats_f = _shard(_member_feats(data_flip, len(members), diff_feat,
-                                       local_bs, loader.seq_per_img))
+                                       local_bs, loader.seq_per_img, dtype))
         return out_a, decode(feats_f)
 
     from ..decoding.serve import pipelined_map

@@ -22,7 +22,9 @@
 #   DRY_RUN=1 scripts/run_coco.sh
 #
 # Knobs: ID (run id), NUM_SEEDS (default 8; dry 2), DATA_DIR (default data),
-# STAGES (comma subset of prepro,features,xe,rl,eval to resume a run).
+# STAGES (comma subset of prepro,features,xe,rl,eval to resume a run),
+# FLEET_DEVICES (real runs: chips to shard the seed axis over; defaults to
+# NUM_SEEDS — one training seed per chip, see the HBM note below).
 set -e
 set -o pipefail  # a failed stage must fail the run even through `| tee`
 cd "$(dirname "$0")/.."
@@ -44,6 +46,7 @@ FEATURES_ROOT=${FEATURES_ROOT:-${DATA_DIR}/features}
 STAGES=${STAGES:-prepro,features,xe,rl,eval}
 if [ "$DRY_RUN" = "1" ]; then
   NUM_SEEDS=${NUM_SEEDS:-2}
+  ENSEMBLE_EVAL_ARGS=()
   VARIANTS=original        # dry training disables flip/crop augmentation
   EXTRACT_ARGS=(--batch_size 2)
   TRAIN_COMMON=(--batch_size 2 --seq_per_img 5 --use_flip 0 --use_crop 0
@@ -59,6 +62,17 @@ else
   : "${COCO_IMAGES:?set COCO_IMAGES (COCO image dir) or DRY_RUN=1}"
   : "${KARPATHY_JSON:?set KARPATHY_JSON (dataset_coco.json) or DRY_RUN=1}"
   WEIGHTS_DIR=${WEIGHTS_DIR:-}
+  # HBM budget at flagship dims (440M params = 1.76 GB f32/seed; PERF_NOTES):
+  # a training seed costs ~7 GB (params + adam moments + grads), so the
+  # 8-seed fleet MUST shard its seed axis across chips — default one seed
+  # per device (fleet-over-mesh) and fail fast if the host has fewer chips,
+  # rather than OOMing an hour into feature extraction. Override with
+  # FLEET_DEVICES=n (seeds/devices must divide).
+  export FLEET_DEVICES=${FLEET_DEVICES:-$NUM_SEEDS}
+  # the N-member f32 ensemble (N x 1.76 GB) leaves no decode workspace on a
+  # 16 GB chip; bf16 members halve that and are caption-parity validated
+  # (score math stays f32 — tests/test_ensemble_parallel.py)
+  ENSEMBLE_EVAL_ARGS=(--dtype bfloat16)
 fi
 
 has_stage() { case ",$STAGES," in *",$1,"*) return 0;; *) return 1;; esac; }
@@ -183,7 +197,7 @@ if has_stage eval; then
   python eval_ensemble.py --model_path checkpoint \
     --model_ids "$ID" --n_ranks "$NUM_SEEDS" --rl_prefix 1 \
     --eval_split test --beam_size 3 --language_eval 1 \
-    "${DATA_FLAGS[@]}" "${EVAL_ARGS[@]}" \
+    "${DATA_FLAGS[@]}" "${EVAL_ARGS[@]}" "${ENSEMBLE_EVAL_ARGS[@]}" \
     2>&1 | tee "log/eval_ensemble_${ID}"
 fi
 

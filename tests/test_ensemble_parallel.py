@@ -72,6 +72,32 @@ class TestEnsemble:
         assert len(preds) == 8
         assert stats and "CIDEr" in stats
 
+    def test_bf16_ensemble_decodes_sanely(self, tmp_path):
+        """--dtype bfloat16 halves member residency in eval_ensemble (the
+        flagship 8-member ensemble does not fit a 16 GB chip in f32); score
+        math stays f32 in the engine, so captions should match f32 on a
+        well-separated model (same policy/validation as solo bf16 decode)."""
+        opt, loader, model, p1 = build(batch_size=4)
+        p2 = model.init_params(jax.random.PRNGKey(1))
+        preds_f32, _ = eval_ensemble(
+            [(model, p1), (model, p2)], loader, opt,
+            split="val", beam_size=2, val_images_use=8,
+            language_eval_flag=False,
+        )
+        opt.dtype = "bfloat16"
+        preds_bf16, _ = eval_ensemble(
+            [(model, p1), (model, p2)], loader, opt,
+            split="val", beam_size=2, val_images_use=8,
+            language_eval_flag=False,
+        )
+        assert len(preds_bf16) == len(preds_f32) == 8
+        same = sum(a["caption"] == b["caption"]
+                   for a, b in zip(preds_f32, preds_bf16))
+        # random-init logits sit near ties, so allow a minority of rows to
+        # flip; a wiring bug (e.g. bf16 feats against f32 members) breaks
+        # decoding entirely, which this still catches
+        assert same >= len(preds_f32) // 2, (same, len(preds_f32))
+
     def test_dp_mesh_ensemble_matches_single_device(self, tmp_path):
         """eval_ensemble(mesh=...) shards member features over the 8-device
         mesh and reproduces the single-device captions."""
