@@ -15,7 +15,10 @@ threading server saturated at ~270.
 
 stdlib-only. Endpoints match http_serve.py:
   GET  /healthz        -> service status JSON
-  POST /caption        -> {"fc": [...], "att": [...]} -> caption JSON
+  POST /caption        -> {"fc": [...], "att": [...]} JSON, or binary npz
+                          (Content-Type application/x-npz; fc_0../att_0..
+                          arrays — http_serve.parse_features_payload) ->
+                          caption JSON
 
 Raw-image extraction (`/caption_image`) stays on the threading server: PIL
 decode is CPU-bound work that would block the loop; bulk image pipelines
@@ -60,11 +63,11 @@ class AsyncCaptionFrontend:
 
     # ------------------------------------------------------------- request
 
-    async def _caption(self, payload: bytes) -> tuple:
+    async def _caption(self, payload: bytes, content_type: str = "") -> tuple:
+        from .http_serve import parse_features_payload
+
         try:
-            req = json.loads(payload)
-            fcs = [np.asarray(f, np.float32) for f in req["fc"]]
-            atts = [np.asarray(a, np.float32) for a in req["att"]]
+            fcs, atts = parse_features_payload(payload, content_type)
         except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
             return 400, {"error": f"{type(e).__name__}: {e}"}
         try:
@@ -137,7 +140,8 @@ class AsyncCaptionFrontend:
                         "stats": dict(self.service.server.stats),
                     }
                 elif method == "POST" and path == "/caption":
-                    code, payload = await self._caption(body)
+                    code, payload = await self._caption(
+                        body, headers.get("content-type", ""))
                 else:
                     code, payload = 404, {"error": "unknown path"}
                 writer.write(_response(code, json.dumps(payload).encode(),

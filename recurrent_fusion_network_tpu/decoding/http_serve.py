@@ -19,6 +19,12 @@ Endpoints:
   GET  /healthz            -> {"ok": true, "model": ..., "batch_size": ...}
   POST /caption            -> body {"fc": [[...] per encoder],
                                     "att": [[[...]] per encoder]}
+                              OR binary npz (Content-Type application/x-npz
+                              or zip magic): arrays fc_0..fc_{M-1} and
+                              att_0..att_{M-1} — at flagship feature dims
+                              (5 encoders, ~196x2048 att) binary parses
+                              orders of magnitude faster than JSON text
+                              and the wire payload is ~4x smaller
                               resp {"caption": str, "logprob": float}
   POST /caption_image      -> body = raw image bytes (jpeg/png)
                               resp {"caption": str, "logprob": float}
@@ -38,6 +44,40 @@ import numpy as np
 
 from ..data.vocab import decode_sequence
 from .serve import CaptionServer
+
+
+def parse_features_payload(body: bytes, content_type: str = ""):
+    """Request body -> (fcs, atts): one image's per-encoder feature arrays.
+
+    Shared by the threading and asyncio front ends so the two wire formats
+    cannot drift:
+      * JSON text: {"fc": [...per encoder...], "att": [...]}
+      * binary npz (Content-Type application/x-npz, or detected by the zip
+        magic): arrays fc_0..fc_{M-1} / att_0..att_{M-1}; float arrays pass
+        through without the float->decimal-text->float round trip.
+    Raises ValueError/KeyError (and json/zip parse errors) on malformed
+    payloads — client-error class for both front ends.
+    """
+    if content_type.split(";")[0].strip() == "application/x-npz" \
+            or body[:4] == b"PK\x03\x04":
+        import zipfile
+
+        try:
+            z = np.load(io.BytesIO(body), allow_pickle=False)
+        except zipfile.BadZipFile as e:  # corrupt zip -> client error
+            raise ValueError(f"bad npz payload: {e}") from e
+        n = sum(1 for k in z.files if k.startswith("fc_"))
+        if n == 0:
+            raise ValueError("npz payload has no fc_0..fc_{M-1} arrays")
+        try:
+            fcs = [np.asarray(z[f"fc_{i}"], np.float32) for i in range(n)]
+            atts = [np.asarray(z[f"att_{i}"], np.float32) for i in range(n)]
+        except KeyError as e:
+            raise ValueError(f"npz payload missing array {e}") from e
+        return fcs, atts
+    req = json.loads(body)
+    return ([np.asarray(f, np.float32) for f in req["fc"]],
+            [np.asarray(a, np.float32) for a in req["att"]])
 
 
 class CaptionService:
@@ -173,8 +213,9 @@ def make_handler(service: CaptionService):
             body = self.rfile.read(n)
             try:
                 if self.path == "/caption":
-                    req = json.loads(body)
-                    out = service.caption_features(req["fc"], req["att"])
+                    fcs, atts = parse_features_payload(
+                        body, self.headers.get("Content-Type", ""))
+                    out = service.caption_features(fcs, atts)
                 elif self.path == "/caption_image":
                     out = service.caption_image(body)
                 else:

@@ -552,6 +552,74 @@ class TestAsyncFrontend:
             fe.stop()
             svc.close()
 
+    def test_binary_npz_payload_both_frontends(self):
+        """POST /caption accepts binary npz bodies (fc_i/att_i arrays) on
+        BOTH front ends and returns the same caption as the JSON body; a
+        corrupt zip is a 400 (client error), not a 500. At flagship feature
+        dims npz parses ~80x faster than JSON text and is ~5x smaller on
+        the wire (PERF_NOTES 4f)."""
+        import http.client
+        import io
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+            run_server,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=3)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=4, beam_size=2)
+        b = loader.get_batch("val")
+        fc = np.asarray(b["fc_feats"][0], np.float32)
+        att = np.asarray(b["att_feats"][0], np.float32)
+        body_json = json.dumps({"fc": [fc.tolist()], "att": [att.tolist()]})
+        buf = io.BytesIO()
+        np.savez(buf, fc_0=fc, att_0=att)
+        body_npz = buf.getvalue()
+
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        httpd = run_server(svc, "127.0.0.1", 0)
+        try:
+            for port in (fe.port, httpd.server_address[1]):
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=60)
+                conn.request("POST", "/caption", body=body_json)
+                want = json.loads(conn.getresponse().read())
+                # content-type route and zip-magic sniffing route
+                for hdrs in ({"Content-Type": "application/x-npz"}, {}):
+                    conn.request("POST", "/caption", body=body_npz,
+                                 headers=hdrs)
+                    r = conn.getresponse()
+                    got = json.loads(r.read())
+                    assert r.status == 200, got
+                    assert got["caption"] == want["caption"]
+                # corrupt zip -> 400
+                conn.request("POST", "/caption",
+                             body=b"PK\x03\x04garbage",
+                             headers={"Content-Type": "application/x-npz"})
+                r = conn.getresponse()
+                assert r.status == 400, r.read()
+                json.loads(r.read())
+                # npz without fc_i arrays -> 400
+                buf2 = io.BytesIO()
+                np.savez(buf2, other=fc)
+                conn.request("POST", "/caption", body=buf2.getvalue())
+                r = conn.getresponse()
+                assert r.status == 400, r.read()
+                r.read()
+                conn.close()
+        finally:
+            fe.stop()
+            httpd.shutdown()
+            svc.close()
+
     def test_asyncio_mid_body_disconnect_and_bind_error(self):
         """A client that dies mid-body must not leave an unhandled
         IncompleteReadError task, and a bind failure must surface the real
