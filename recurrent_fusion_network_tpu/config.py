@@ -181,6 +181,13 @@ def _defaults() -> dict:
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
         checkpoint_async=0,  # orbax only: background the disk write (the
         # device->host copy stays synchronous, so donation is safe)
+        graceful_preempt=1,  # SIGTERM -> checkpoint at the next iteration
+        # boundary and exit cleanly (training/preempt.py; single-process
+        # runs only — multi-host preemption needs external coordination)
+        rl_resume=0,  # with --start_from: resume an SCST run from its own
+        # rl_ checkpoints (rolling, optimizer + LR base restored) instead
+        # of warm-starting from the XE best (the reference can only do the
+        # latter — a crashed RL run loses all RL progress there)
         profile_dir="",  # capture a jax.profiler trace (xprof) into this dir
         profile_start=5,  # first iteration of the trace window
         profile_steps=0,  # number of iterations to trace (0 = off)

@@ -228,7 +228,17 @@ def train_multi_seed(
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
+    from .preempt import PreemptGuard
+
+    guard = PreemptGuard.from_opt(opt, log_fn)
+
     while True:
+        if guard.triggered:
+            # SIGTERM landed: stop the fleet at this boundary; the epilogue
+            # below scores the current seeds and saves the per-seed -best
+            # artifacts, so the run's progress survives the preemption
+            log_fn(f"preempted — stopping fleet at iter {iteration}")
+            break
         if update_lr_flag:
             lr = lr_for_epoch(opt, epoch, opt.optim_lr)
             ss = ss_prob_for_epoch(opt, epoch)
@@ -269,10 +279,11 @@ def train_multi_seed(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
+    guard.close()
     result = {"params": params, "loss_histories": loss_histories, "model": model}
 
     # the saved '-best' artifacts need at least one scored snapshot per seed
-    if eval_at_end or (save and any(best_params[r] is None
+    if eval_at_end or guard.triggered or (save and any(best_params[r] is None
                                for r in local_seeds)):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)
@@ -475,7 +486,16 @@ def train_multi_seed_rl(
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
+    from .preempt import PreemptGuard
+
+    guard = PreemptGuard.from_opt(opt, log_fn)
+
     while True:
+        if guard.triggered:
+            # SIGTERM: stop at this boundary; the epilogue scores current
+            # seeds and saves the per-seed rl_-best artifacts
+            log_fn(f"preempted — stopping rl fleet at iter {iteration}")
+            break
         if update_lr_flag:
             lrs = jnp.asarray(
                 [lr_for_epoch(opt, epoch, b) for b in rl_lr_bases], jnp.float32
@@ -549,12 +569,13 @@ def train_multi_seed_rl(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
+    guard.close()
     result = {
         "params": params,
         "reward_histories": reward_histories,
         "model": model,
     }
-    if eval_at_end or (save and any(best_params[r] is None
+    if eval_at_end or guard.triggered or (save and any(best_params[r] is None
                                for r in local_seeds)):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)

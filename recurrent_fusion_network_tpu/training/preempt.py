@@ -1,0 +1,80 @@
+"""Graceful-preemption guard for the training loops.
+
+TPU VMs (and most cluster schedulers) announce preemption with SIGTERM and
+grant a short grace window before SIGKILL. The reference's recovery model is
+manual restart from the last periodic checkpoint (its trainers install no
+handlers — train.py simply dies and `--start_from` resumes at the last eval
+save, losing up to `save_checkpoint_every` iterations of work). Here the
+trainers install a `PreemptGuard`: the signal only sets a flag, the loop
+checks it at the next iteration boundary, writes a regular (non-best)
+checkpoint with the full infos/iterator state, and exits cleanly — resume
+with `--start_from` loses at most one iteration.
+
+Semantics:
+  * SIGTERM sets the flag (async-signal-safe: no I/O in the handler).
+  * A second SIGTERM restores the original dispositions, so a third one
+    (an impatient supervisor) acts immediately.
+  * `close()` restores the original handlers; the trainers call it in the
+    loop epilogue so library callers' signal state is untouched.
+
+Scope guards — the guard silently stays uninstalled (preemption then falls
+back to the reference's restart-from-periodic-checkpoint model) when:
+  * not in the main thread (CPython only delivers signals there, and
+    `signal.signal` raises elsewhere — e.g. CaptionServer worker threads);
+  * `jax.process_count() > 1`: a checkpoint save is collective for sharded
+    params (orbax) or requires full addressability (pickle); a save
+    triggered on the subset of hosts the scheduler signalled first would
+    deadlock the others. Coordinated multi-host preemption needs an
+    external barrier and is out of scope (documented in PARITY §5).
+
+Disable with `--graceful_preempt 0` (e.g. when a supervisor wraps the
+process and owns SIGTERM itself).
+"""
+
+from __future__ import annotations
+
+import signal
+import threading
+
+
+class PreemptGuard:
+    """Flag-setting SIGTERM handler with restore-on-close."""
+
+    SIGNALS = (signal.SIGTERM,)
+
+    def __init__(self, enabled: bool = True, log_fn=print):
+        self.enabled = enabled
+        self.triggered = False
+        self._log = log_fn
+        self._installed = []
+
+    @classmethod
+    def from_opt(cls, opt, log_fn=print) -> "PreemptGuard":
+        return cls(
+            enabled=bool(getattr(opt, "graceful_preempt", 1)), log_fn=log_fn
+        ).install()
+
+    def install(self) -> "PreemptGuard":
+        if not self.enabled:
+            return self
+        if threading.current_thread() is not threading.main_thread():
+            return self
+        import jax
+
+        if jax.process_count() > 1:
+            return self
+        for sig in self.SIGNALS:
+            old = signal.signal(sig, self._handler)
+            self._installed.append((sig, old))
+        return self
+
+    def _handler(self, signum, frame):
+        if self.triggered:
+            # second signal: step aside so the next one acts immediately
+            self.close()
+        self.triggered = True
+
+    def close(self):
+        for sig, old in self._installed:
+            signal.signal(sig, old)
+        self._installed = []

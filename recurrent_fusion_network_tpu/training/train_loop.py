@@ -111,6 +111,10 @@ def train(
                 )
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"])
+        if "rng_key" in infos:
+            # continue the dropout/scheduled-sampling RNG chain where the
+            # saved run stopped instead of replaying it from the seed
+            rng = jnp.asarray(infos["rng_key"])
     else:
         # only materialize the random init when it will actually be used
         # (the flagship model is 1.76 GB f32 — HBM discipline on resume)
@@ -168,11 +172,32 @@ def train(
     jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
     trace = TraceWindow.from_opt(opt)
 
+    from .preempt import PreemptGuard
+
+    guard = PreemptGuard.from_opt(opt, log_fn)
+
     num_period_best = 0
     current_score = 0.0
     update_lr_flag = True
     lr = opt.optim_lr
     ss_prob = 0.0
+
+    def snapshot_infos():
+        # one infos builder for the periodic save and the preemption save
+        return {
+            "iter": iteration,
+            "epoch": epoch,
+            "iterators": dict(loader.iterators),
+            "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "best_val_score": best_val_score,
+            "opt": dict(vars(opt)),
+            "val_result_history": val_result_history,
+            "loss_history": loss_history,
+            "lr_history": lr_history,
+            "ss_prob_history": ss_prob_history,
+            "rng_key": np.asarray(rng),  # resume continues the RNG chain
+            "vocab": loader.get_vocab(),
+        }
 
     while True:
         trace.tick(iteration)
@@ -223,19 +248,7 @@ def train(
             else:
                 num_period_best += 1
 
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "iterators": dict(loader.iterators),
-                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
-                "best_val_score": best_val_score,
-                "opt": dict(vars(opt)),
-                "val_result_history": val_result_history,
-                "loss_history": loss_history,
-                "lr_history": lr_history,
-                "ss_prob_history": ss_prob_history,
-                "vocab": loader.get_vocab(),
-            }
+            infos = snapshot_infos()
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, rank,
                 params=params, opt_state=opt_state, infos=infos, best=False,
@@ -250,6 +263,18 @@ def train(
                 log_fn("no improvement, exit")
                 break
 
+        if guard.triggered:
+            # SIGTERM landed: save at this iteration boundary and exit
+            # cleanly inside the preemption grace window (resume with
+            # --start_from loses at most this one iteration)
+            infos = snapshot_infos()
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, rank,
+                params=params, opt_state=opt_state, infos=infos, best=False,
+            )
+            log_fn(f"rank {rank}: preempted — checkpoint saved at iter {iteration}")
+            break
+
         log_fn(
             f"rank {rank}, iter {iteration}, (epoch {epoch}), train loss: "
             f"{train_loss:.4f}, lr: {lr:.2e}, current cider: {current_score:.3f}, "
@@ -263,6 +288,7 @@ def train(
 
     jlog.close()
     trace.close()
+    guard.close()
     # async-checkpoint barrier: in-flight background writes must land before
     # the process can exit (interpreter shutdown cannot complete them)
     getattr(_ckpt, "wait_until_finished", lambda: None)()

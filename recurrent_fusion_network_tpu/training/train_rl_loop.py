@@ -168,15 +168,26 @@ def train_rl(
 
     infos = {}
     saved_opt_state = None
+    rl_resume = bool(getattr(opt, "rl_resume", 0)) and opt.start_from is not None
     if opt.start_from is not None:
         # warm start replaces the params entirely — don't materialize a
         # throwaway 1.76 GB random init on device first (HBM discipline;
-        # init_rng is still split off so the run RNG chain is unchanged)
+        # init_rng is still split off so the run RNG chain is unchanged).
+        # --rl_resume: continue THIS RL run from its own rolling rl_
+        # checkpoints (preemption/crash recovery) instead of warm-starting
+        # from the XE best — the reference has no such path (train_rl.py
+        # always reloads the XE files, so a crashed RL run loses all RL
+        # progress there).
         params, saved_opt_state, infos = _ckpt.load_checkpoint(
-            opt.start_from, opt.load_model_id, rank, best=True
+            opt.start_from, opt.load_model_id, rank,
+            best=not rl_resume, prefix="rl_" if rl_resume else "",
         )
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"])
+        if rl_resume and "rng_key" in infos:
+            # a true resume continues the rollout RNG chain where the run
+            # stopped; a warm start keeps its own fresh chain
+            rng = jnp.asarray(infos["rng_key"])
     else:
         params = model.init_params(init_rng)
 
@@ -188,7 +199,11 @@ def train_rl(
     best_val_score = infos.get("best_val_score", None) if opt.load_best_score else None
 
     rl_lr_base = opt.optim_rl_lr
-    if opt.load_lr and lr_history:
+    if rl_resume and "rl_lr_base" in infos:
+        # reproduce the original run's base exactly (it may itself have been
+        # derived from the XE lr history under --load_lr)
+        rl_lr_base = infos["rl_lr_base"]
+    elif opt.load_lr and lr_history:
         rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
 
     # SPICE reward hook: reference get_rewards.py:75-94 calls the external
@@ -203,10 +218,11 @@ def train_rl(
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
     opt_state = None
-    if opt.load_lr and saved_opt_state is not None:
+    if (opt.load_lr or rl_resume) and saved_opt_state is not None:
         # the reference restores the optimizer only under --load_lr
-        # (train_rl.py:96-98); the adoption template is abstract so no
-        # throwaway zero moments are allocated on device
+        # (train_rl.py:96-98); an --rl_resume is a true resume, so the
+        # moments are always restored; the adoption template is abstract
+        # so no throwaway zero moments are allocated on device
         from .checkpoint import adopt_structure
 
         try:
@@ -231,11 +247,32 @@ def train_rl(
     jlog = JsonlLogger(getattr(opt, "json_log", "") or None)
     trace = TraceWindow.from_opt(opt)
 
+    from .preempt import PreemptGuard
+
+    guard = PreemptGuard.from_opt(opt, log_fn)
+
     num_period_best = 0
     current_score = 0.0
     update_lr_flag = True
     lr = rl_lr_base
     rewards = np.zeros((1, 1))
+
+    def snapshot_infos():
+        # one infos builder for the periodic save and the preemption save
+        return {
+            "iter": iteration,
+            "epoch": epoch,
+            "iterators": dict(loader.iterators),
+            "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "best_val_score": best_val_score,
+            "opt": dict(vars(opt)),
+            "val_result_history": val_result_history,
+            "loss_history": loss_history,
+            "lr_history": lr_history,
+            "rl_lr_base": rl_lr_base,  # --rl_resume restores this base
+            "rng_key": np.asarray(rng),  # --rl_resume continues the chain
+            "vocab": loader.get_vocab(),
+        }
 
     while True:
         trace.tick(iteration)
@@ -322,18 +359,7 @@ def train_rl(
             else:
                 num_period_best += 1
 
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "iterators": dict(loader.iterators),
-                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
-                "best_val_score": best_val_score,
-                "opt": dict(vars(opt)),
-                "val_result_history": val_result_history,
-                "loss_history": loss_history,
-                "lr_history": lr_history,
-                "vocab": loader.get_vocab(),
-            }
+            infos = snapshot_infos()
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, rank,
                 params=params, opt_state=opt_state, infos=infos, best=False, prefix="rl_",
@@ -348,6 +374,19 @@ def train_rl(
                 log_fn("no improvement, exit")
                 break
 
+        if guard.triggered:
+            # SIGTERM landed: save at this iteration boundary and exit
+            # cleanly inside the preemption grace window (resume with
+            # --start_from loses at most this one iteration)
+            infos = snapshot_infos()
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, rank,
+                params=params, opt_state=opt_state, infos=infos, best=False,
+                prefix="rl_",
+            )
+            log_fn(f"rank {rank}: preempted — rl checkpoint saved at iter {iteration}")
+            break
+
         log_fn(
             f"rank {rank}, iter {iteration}, (epoch {epoch}), avg_reward: "
             f"{float(np.mean(rewards[:, 0])):.3f}, train_loss: {train_loss:.4f}, "
@@ -361,6 +400,7 @@ def train_rl(
 
     jlog.close()
     trace.close()
+    guard.close()
     # async-checkpoint barrier (see train_loop)
     getattr(_ckpt, "wait_until_finished", lambda: None)()
     infos["iter"] = iteration
