@@ -46,7 +46,8 @@ from ..data.vocab import decode_sequence
 from .serve import CaptionServer
 
 
-def parse_features_payload(body: bytes, content_type: str = ""):
+def parse_features_payload(body: bytes, content_type: str = "",
+                           max_bytes: int = 512 << 20):
     """Request body -> (fcs, atts): one image's per-encoder feature arrays.
 
     Shared by the threading and asyncio front ends so the two wire formats
@@ -55,8 +56,13 @@ def parse_features_payload(body: bytes, content_type: str = ""):
       * binary npz (Content-Type application/x-npz, or detected by the zip
         magic): arrays fc_0..fc_{M-1} / att_0..att_{M-1}; float arrays pass
         through without the float->decimal-text->float round trip.
-    Raises ValueError/KeyError (and json/zip parse errors) on malformed
-    payloads — client-error class for both front ends.
+    Raises ValueError/KeyError (and json parse errors) on malformed
+    payloads — client-error class for both front ends. Every zip-layer
+    failure (bare .npy body, corrupt member CRC surfacing lazily at array
+    access) is normalized to ValueError; the UNCOMPRESSED size is bounded
+    by max_bytes BEFORE any member is materialized, so a small deflated
+    body of zeros cannot expand past the front ends' wire caps into an
+    allocation that OOMs the serving host.
     """
     if content_type.split(";")[0].strip() == "application/x-npz" \
             or body[:4] == b"PK\x03\x04":
@@ -64,16 +70,27 @@ def parse_features_payload(body: bytes, content_type: str = ""):
 
         try:
             z = np.load(io.BytesIO(body), allow_pickle=False)
-        except zipfile.BadZipFile as e:  # corrupt zip -> client error
+            if not hasattr(z, "files"):  # a bare .npy, not a zip of arrays
+                raise ValueError(
+                    "expected an npz payload (np.savez of fc_0../att_0..), "
+                    "got a bare array"
+                )
+            total = sum(i.file_size for i in z.zip.infolist())
+            if total > max_bytes:
+                raise ValueError(
+                    f"npz payload decompresses to {total} bytes "
+                    f"(limit {max_bytes})"
+                )
+            n = sum(1 for k in z.files if k.startswith("fc_"))
+            if n == 0:
+                raise ValueError("npz payload has no fc_0..fc_{M-1} arrays")
+            try:
+                fcs = [np.asarray(z[f"fc_{i}"], np.float32) for i in range(n)]
+                atts = [np.asarray(z[f"att_{i}"], np.float32) for i in range(n)]
+            except KeyError as e:
+                raise ValueError(f"npz payload missing array {e}") from e
+        except (zipfile.BadZipFile, OSError) as e:  # corrupt zip/member
             raise ValueError(f"bad npz payload: {e}") from e
-        n = sum(1 for k in z.files if k.startswith("fc_"))
-        if n == 0:
-            raise ValueError("npz payload has no fc_0..fc_{M-1} arrays")
-        try:
-            fcs = [np.asarray(z[f"fc_{i}"], np.float32) for i in range(n)]
-            atts = [np.asarray(z[f"att_{i}"], np.float32) for i in range(n)]
-        except KeyError as e:
-            raise ValueError(f"npz payload missing array {e}") from e
         return fcs, atts
     req = json.loads(body)
     return ([np.asarray(f, np.float32) for f in req["fc"]],

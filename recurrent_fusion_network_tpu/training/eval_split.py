@@ -41,11 +41,18 @@ def batch_feats(data, dtype=None, *, as_numpy=False):
 
 
 def cast_tree(tree, dtype):
-    """Cast every float leaf of a pytree (bf16 inference casting)."""
-    return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating) else x,
-        tree,
-    )
+    """Cast every float leaf of a pytree (bf16 inference casting).
+
+    The dtype check reads the leaf's own .dtype attribute — jnp.asarray
+    here would device-put every HOST leaf just to inspect it, defeating
+    the cast-before-transfer HBM discipline of callers that hold f32
+    numpy params (eval_ensemble member loading)."""
+
+    def cast(x):
+        d = getattr(x, "dtype", None)
+        return x.astype(dtype) if d is not None and jnp.issubdtype(d, jnp.floating) else x
+
+    return jax.tree_util.tree_map(cast, tree)
 
 
 def eval_dtype(opt):

@@ -230,14 +230,40 @@ def train_multi_seed(
 
     from .preempt import PreemptGuard
 
-    guard = PreemptGuard.from_opt(opt, log_fn)
+    guard = PreemptGuard.from_opt(opt)
+
+    def preempt_save():
+        # Persist FIRST, inside the grace window, with the guard still
+        # installed: rolling per-seed checkpoints are cheap device->host
+        # copies, while a full eval_seeds (per-seed beam decode over the
+        # val split) takes minutes at flagship dims and would be killed by
+        # the supervisor's SIGKILL. The files use the solo loop's
+        # model_{id}_{rank} naming, so each seed resumes with train()
+        # (--start_from/--load_model_id, rank=r).
+        log_fn(f"preempted — saving rolling per-seed checkpoints at iter {iteration}")
+        for r in local_seeds:
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "iterators": dict(loader.iterators),
+                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+                "opt": dict(vars(opt)),
+                "loss_history": loss_histories[r],
+                "lr_history": dict(lr_history),
+                "val_result_history": val_histories[r],
+                "best_val_score": best_scores[r],
+                "vocab": loader.get_vocab(),
+            }
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, r,
+                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
+                infos=infos, best=False,
+            )
 
     while True:
         if guard.triggered:
-            # SIGTERM landed: stop the fleet at this boundary; the epilogue
-            # below scores the current seeds and saves the per-seed -best
-            # artifacts, so the run's progress survives the preemption
-            log_fn(f"preempted — stopping fleet at iter {iteration}")
+            if save:
+                preempt_save()
             break
         if update_lr_flag:
             lr = lr_for_epoch(opt, epoch, opt.optim_lr)
@@ -279,12 +305,15 @@ def train_multi_seed(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
-    guard.close()
     result = {"params": params, "loss_histories": loss_histories, "model": model}
 
     # the saved '-best' artifacts need at least one scored snapshot per seed
-    if eval_at_end or guard.triggered or (save and any(best_params[r] is None
-                               for r in local_seeds)):
+    # — but NOT under preemption: the rolling saves above already persisted
+    # the state, and a full fleet eval would outlive the grace window
+    if not guard.triggered and (
+        eval_at_end
+        or (save and any(best_params[r] is None for r in local_seeds))
+    ):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)
     result["val_histories"] = val_histories
@@ -292,6 +321,8 @@ def train_multi_seed(
     result["local_seeds"] = list(local_seeds)
     if save:
         for r in local_seeds:
+            if best_params[r] is None:  # preempted before any eval —
+                continue  # the rolling save above carries the state
             infos = {
                 "iter": iteration,
                 "epoch": epoch,
@@ -308,6 +339,7 @@ def train_multi_seed(
                 infos=infos, best=True,
             )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
+    guard.close()
     return result
 
 
@@ -488,13 +520,37 @@ def train_multi_seed_rl(
 
     from .preempt import PreemptGuard
 
-    guard = PreemptGuard.from_opt(opt, log_fn)
+    guard = PreemptGuard.from_opt(opt)
+
+    def preempt_save():
+        # persist FIRST inside the grace window (see train_multi_seed):
+        # rolling rl_ per-seed files, solo-resumable via train_rl
+        # --rl_resume (rank=r) — rl_lr_base recorded per seed for the
+        # exact LR-base restore
+        log_fn(f"preempted — saving rolling rl per-seed checkpoints at iter {iteration}")
+        for r in local_seeds:
+            infos = {
+                "iter": iteration,
+                "epoch": epoch,
+                "iterators": dict(loader.iterators),
+                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+                "opt": dict(vars(opt)),
+                "loss_history": reward_histories[r],
+                "rl_lr_base": float(rl_lr_bases[r]),
+                "val_result_history": val_histories[r],
+                "best_val_score": best_scores[r],
+                "vocab": loader.get_vocab(),
+            }
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, r,
+                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
+                infos=infos, best=False, prefix="rl_",
+            )
 
     while True:
         if guard.triggered:
-            # SIGTERM: stop at this boundary; the epilogue scores current
-            # seeds and saves the per-seed rl_-best artifacts
-            log_fn(f"preempted — stopping rl fleet at iter {iteration}")
+            if save:
+                preempt_save()
             break
         if update_lr_flag:
             lrs = jnp.asarray(
@@ -569,14 +625,17 @@ def train_multi_seed_rl(
         if max_iterations is not None and iteration >= max_iterations:
             break
 
-    guard.close()
     result = {
         "params": params,
         "reward_histories": reward_histories,
         "model": model,
     }
-    if eval_at_end or guard.triggered or (save and any(best_params[r] is None
-                               for r in local_seeds)):
+    # no post-preemption eval: the rolling saves already persisted the
+    # state, and a full fleet eval would outlive the grace window
+    if not guard.triggered and (
+        eval_at_end
+        or (save and any(best_params[r] is None for r in local_seeds))
+    ):
         eval_seeds(iteration)
     result["cider_per_seed"] = list(best_scores)
     result["val_histories"] = val_histories
@@ -584,6 +643,8 @@ def train_multi_seed_rl(
     result["local_seeds"] = list(local_seeds)
     if save:
         for r in local_seeds:
+            if best_params[r] is None:  # preempted before any eval —
+                continue  # the rolling save above carries the state
             infos = {
                 "iter": iteration,
                 "epoch": epoch,
@@ -599,4 +660,5 @@ def train_multi_seed_rl(
                 infos=infos, best=True, prefix="rl_",
             )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
+    guard.close()
     return result

@@ -42,17 +42,14 @@ class PreemptGuard:
 
     SIGNALS = (signal.SIGTERM,)
 
-    def __init__(self, enabled: bool = True, log_fn=print):
+    def __init__(self, enabled: bool = True):
         self.enabled = enabled
         self.triggered = False
-        self._log = log_fn
         self._installed = []
 
     @classmethod
-    def from_opt(cls, opt, log_fn=print) -> "PreemptGuard":
-        return cls(
-            enabled=bool(getattr(opt, "graceful_preempt", 1)), log_fn=log_fn
-        ).install()
+    def from_opt(cls, opt) -> "PreemptGuard":
+        return cls(enabled=bool(getattr(opt, "graceful_preempt", 1))).install()
 
     def install(self) -> "PreemptGuard":
         if not self.enabled:

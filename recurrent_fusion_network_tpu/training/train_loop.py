@@ -174,7 +174,7 @@ def train(
 
     from .preempt import PreemptGuard
 
-    guard = PreemptGuard.from_opt(opt, log_fn)
+    guard = PreemptGuard.from_opt(opt)
 
     num_period_best = 0
     current_score = 0.0

@@ -199,10 +199,22 @@ def train_rl(
     best_val_score = infos.get("best_val_score", None) if opt.load_best_score else None
 
     rl_lr_base = opt.optim_rl_lr
-    if rl_resume and "rl_lr_base" in infos:
-        # reproduce the original run's base exactly (it may itself have been
-        # derived from the XE lr history under --load_lr)
-        rl_lr_base = infos["rl_lr_base"]
+    if rl_resume:
+        if "rl_lr_base" in infos:
+            # reproduce the original run's base exactly (it may itself have
+            # been derived from the XE lr history under --load_lr)
+            rl_lr_base = infos["rl_lr_base"]
+        elif lr_history:
+            # legacy rl_ checkpoint without the recorded base: the run's own
+            # lr_history values are already base * epoch-decay, so the
+            # --load_lr min/ratio derivation would double-divide; the max
+            # recorded lr (the pre-decay value) is the closest recoverable
+            # approximation of the original base
+            rl_lr_base = max(lr_history.values())
+            log_fn(
+                "warning: rl checkpoint predates rl_lr_base; resuming with "
+                f"max recorded lr {rl_lr_base:.2e} as the base"
+            )
     elif opt.load_lr and lr_history:
         rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
 
@@ -249,7 +261,7 @@ def train_rl(
 
     from .preempt import PreemptGuard
 
-    guard = PreemptGuard.from_opt(opt, log_fn)
+    guard = PreemptGuard.from_opt(opt)
 
     num_period_best = 0
     current_score = 0.0

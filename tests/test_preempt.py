@@ -93,7 +93,7 @@ def _patch_trigger(monkeypatch, n):
     monkeypatch.setattr(
         preempt.PreemptGuard,
         "from_opt",
-        classmethod(lambda cls, opt, log_fn=print: _TriggerAfter(n)),
+        classmethod(lambda cls, opt: _TriggerAfter(n)),
     )
 
 
@@ -214,10 +214,13 @@ class TestPreemptSaveResume:
 
 
 class TestFleetPreempt:
-    def test_fleet_preempt_saves_best_per_seed(self, tmp_path, monkeypatch):
-        """A preempted multi-seed fleet stops at the boundary, scores the
-        current seeds, and saves the per-seed -best artifacts instead of
-        dying with nothing on disk."""
+    def test_fleet_preempt_saves_rolling_and_seed_resumes_solo(
+        self, tmp_path, monkeypatch
+    ):
+        """A preempted multi-seed fleet saves rolling per-seed checkpoints
+        BEFORE any eval (a full fleet eval would outlive the preemption
+        grace window at flagship dims), and each seed resumes with the
+        SOLO loop — the files use train()'s model_{id}_{rank} naming."""
         from recurrent_fusion_network_tpu.training.checkpoint import (
             load_checkpoint,
         )
@@ -233,11 +236,27 @@ class TestFleetPreempt:
         res = train_multi_seed(
             opt, loader, 2, max_iterations=50, eval_at_end=False, log_fn=quiet
         )
-        # stopped early, and every seed still has a scored best checkpoint
-        assert all(s is not None for s in res["cider_per_seed"])
+        # no eval ran (preempt skips it), but every seed has a rolling save
+        assert all(s is None for s in res["cider_per_seed"])
         for r in range(2):
-            params, _, infos = load_checkpoint(str(tmp_path), "fp", r, best=True)
-            assert "embed" in params and infos["iter"] < 50
+            params, opt_state, infos = load_checkpoint(
+                str(tmp_path), "fp", r, best=False
+            )
+            assert "embed" in params and opt_state is not None
+            assert infos["iter"] == 3 and "iterators" in infos
+
+        # a preempted fleet seed continues under the solo XE loop
+        _patch_trigger(monkeypatch, 10**9)
+        opt2, loader2 = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "fp"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "fp"
+        opt2.losses_log_every = 1
+        opt2.save_checkpoint_every = 1000
+        infos2 = train(opt2, loader2, rank=1, max_iterations=5, log_fn=quiet)
+        assert infos2["iter"] == 5
+        assert {3, 4}.issubset(infos2["loss_history"])
 
 
 class TestSigtermEndToEnd:

@@ -620,6 +620,73 @@ class TestAsyncFrontend:
             httpd.shutdown()
             svc.close()
 
+    def test_npz_payload_hardening(self):
+        """Zip-layer abuse is a client error, never a crash: a bare .npy
+        body (np.save, not np.savez), and a tiny compressed body that
+        decompresses past the size cap (zip-bomb guard) are rejected
+        BEFORE any array is materialized."""
+        import io
+        import zipfile
+
+        import pytest as _pytest
+
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            parse_features_payload,
+        )
+
+        # bare .npy (np.load returns an ndarray, not an NpzFile)
+        buf = io.BytesIO()
+        np.save(buf, np.zeros(4, np.float32))
+        with _pytest.raises(ValueError, match="bare array"):
+            parse_features_payload(buf.getvalue(), "application/x-npz")
+
+        # zip bomb: ~40 MB of zeros deflates to ~40 KB; cap at 1 MB
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            inner = io.BytesIO()
+            np.save(inner, np.zeros(10_000_000, np.float32))
+            z.writestr("fc_0.npy", inner.getvalue())
+        with _pytest.raises(ValueError, match="decompresses"):
+            parse_features_payload(buf.getvalue(), "application/x-npz",
+                                   max_bytes=1 << 20)
+
+    def test_npz_bad_body_is_400_not_connection_drop(self):
+        """A bare-.npy body over HTTP must produce a 400 response on the
+        asyncio front end (an uncaught exception would drop the
+        connection with no response at all)."""
+        import http.client
+        import io
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=3)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=4, beam_size=2)
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        try:
+            buf = io.BytesIO()
+            np.save(buf, np.zeros(4, np.float32))
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port, timeout=30)
+            conn.request("POST", "/caption", body=buf.getvalue(),
+                         headers={"Content-Type": "application/x-npz"})
+            r = conn.getresponse()
+            body = r.read()
+            assert r.status == 400, body
+            assert "error" in json.loads(body)
+            conn.close()
+        finally:
+            fe.stop()
+            svc.close()
+
     def test_asyncio_mid_body_disconnect_and_bind_error(self):
         """A client that dies mid-body must not leave an unhandled
         IncompleteReadError task, and a bind failure must surface the real
