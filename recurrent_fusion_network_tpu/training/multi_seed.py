@@ -137,7 +137,15 @@ def train_multi_seed(
     """Train n_seeds models simultaneously. Returns a dict with the stacked
     params, per-seed loss histories, and (optionally) per-seed final CIDEr.
     mesh: optional 1-D 'dp' mesh sharding the seed axis across devices
-    (fleet-over-mesh; see module docstring)."""
+    (fleet-over-mesh; see module docstring).
+
+    Resume: with opt.start_from set, the whole fleet continues bitwise-
+    exactly from its rolling per-seed checkpoints (written every
+    save_checkpoint_every iterations and on SIGTERM preemption) — params,
+    optimizer moments, per-seed RNG chains, loader cursor, and histories
+    all restore. The files use solo train()'s model_{id}_{rank} naming, so
+    a preempted fleet can also be finished as n_seeds solo runs (rank=r)
+    and vice versa."""
     opt.vocab_size = loader.vocab_size
     opt.seq_length = loader.seq_length
     model = setup(opt)
@@ -146,14 +154,73 @@ def train_multi_seed(
     tx = make_optimizer(opt)
 
     # per-seed base key -> (run, init) split, same discipline as the RL
-    # fleet: the init key and the run chain never share threefry streams
+    # fleet: the init key and the run chain never share threefry streams.
+    # (PRNGKey(seed + r) -> split[0] is exactly solo train()'s rank-r chain,
+    # so fleet checkpoints and solo checkpoints are RNG-interchangeable.)
     base_keys = jnp.stack(
         [jax.random.PRNGKey(opt.seed + r) for r in range(n_seeds)]
     )
     split_keys = jax.vmap(jax.random.split)(base_keys)  # (S, 2, key)
     rngs, init_rngs = split_keys[:, 0], split_keys[:, 1]
-    params = jax.vmap(model.init_params)(init_rngs)
-    opt_state = jax.vmap(tx.init)(params)
+
+    resume_infos = None
+    if opt.start_from is not None:
+        # Fleet resume: continue the whole fleet from its rolling per-seed
+        # checkpoints (periodic or preemption saves — solo model_{id}_{r}
+        # naming, so a fleet can also resume a set of solo runs and vice
+        # versa). Trajectories continue bitwise-exactly: params, moments,
+        # per-seed RNG chains, loader cursor, and histories all restore.
+        # HBM discipline as in the RL warm start: never materialize a
+        # throwaway random-init fleet that a restore immediately replaces.
+        per_p, per_s = [], []
+        resume_infos = []
+        for r in range(n_seeds):
+            p, s, i = _ckpt.load_checkpoint(
+                opt.start_from, opt.load_model_id, r, best=False
+            )
+            per_p.append(p)
+            per_s.append(s)
+            resume_infos.append(i)
+        saved_opt = resume_infos[0].get("opt", {})
+        for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
+            if key in saved_opt:
+                assert saved_opt[key] == getattr(opt, key), (
+                    f"Command line argument and saved model disagree on '{key}'"
+                )
+        params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_p
+        )
+        del per_p
+        if all(s is not None for s in per_s):
+            from .checkpoint import adopt_structure
+
+            template = jax.eval_shape(
+                tx.init,
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(x.shape[1:], x.dtype),
+                    params,
+                ),
+            )
+            adopted = [adopt_structure(template, s) for s in per_s]
+            opt_state = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *adopted
+            )
+            del adopted
+        else:
+            opt_state = jax.vmap(tx.init)(params)
+        del per_s
+        if all("rng_key" in i for i in resume_infos):
+            rngs = jnp.stack(
+                [jnp.asarray(i["rng_key"]) for i in resume_infos]
+            )
+        if "iterators" in resume_infos[0]:
+            loader.restore_state(
+                resume_infos[0]["iterators"],
+                resume_infos[0]["split_image_id"],
+            )
+    else:
+        params = jax.vmap(model.init_params)(init_rngs)
+        opt_state = jax.vmap(tx.init)(params)
     if mesh is not None:
         params, opt_state = _shard_seed_axis(mesh, n_seeds, params, opt_state)
 
@@ -201,6 +268,18 @@ def train_multi_seed(
     best_opt_states = [None] * n_seeds  # checkpointed so the RL phase can
     # restore optimizer moments under --load_lr (train_rl.py:96-98 contract)
     val_histories = [dict() for _ in range(n_seeds)]
+    if resume_infos is not None:
+        iteration = resume_infos[0].get("iter", 0)
+        epoch = resume_infos[0].get("epoch", 0)
+        loss_histories = [dict(i.get("loss_history", {})) for i in resume_infos]
+        lr_history = dict(resume_infos[0].get("lr_history", {}))
+        val_histories = [
+            dict(i.get("val_result_history", {})) for i in resume_infos
+        ]
+        if opt.load_best_score:
+            # same gate as solo: the -best files from the earlier run stay
+            # authoritative until a resumed eval beats their score
+            best_scores = [i.get("best_val_score", None) for i in resume_infos]
     lr = opt.optim_lr
     ss = 0.0
     update_lr_flag = True
@@ -208,6 +287,21 @@ def train_multi_seed(
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
         return jax.tree_util.tree_map(lambda x: _seed_row(x, r), tree)
+
+    def seed_infos(r):
+        return {
+            "iter": iteration,
+            "epoch": epoch,
+            "iterators": dict(loader.iterators),
+            "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "opt": dict(vars(opt)),
+            "loss_history": loss_histories[r],
+            "lr_history": dict(lr_history),
+            "val_result_history": val_histories[r],
+            "best_val_score": best_scores[r],
+            "rng_key": _seed_row(rngs, r),  # resume continues the chain
+            "vocab": loader.get_vocab(),
+        }
 
     def eval_seeds(at_iter):
         for r in local_seeds:
@@ -222,48 +316,52 @@ def train_multi_seed(
                 best_scores[r] = score
                 best_params[r] = p
                 best_opt_states[r] = seed_slice(r, opt_state)
+                if save:
+                    # persist -best at improvement time (solo train()'s
+                    # contract per seed) — a crash or preemption later must
+                    # not lose the best-scoring snapshot, which otherwise
+                    # lives only in host memory until the epilogue
+                    _ckpt.save_checkpoint(
+                        opt.checkpoint_path, opt.id, r,
+                        params=best_params[r], opt_state=best_opt_states[r],
+                        infos=seed_infos(r), best=True,
+                    )
         log_fn(
             f"iter {at_iter} fleet val scores: "
             + " ".join("-" if best_scores[r] is None else
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
+    def save_rolling():
+        # rolling per-seed checkpoints, solo model_{id}_{rank} naming: the
+        # fleet resumes as a fleet (--start_from, see resume block above) or
+        # any seed resumes solo (train(), rank=r) — bitwise-exactly, since
+        # the per-seed RNG chain rides in infos
+        for r in local_seeds:
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, r,
+                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
+                infos=seed_infos(r), best=False,
+            )
+
     from .preempt import PreemptGuard
 
     guard = PreemptGuard.from_opt(opt)
 
-    def preempt_save():
-        # Persist FIRST, inside the grace window, with the guard still
-        # installed: rolling per-seed checkpoints are cheap device->host
-        # copies, while a full eval_seeds (per-seed beam decode over the
-        # val split) takes minutes at flagship dims and would be killed by
-        # the supervisor's SIGKILL. The files use the solo loop's
-        # model_{id}_{rank} naming, so each seed resumes with train()
-        # (--start_from/--load_model_id, rank=r).
-        log_fn(f"preempted — saving rolling per-seed checkpoints at iter {iteration}")
-        for r in local_seeds:
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "iterators": dict(loader.iterators),
-                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
-                "opt": dict(vars(opt)),
-                "loss_history": loss_histories[r],
-                "lr_history": dict(lr_history),
-                "val_result_history": val_histories[r],
-                "best_val_score": best_scores[r],
-                "vocab": loader.get_vocab(),
-            }
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, r,
-                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
-                infos=infos, best=False,
-            )
-
     while True:
         if guard.triggered:
+            # Persist FIRST, inside the grace window: rolling per-seed
+            # checkpoints are cheap device->host copies, while a full
+            # eval_seeds (per-seed beam decode over the val split) takes
+            # minutes at flagship dims and would be killed by the
+            # supervisor's SIGKILL. Resume the whole fleet with
+            # --start_from (exact), or any seed solo (train(), rank=r).
             if save:
-                preempt_save()
+                log_fn(
+                    "preempted — saving rolling per-seed checkpoints at "
+                    f"iter {iteration}"
+                )
+                save_rolling()
             break
         if update_lr_flag:
             lr = lr_for_epoch(opt, epoch, opt.optim_lr)
@@ -297,9 +395,18 @@ def train_multi_seed(
                 f"iter {iteration} (epoch {epoch}) losses: "
                 + " ".join(f"{l:.3f}" for l in local_losses.values())
             )
+        periodic_save = (
+            save and iteration % opt.save_checkpoint_every == 0
+            and iteration > 0
+        )
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
         iteration += 1
+        if periodic_save:
+            # AFTER the increment: the snapshot's iter is the next step to
+            # run, so a resumed fleet replays nothing (the preemption save
+            # at the loop top has the same convention)
+            save_rolling()
         if opt.max_epochs != -1 and epoch >= opt.max_epochs:
             break
         if max_iterations is not None and iteration >= max_iterations:
@@ -310,6 +417,7 @@ def train_multi_seed(
     # the saved '-best' artifacts need at least one scored snapshot per seed
     # — but NOT under preemption: the rolling saves above already persisted
     # the state, and a full fleet eval would outlive the grace window
+    # (eval_seeds itself writes the per-seed -best files at improvement time)
     if not guard.triggered and (
         eval_at_end
         or (save and any(best_params[r] is None for r in local_seeds))
@@ -319,25 +427,6 @@ def train_multi_seed(
     result["val_histories"] = val_histories
     result["best_params"] = best_params
     result["local_seeds"] = list(local_seeds)
-    if save:
-        for r in local_seeds:
-            if best_params[r] is None:  # preempted before any eval —
-                continue  # the rolling save above carries the state
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "opt": dict(vars(opt)),
-                "loss_history": loss_histories[r],
-                "lr_history": dict(lr_history),
-                "val_result_history": val_histories[r],
-                "best_val_score": best_scores[r],
-                "vocab": loader.get_vocab(),
-            }
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, r,
-                params=best_params[r], opt_state=best_opt_states[r],
-                infos=infos, best=True,
-            )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     guard.close()
     return result
@@ -367,6 +456,12 @@ def train_multi_seed_rl(
 
     Warm start: when opt.start_from is set, seed r loads the XE '-best'
     checkpoint of rank r (same per-rank naming the reference uses).
+
+    Resume: with opt.rl_resume AND opt.start_from, the fleet instead
+    continues bitwise-exactly from its own rolling rl_ per-seed
+    checkpoints (periodic or preemption saves) — moments always restored,
+    per-seed RNG chains and rl_lr_base reproduced. Any seed can equally be
+    finished solo (train_rl --rl_resume, rank=r).
 
     Seed r's trajectory is identical to a solo train_rl run with rank=r on
     the same data stream (vmap is semantics-preserving; verified in tests).
@@ -401,7 +496,43 @@ def train_multi_seed_rl(
     warm_start_params = [None] * n_seeds
     warm_start_scores = [None] * n_seeds
     saved_opt_states = [None] * n_seeds
-    if opt.start_from is not None:
+    resume_infos = None
+    rl_resume = bool(getattr(opt, "rl_resume", 0)) and opt.start_from is not None
+    if rl_resume:
+        # Fleet RL resume: continue THIS SCST fleet from its own rolling
+        # rl_ per-seed checkpoints (preemption/crash recovery), same
+        # semantics as solo train_rl --rl_resume — moments always restored,
+        # per-seed RNG chains continued, rl_lr_base reproduced exactly.
+        per_seed = []
+        resume_infos = []
+        for r in range(n_seeds):
+            p, s, infos_r = _ckpt.load_checkpoint(
+                opt.start_from, opt.load_model_id, r, best=False, prefix="rl_"
+            )
+            per_seed.append(p)
+            saved_opt_states[r] = s
+            resume_infos.append(infos_r)
+            if "rl_lr_base" in infos_r:
+                rl_lr_bases[r] = infos_r["rl_lr_base"]
+            elif infos_r.get("lr_history"):
+                # legacy checkpoint: see train_rl's fallback rationale
+                rl_lr_bases[r] = max(infos_r["lr_history"].values())
+            if opt.load_best_score:
+                warm_start_scores[r] = infos_r.get("best_val_score", None)
+        params = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
+        )
+        del per_seed
+        if all("rng_key" in i for i in resume_infos):
+            run_rngs = jnp.stack(
+                [jnp.asarray(i["rng_key"]) for i in resume_infos]
+            )
+        if "iterators" in resume_infos[0]:
+            loader.restore_state(
+                resume_infos[0]["iterators"],
+                resume_infos[0]["split_image_id"],
+            )
+    elif opt.start_from is not None:
         per_seed, lr_hists = [], []
         for r in range(n_seeds):
             p, s, infos_r = _ckpt.load_checkpoint(
@@ -428,7 +559,8 @@ def train_multi_seed_rl(
     else:
         params = jax.vmap(model.init_params)(init_rngs)
     opt_state = None
-    if opt.load_lr and all(s is not None for s in saved_opt_states):
+    if (opt.load_lr or rl_resume) and all(
+            s is not None for s in saved_opt_states):
         # reference semantics: the optimizer is restored only under
         # --load_lr (train_rl.py:96-98) — same as the solo loop. The
         # structure template is abstract (eval_shape): adopt_structure only
@@ -492,12 +624,38 @@ def train_multi_seed_rl(
     best_params = list(warm_start_params)
     best_opt_states = [None] * n_seeds
     val_histories = [dict() for _ in range(n_seeds)]
+    if resume_infos is not None:
+        iteration = resume_infos[0].get("iter", 0)
+        epoch = resume_infos[0].get("epoch", 0)
+        reward_histories = [
+            dict(i.get("loss_history", {})) for i in resume_infos
+        ]
+        val_histories = [
+            dict(i.get("val_result_history", {})) for i in resume_infos
+        ]
     update_lr_flag = True
     lrs = jnp.asarray(rl_lr_bases, jnp.float32)
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
         return jax.tree_util.tree_map(lambda x: _seed_row(x, r), tree)
+
+    best_written = [False] * n_seeds  # which seeds have an rl_-best file
+
+    def seed_infos(r):
+        return {
+            "iter": iteration,
+            "epoch": epoch,
+            "iterators": dict(loader.iterators),
+            "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "opt": dict(vars(opt)),
+            "loss_history": reward_histories[r],
+            "rl_lr_base": float(rl_lr_bases[r]),
+            "val_result_history": val_histories[r],
+            "best_val_score": best_scores[r],
+            "rng_key": _seed_row(run_rngs, r),  # resume continues the chain
+            "vocab": loader.get_vocab(),
+        }
 
     def eval_seeds(at_iter):
         for r in local_seeds:
@@ -512,45 +670,47 @@ def train_multi_seed_rl(
                 best_scores[r] = score
                 best_params[r] = p
                 best_opt_states[r] = seed_slice(r, opt_state)
+                if save:
+                    # persist rl_-best at improvement time (see the XE
+                    # fleet's eval_seeds): the ensemble member must survive
+                    # a later crash/preemption
+                    best_written[r] = True
+                    _ckpt.save_checkpoint(
+                        opt.checkpoint_path, opt.id, r,
+                        params=best_params[r], opt_state=best_opt_states[r],
+                        infos=seed_infos(r), best=True, prefix="rl_",
+                    )
         log_fn(
             f"iter {at_iter} rl fleet val scores: "
             + " ".join("-" if best_scores[r] is None else
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
 
+    def save_rolling():
+        # rolling rl_ per-seed files, solo train_rl naming: the fleet
+        # resumes as a fleet (--rl_resume --start_from) or any seed solo
+        # (train_rl --rl_resume, rank=r) — rl_lr_base and the per-seed RNG
+        # chain ride in infos for the exact restore
+        for r in local_seeds:
+            _ckpt.save_checkpoint(
+                opt.checkpoint_path, opt.id, r,
+                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
+                infos=seed_infos(r), best=False, prefix="rl_",
+            )
+
     from .preempt import PreemptGuard
 
     guard = PreemptGuard.from_opt(opt)
 
-    def preempt_save():
-        # persist FIRST inside the grace window (see train_multi_seed):
-        # rolling rl_ per-seed files, solo-resumable via train_rl
-        # --rl_resume (rank=r) — rl_lr_base recorded per seed for the
-        # exact LR-base restore
-        log_fn(f"preempted — saving rolling rl per-seed checkpoints at iter {iteration}")
-        for r in local_seeds:
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "iterators": dict(loader.iterators),
-                "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
-                "opt": dict(vars(opt)),
-                "loss_history": reward_histories[r],
-                "rl_lr_base": float(rl_lr_bases[r]),
-                "val_result_history": val_histories[r],
-                "best_val_score": best_scores[r],
-                "vocab": loader.get_vocab(),
-            }
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, r,
-                params=seed_slice(r), opt_state=seed_slice(r, opt_state),
-                infos=infos, best=False, prefix="rl_",
-            )
-
     while True:
         if guard.triggered:
+            # persist FIRST inside the grace window (see train_multi_seed)
             if save:
-                preempt_save()
+                log_fn(
+                    "preempted — saving rolling rl per-seed checkpoints at "
+                    f"iter {iteration}"
+                )
+                save_rolling()
             break
         if update_lr_flag:
             lrs = jnp.asarray(
@@ -617,9 +777,17 @@ def train_multi_seed_rl(
                 f"rl iter {iteration} (epoch {epoch}) avg rewards: "
                 + " ".join(f"{v:.3f}" for v in avg_r.values())
             )
+        periodic_save = (
+            save and iteration % opt.save_checkpoint_every == 0
+            and iteration > 0
+        )
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
         iteration += 1
+        if periodic_save:
+            # AFTER the increment (same convention as the preemption save
+            # at the loop top): the snapshot's iter is the next step to run
+            save_rolling()
         if opt.max_epochs != -1 and epoch >= opt.max_epochs:
             break
         if max_iterations is not None and iteration >= max_iterations:
@@ -632,6 +800,7 @@ def train_multi_seed_rl(
     }
     # no post-preemption eval: the rolling saves already persisted the
     # state, and a full fleet eval would outlive the grace window
+    # (eval_seeds itself writes the rl_-best files at improvement time)
     if not guard.triggered and (
         eval_at_end
         or (save and any(best_params[r] is None for r in local_seeds))
@@ -641,24 +810,18 @@ def train_multi_seed_rl(
     result["val_histories"] = val_histories
     result["best_params"] = best_params
     result["local_seeds"] = list(local_seeds)
-    if save:
+    if save and not guard.triggered:
+        # a warm-started seed that never beat its XE best score still ships
+        # an rl_-best file (its XE weights) so the rl_ ensemble is complete
+        # for eval_ensemble --rl_prefix over every rank; under --rl_resume
+        # the earlier run's rl_-best files already stand
         for r in local_seeds:
-            if best_params[r] is None:  # preempted before any eval —
-                continue  # the rolling save above carries the state
-            infos = {
-                "iter": iteration,
-                "epoch": epoch,
-                "opt": dict(vars(opt)),
-                "loss_history": reward_histories[r],
-                "val_result_history": val_histories[r],
-                "best_val_score": best_scores[r],
-                "vocab": loader.get_vocab(),
-            }
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, r,
-                params=best_params[r], opt_state=best_opt_states[r],
-                infos=infos, best=True, prefix="rl_",
-            )
+            if best_params[r] is not None and not best_written[r]:
+                _ckpt.save_checkpoint(
+                    opt.checkpoint_path, opt.id, r,
+                    params=best_params[r], opt_state=best_opt_states[r],
+                    infos=seed_infos(r), best=True, prefix="rl_",
+                )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier
     guard.close()
     return result

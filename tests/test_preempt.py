@@ -259,6 +259,121 @@ class TestFleetPreempt:
         assert {3, 4}.issubset(infos2["loss_history"])
 
 
+class TestFleetResume:
+    def test_xe_fleet_resumes_as_fleet_exactly(self, tmp_path, monkeypatch):
+        """A preempted XE fleet resumes AS A FLEET (--start_from) and the
+        merged trajectories equal an uninterrupted run step-for-step: the
+        rolling saves carry params, moments, per-seed RNG chains (dropout
+        is on to make them load-bearing), and the loader cursor."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+        )
+
+        common = dict(caption_model="show_tell", batch_size=4, seed=11)
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt_u, loader_u = synthetic_setup(**common)
+        opt_u.losses_log_every = 1
+        opt_u.drop_prob_lm = 0.5
+        full = train_multi_seed(opt_u, loader_u, 2, max_iterations=6,
+                                eval_at_end=False, save=False, log_fn=quiet)
+
+        _patch_trigger(monkeypatch, 3)
+        opt1, loader1 = synthetic_setup(**common)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.id = "fr"
+        opt1.losses_log_every = 1
+        opt1.drop_prob_lm = 0.5
+        opt1.save_checkpoint_every = 1000
+        train_multi_seed(opt1, loader1, 2, max_iterations=50,
+                         eval_at_end=False, log_fn=quiet)
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt2, loader2 = synthetic_setup(**common)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "fr"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "fr"
+        opt2.losses_log_every = 1
+        opt2.drop_prob_lm = 0.5
+        opt2.save_checkpoint_every = 1000
+        res = train_multi_seed(opt2, loader2, 2, max_iterations=6,
+                               eval_at_end=False, save=False, log_fn=quiet)
+
+        # histories merge seamlessly: saved 0..2 carried over, 3..5 appended,
+        # every value matching the uninterrupted fleet
+        for r in range(2):
+            assert sorted(res["loss_histories"][r]) == [0, 1, 2, 3, 4, 5]
+            np.testing.assert_allclose(
+                [res["loss_histories"][r][k] for k in range(6)],
+                [full["loss_histories"][r][k] for k in range(6)],
+                rtol=1e-6,
+            )
+        import jax
+
+        for a, b in zip(jax.tree_util.tree_leaves(res["params"]),
+                        jax.tree_util.tree_leaves(full["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_rl_fleet_resumes_as_fleet_exactly(self, tmp_path, monkeypatch):
+        """A preempted SCST fleet resumes AS A FLEET (--rl_resume
+        --start_from): rollout RNG chains, moments, and per-seed LR bases
+        restore, so the merged reward trajectories equal an uninterrupted
+        fleet's."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed_rl,
+        )
+
+        common = dict(caption_model="show_tell", batch_size=4, seed=13,
+                      seq_per_img=2)
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt_u, loader_u = synthetic_setup(**common)
+        opt_u.losses_log_every = 1
+        full = train_multi_seed_rl(opt_u, loader_u, scorer_for(loader_u), 2,
+                                   max_iterations=5, eval_at_end=False,
+                                   save=False, log_fn=quiet)
+
+        _patch_trigger(monkeypatch, 2)
+        opt1, loader1 = synthetic_setup(**common)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.id = "frl"
+        opt1.losses_log_every = 1
+        opt1.save_checkpoint_every = 1000
+        train_multi_seed_rl(opt1, loader1, scorer_for(loader1), 2,
+                            max_iterations=50, eval_at_end=False,
+                            log_fn=quiet)
+        assert os.path.exists(tmp_path / "rl_model_frl_0.pkl")
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt2, loader2 = synthetic_setup(**common)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "frl"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "frl"
+        opt2.rl_resume = 1
+        opt2.losses_log_every = 1
+        opt2.save_checkpoint_every = 1000
+        res = train_multi_seed_rl(opt2, loader2, scorer_for(loader2), 2,
+                                  max_iterations=5, eval_at_end=False,
+                                  save=False, log_fn=quiet)
+
+        for r in range(2):
+            assert sorted(res["reward_histories"][r]) == [0, 1, 2, 3, 4]
+            np.testing.assert_allclose(
+                [res["reward_histories"][r][k] for k in range(5)],
+                [full["reward_histories"][r][k] for k in range(5)],
+                rtol=1e-6,
+            )
+        import jax
+
+        for a, b in zip(jax.tree_util.tree_leaves(res["params"]),
+                        jax.tree_util.tree_leaves(full["params"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
+
+
 class TestSigtermEndToEnd:
     def test_main_py_sigterm_checkpoints_and_exits_zero(self, tmp_path):
         """Real-surface drill: main.py under SIGTERM writes the triple-file
@@ -293,4 +408,11 @@ class TestSigtermEndToEnd:
         assert os.path.exists(tmp_path / "model_sig_0.pkl")
         with open(tmp_path / "infos_sig_0.pkl", "rb") as f:
             infos = pickle.load(f)
-        assert infos["iter"] >= 2
+        # the saved iter matches what the preemption message reported (under
+        # CI load SIGTERM can land before iter 2 despite the stdout wait, so
+        # don't hardcode the count — assert save/report coherence instead)
+        import re
+
+        m = re.search(r"preempted — checkpoint saved at iter (\d+)", out)
+        assert m, out[-3000:]
+        assert infos["iter"] == int(m.group(1)) and "rng_key" in infos
