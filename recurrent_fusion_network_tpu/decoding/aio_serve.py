@@ -60,6 +60,9 @@ class AsyncCaptionFrontend:
         self._thread: Optional[threading.Thread] = None
         self._started = threading.Event()
         self.port: Optional[int] = None
+        # requests past header parse and not yet responded — read by the
+        # drain path; loop-confined writes (the event loop is one thread)
+        self._inflight = 0
 
     # ------------------------------------------------------------- request
 
@@ -130,23 +133,30 @@ class AsyncCaptionFrontend:
                     return  # client closed mid-body (not Connection*Error)
                 keep = headers.get("connection", "keep-alive").lower() != "close"
 
-                if method == "GET" and path == "/healthz":
-                    code, payload = 200, {
-                        "ok": True,
-                        "model": type(self.service.model).__name__,
-                        "batch_size": self.service.batch_size,
-                        "beam_size": self.service.beam_size,
-                        "frontend": "asyncio",
-                        "stats": dict(self.service.server.stats),
-                    }
-                elif method == "POST" and path == "/caption":
-                    code, payload = await self._caption(
-                        body, headers.get("content-type", ""))
-                else:
-                    code, payload = 404, {"error": "unknown path"}
-                writer.write(_response(code, json.dumps(payload).encode(),
-                                       keep))
-                await writer.drain()
+                # request-level in-flight accounting: graceful stop (drain)
+                # waits for requests being PROCESSED, not for idle keep-alive
+                # connections parked in readuntil above
+                self._inflight += 1
+                try:
+                    if method == "GET" and path == "/healthz":
+                        code, payload = 200, {
+                            "ok": True,
+                            "model": type(self.service.model).__name__,
+                            "batch_size": self.service.batch_size,
+                            "beam_size": self.service.beam_size,
+                            "frontend": "asyncio",
+                            "stats": dict(self.service.server.stats),
+                        }
+                    elif method == "POST" and path == "/caption":
+                        code, payload = await self._caption(
+                            body, headers.get("content-type", ""))
+                    else:
+                        code, payload = 404, {"error": "unknown path"}
+                    writer.write(_response(code, json.dumps(payload).encode(),
+                                           keep))
+                    await writer.drain()
+                finally:
+                    self._inflight -= 1
                 if not keep:
                     return
         except (ConnectionResetError, BrokenPipeError):
@@ -196,15 +206,45 @@ class AsyncCaptionFrontend:
                 f"asyncio front end failed to start: {startup_error[0]}"
             ) from startup_error[0]
 
-    def stop(self) -> None:
+    def stop(self, drain: bool = False, timeout: float = 30.0) -> None:
+        """Stop the front end.
+
+        drain=False: cancel everything immediately (tests/teardown).
+        drain=True (graceful shutdown, e.g. SIGTERM): close the listening
+        socket first — no new connections — then wait up to `timeout` for
+        requests already past header parse to get their responses, and only
+        then cancel the remaining tasks (idle keep-alive connections parked
+        between requests are cut without a response, which HTTP/1.1 clients
+        treat as a normal connection close)."""
         if self._loop is None:
             return
+        if drain:
+            drained = threading.Event()
+
+            async def _drain():
+                if self._server is not None:
+                    self._server.close()  # stop accepting; handlers continue
+                    await self._server.wait_closed()
+                deadline = self._loop.time() + timeout
+                while self._inflight and self._loop.time() < deadline:
+                    await asyncio.sleep(0.01)
+                drained.set()
+
+            try:
+                fut = asyncio.run_coroutine_threadsafe(_drain(), self._loop)
+                drained.wait(timeout=timeout + 1)
+                fut.cancel()
+            except RuntimeError:  # loop already closing
+                pass
 
         def shutdown():
             for task in asyncio.all_tasks(self._loop):
                 task.cancel()
 
-        self._loop.call_soon_threadsafe(shutdown)
+        try:
+            self._loop.call_soon_threadsafe(shutdown)
+        except RuntimeError:
+            pass
         self._thread.join(timeout=10)
 
 

@@ -141,13 +141,24 @@ class CaptionService:
             feat_dims = (tuple(model.fc_feat_sizes),
                          tuple(model.att_feat_sizes))
 
-        def decode(fcs, atts):
-            f = fcs[0] if single else list(fcs)
-            a = atts[0] if single else list(atts)
+        def decode_core(f, a):
             out = model_sample(model, params, f, a, beam_size=beam_size)
             return {"seq": out.seq, "seq_logprobs": out.seq_logprobs}
 
-        self._decode = jax.jit(decode)
+        self._att_unused = single and not hasattr(model, "att_feat_size")
+        if self._att_unused:
+            # show_tell ignores attention features (encode(att_feats=None)):
+            # keep them OUT of the jit boundary, so client att shapes never
+            # force recompiles and warmup() compiles the one real graph
+            jitted = jax.jit(lambda fcs: decode_core(fcs[0], None))
+            self._decode = lambda fcs, atts: jitted(fcs)
+        else:
+            def decode(fcs, atts):
+                f = fcs[0] if single else list(fcs)
+                a = atts[0] if single else list(atts)
+                return decode_core(f, a)
+
+            self._decode = jax.jit(decode)
         self.server = CaptionServer(
             self._decode, batch_size, depth=depth, mesh=mesh,
             flush_interval=flush_interval, feat_dims=feat_dims,
@@ -195,6 +206,36 @@ class CaptionService:
         att = np.asarray(att)
         att = att.reshape(att.shape[0], -1, att.shape[-1])
         return self.caption_features([np.asarray(fc)[0]], [att[0]])
+
+    def warmup(self) -> None:
+        """Compile the decode graph on a full-size zero batch BEFORE
+        serving traffic. Through remote-compile backends the first decode
+        costs minutes; without warmup that lands on the first live request
+        and can outlive a graceful drain's window (measured live: a SIGTERM
+        during the first-request compile cut the client after the 30 s
+        drain timeout). Dims come from the model; a model whose att extent
+        is request-defined (review_net's att_num default) warms the
+        declared extent — a differing client extent recompiles once."""
+        import jax
+
+        single = not hasattr(self.model, "fc_feat_sizes")
+        B = self.batch_size
+        if single:
+            fcs = [np.zeros((B, self.model.fc_feat_size), np.float32)]
+            if self._att_unused:
+                atts = [np.zeros((B, 1, 1), np.float32)]
+            else:
+                n = getattr(self.model, "att_num", 196) or 196
+                atts = [np.zeros((B, n, self.model.att_feat_size),
+                                 np.float32)]
+        else:
+            fcs = [np.zeros((B, d), np.float32)
+                   for d in self.model.fc_feat_sizes]
+            atts = [np.zeros((B, n, d), np.float32)
+                    for n, d in zip(self.model.att_nums,
+                                    self.model.att_feat_sizes)]
+        out = self._decode(fcs, atts)
+        jax.tree_util.tree_map(np.asarray, out)  # readback: compile done
 
     def close(self):
         self.server.close()

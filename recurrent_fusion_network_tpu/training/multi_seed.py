@@ -349,7 +349,7 @@ def train_multi_seed(
     guard = PreemptGuard.from_opt(opt)
 
     while True:
-        if guard.triggered:
+        if guard.sync():
             # Persist FIRST, inside the grace window: rolling per-seed
             # checkpoints are cheap device->host copies, while a full
             # eval_seeds (per-seed beam decode over the val split) takes
@@ -703,7 +703,7 @@ def train_multi_seed_rl(
     guard = PreemptGuard.from_opt(opt)
 
     while True:
-        if guard.triggered:
+        if guard.sync():
             # persist FIRST inside the grace window (see train_multi_seed)
             if save:
                 log_fn(

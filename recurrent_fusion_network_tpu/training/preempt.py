@@ -17,15 +17,20 @@ Semantics:
   * `close()` restores the original handlers; the trainers call it in the
     loop epilogue so library callers' signal state is untouched.
 
-Scope guards — the guard silently stays uninstalled (preemption then falls
-back to the reference's restart-from-periodic-checkpoint model) when:
-  * not in the main thread (CPython only delivers signals there, and
-    `signal.signal` raises elsewhere — e.g. CaptionServer worker threads);
-  * `jax.process_count() > 1`: a checkpoint save is collective for sharded
-    params (orbax) or requires full addressability (pickle); a save
-    triggered on the subset of hosts the scheduler signalled first would
-    deadlock the others. Coordinated multi-host preemption needs an
-    external barrier and is out of scope (documented in PARITY §5).
+Multi-host coordination: on a multi-process runtime the scheduler may
+deliver SIGTERM to a SUBSET of hosts first (or only). A checkpoint save is
+collective for sharded params (orbax) and the training step itself is a
+collective program, so hosts must agree on WHEN to stop — a host breaking
+out alone deadlocks the rest inside the next psum. The loops therefore
+check the guard through `sync()`: each boundary all-gathers the per-host
+flag (one tiny host-scalar collective, negligible next to a train step) and
+every host trips together at the first boundary after ANY host was
+signalled. Single-process `sync()` is just the flag read — no collective.
+
+Scope guard — the signal handler silently stays uninstalled when not in
+the main thread (CPython only delivers signals there, and `signal.signal`
+raises elsewhere — e.g. CaptionServer worker threads); `sync()` still
+participates in the collective so the host can be stopped by its peers.
 
 Disable with `--graceful_preempt 0` (e.g. when a supervisor wraps the
 process and owns SIGTERM itself).
@@ -56,10 +61,6 @@ class PreemptGuard:
             return self
         if threading.current_thread() is not threading.main_thread():
             return self
-        import jax
-
-        if jax.process_count() > 1:
-            return self
         for sig in self.SIGNALS:
             old = signal.signal(sig, self._handler)
             self._installed.append((sig, old))
@@ -70,6 +71,30 @@ class PreemptGuard:
             # second signal: step aside so the next one acts immediately
             self.close()
         self.triggered = True
+
+    def sync(self) -> bool:
+        """Iteration-boundary check; collectively agreed on multi-host.
+
+        Every process must call this the same number of times (the training
+        loops do — they run in lockstep by construction, or their collective
+        steps would already deadlock). Returns True on EVERY host once ANY
+        host has been signalled, so saves and loop exits stay collective.
+        """
+        if not self.enabled:
+            return False
+        import jax
+
+        if jax.process_count() == 1:
+            return self.triggered
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(1 if self.triggered else 0)
+        )
+        if int(np.max(flags)):
+            self.triggered = True
+        return self.triggered
 
     def close(self):
         for sig, old in self._installed:

@@ -386,7 +386,7 @@ def train_rl(
                 log_fn("no improvement, exit")
                 break
 
-        if guard.triggered:
+        if guard.sync():
             # SIGTERM landed: save at this iteration boundary and exit
             # cleanly inside the preemption grace window (resume with
             # --start_from loses at most this one iteration)

@@ -26,6 +26,9 @@ def main(argv=None):
     pre.add_argument("--host", default="0.0.0.0")
     pre.add_argument("--serve_batch_size", type=int, default=16)
     pre.add_argument("--serve_depth", type=int, default=2)
+    pre.add_argument("--drain_timeout", type=float, default=30.0,
+                     help="graceful-shutdown wait (s) for in-flight "
+                          "requests after SIGTERM/SIGINT")
     pre.add_argument("--serve_frontend", default="asyncio",
                      choices=("asyncio", "threads"),
                      help="asyncio: single-loop keep-alive ingest (>1k "
@@ -75,6 +78,22 @@ def main(argv=None):
         depth=pre_args.serve_depth,
         backbone=backbone,
     )
+    # compile the decode graph BEFORE announcing ready: through
+    # remote-compile backends the first decode costs minutes, which would
+    # otherwise land on the first live request (and outlive a drain window)
+    print("warming up the decode graph...", flush=True)
+    service.warmup()
+
+    # graceful shutdown: SIGTERM (preemption/rollout) and SIGINT both stop
+    # the listener, drain in-flight requests, flush the device pipeline,
+    # and exit 0 — same discipline as the training loops' PreemptGuard
+    import signal
+    import threading
+
+    stop = threading.Event()
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, lambda *_: stop.set())
+
     frontend = pre_args.serve_frontend
     if backbone is not None and frontend == "asyncio":
         # /caption_image does blocking PIL decode; keep it off the loop
@@ -88,22 +107,23 @@ def main(argv=None):
 
         fe = run_server_async(service, pre_args.host, pre_args.port)
         print(f"caption service (asyncio) on {pre_args.host}:{fe.port} "
-              f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size})")
-        try:
-            fe._thread.join()
-        except KeyboardInterrupt:
-            fe.stop()
-            service.close()
+              f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size})",
+              flush=True)
+        stop.wait()
+        print("shutting down: draining in-flight requests", flush=True)
+        fe.stop(drain=True, timeout=pre_args.drain_timeout)
+        service.close()
+        print("shutdown complete", flush=True)
         return
     httpd = run_server(service, pre_args.host, pre_args.port)
     print(f"caption service on {pre_args.host}:{pre_args.port} "
           f"(batch {pre_args.serve_batch_size}, beam {opt.beam_size}, "
-          f"image mode {'on' if backbone else 'off'})")
-    try:
-        httpd._serve_thread.join()
-    except KeyboardInterrupt:
-        httpd.shutdown()
-        service.close()
+          f"image mode {'on' if backbone else 'off'})", flush=True)
+    stop.wait()
+    print("shutting down: draining in-flight requests", flush=True)
+    httpd.shutdown()  # stop accepting; active handler threads finish
+    service.close()  # drains queued + in-flight device batches
+    print("shutdown complete", flush=True)
 
 
 if __name__ == "__main__":

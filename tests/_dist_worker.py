@@ -39,6 +39,41 @@ def main():
     loader = DataLoader(opt, base.dataset, base.sources, prefetch=False,
                         host_shard=host_shard())
     mesh = global_dp_mesh()
+    if mode == "preempt":
+        # Coordinated multi-host preemption: SIGTERM (simulated — the flag
+        # flips on HOST 1 ONLY, after 2 boundary checks) must stop BOTH
+        # hosts at the same iteration boundary via guard.sync()'s allgather;
+        # a host breaking alone would deadlock the other inside the next
+        # collective step, and this subprocess would hit the test timeout.
+        from recurrent_fusion_network_tpu.training import preempt
+
+        class OneHostTrigger(preempt.PreemptGuard):
+            def __init__(self):
+                super().__init__(enabled=True)
+                self.calls = 0
+
+            def install(self):
+                return self  # no real signal handlers in the test
+
+            def sync(self):
+                self.calls += 1
+                if pid == 1 and self.calls > 2:
+                    self.triggered = True
+                return super().sync()
+
+        preempt.PreemptGuard.from_opt = classmethod(
+            lambda cls, o: OneHostTrigger()
+        )
+        opt.id = "mhp"
+        # per-host dir: a real pod writes once from a shared FS, but the
+        # test asserts BOTH hosts completed their save at the SAME iter
+        opt.checkpoint_path = os.path.join(sys.argv[5], f"h{pid}")
+        os.makedirs(opt.checkpoint_path, exist_ok=True)
+        opt.save_checkpoint_every = 10**9
+        infos = train(opt, loader, max_iterations=50, mesh=mesh,
+                      log_fn=lambda *a, **k: None)
+        print("LOSSES:" + json.dumps({"iter": infos["iter"]}), flush=True)
+        return
     if mode == "eval":
         # per-host eval over the host-sharded loader: process_count()>1 makes
         # eval_split fall back to per-host local eval, which must dedupe with

@@ -110,7 +110,7 @@ class TestHostShardedLoader:
             ld.get_batch("train")
 
 
-def _run_cluster(mode, n=2):
+def _run_cluster(mode, n=2, extra=()):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     env = {k: v for k, v in os.environ.items()
@@ -121,7 +121,8 @@ def _run_cluster(mode, n=2):
     env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(k), str(n), str(port), mode],
+            [sys.executable, worker, str(k), str(n), str(port), mode,
+             *map(str, extra)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             env=env,
         )
@@ -199,6 +200,24 @@ class TestTwoProcessCluster:
             [p["image_id"] for p in preds_full]
         assert [p["caption"] for p in got] == \
             [p["caption"] for p in preds_full]
+
+    def test_preemption_on_one_host_stops_both_collectively(self, tmp_path):
+        """SIGTERM lands on host 1 only (simulated flag); guard.sync()'s
+        allgather must trip BOTH hosts at the same iteration boundary, each
+        completing its checkpoint save — a host stopping alone would
+        deadlock the other inside the next collective step (and this test
+        would time out)."""
+        import pickle
+
+        outs = _run_cluster("preempt", extra=(str(tmp_path),))
+        # both hosts stopped at the same (early) boundary
+        assert outs[0]["iter"] == outs[1]["iter"] < 50
+        for k in range(2):
+            p = tmp_path / f"h{k}" / "infos_mhp_0.pkl"
+            with open(p, "rb") as f:
+                infos = pickle.load(f)
+            assert infos["iter"] == outs[k]["iter"]
+            assert os.path.exists(tmp_path / f"h{k}" / "model_mhp_0.pkl")
 
     def test_dp_rl_runs_with_local_reward_scoring(self):
         """Multi-host SCST executes end-to-end: each host scores ITS rollout

@@ -74,16 +74,24 @@ class TestPreemptGuard:
 
 
 class _TriggerAfter:
-    """Guard double: `triggered` flips True after n boundary checks."""
+    """Guard double: `triggered` flips True after n boundary checks.
+
+    The loops poll through sync() (the multi-host-coordinated check); the
+    epilogues read .triggered without advancing the count."""
 
     def __init__(self, n):
         self.n = n
         self.reads = 0
+        self.fired = False
+
+    def sync(self):
+        self.reads += 1
+        self.fired = self.reads > self.n
+        return self.fired
 
     @property
     def triggered(self):
-        self.reads += 1
-        return self.reads > self.n
+        return self.fired
 
     def close(self):
         pass
@@ -315,6 +323,44 @@ class TestFleetResume:
                         jax.tree_util.tree_leaves(full["params"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+    def test_xe_fleet_resume_composes_with_orbax_backend(
+        self, tmp_path, monkeypatch
+    ):
+        """The fleet rolling-save/resume path goes through the configured
+        checkpoint backend: a fleet preempted under --checkpoint_backend
+        orbax resumes from the orbax per-seed directories (np rng_key in
+        the sidecar infos pickle included)."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+        )
+
+        common = dict(caption_model="show_tell", batch_size=4, seed=17)
+
+        _patch_trigger(monkeypatch, 2)
+        opt1, loader1 = synthetic_setup(**common)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.checkpoint_backend = "orbax"
+        opt1.id = "fo"
+        opt1.losses_log_every = 1
+        opt1.save_checkpoint_every = 1000
+        train_multi_seed(opt1, loader1, 2, max_iterations=50,
+                         eval_at_end=False, log_fn=quiet)
+        assert os.path.isdir(tmp_path / "model_fo_1.orbax")
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt2, loader2 = synthetic_setup(**common)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.checkpoint_backend = "orbax"
+        opt2.id = "fo"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "fo"
+        opt2.losses_log_every = 1
+        opt2.save_checkpoint_every = 1000
+        res = train_multi_seed(opt2, loader2, 2, max_iterations=4,
+                               eval_at_end=False, save=False, log_fn=quiet)
+        for r in range(2):
+            assert sorted(res["loss_histories"][r]) == [0, 1, 2, 3]
 
     def test_rl_fleet_resumes_as_fleet_exactly(self, tmp_path, monkeypatch):
         """A preempted SCST fleet resumes AS A FLEET (--rl_resume

@@ -687,6 +687,135 @@ class TestAsyncFrontend:
             fe.stop()
             svc.close()
 
+    def test_serve_py_sigterm_drains_and_exits_zero(self, tmp_path):
+        """Real-surface drill: serve.py under SIGTERM stops the listener,
+        drains, prints 'shutdown complete', and exits 0 — the serving
+        analogue of the training preemption drill."""
+        import http.client
+        import os
+        import re
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.checkpoint import (
+            save_checkpoint,
+        )
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=3)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        infos = {"opt": dict(vars(opt)), "vocab": loader.get_vocab()}
+        save_checkpoint(str(tmp_path), "sv", 0, params=params,
+                        opt_state=None, infos=infos, best=True)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS")}
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+        env["PYTHONUNBUFFERED"] = "1"
+        p = subprocess.Popen(
+            [sys.executable, os.path.join(repo, "serve.py"),
+             "--model_path", str(tmp_path), "--load_model_id", "sv",
+             "--id", "sv", "--checkpoint_path", str(tmp_path),
+             "--host", "127.0.0.1", "--port", "0", "--beam_size", "2",
+             "--serve_batch_size", "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env,
+        )
+        try:
+            port = None
+            deadline = time.time() + 120
+            for line in p.stdout:
+                m = re.search(r"caption service \(asyncio\) on [\d.]+:(\d+)",
+                              line)
+                if m:
+                    port = int(m.group(1))
+                    break
+                assert time.time() < deadline, "server never came up"
+            assert port
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn.request("GET", "/healthz")
+            assert conn.getresponse().status == 200
+            conn.close()
+            p.send_signal(signal.SIGTERM)
+            out = p.stdout.read()
+            assert p.wait(timeout=60) == 0, out[-3000:]
+            assert "shutdown complete" in out, out[-3000:]
+        finally:
+            if p.poll() is None:
+                p.kill()
+
+    def test_asyncio_graceful_drain_answers_inflight_request(self):
+        """stop(drain=True) must close the listener (new connections
+        refused) yet still deliver the response for a request already being
+        processed — the serving analogue of the training loops' graceful
+        preemption."""
+        import http.client
+        import socket
+        import threading
+        import time
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=3)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=4, beam_size=2)
+        # slow the device path down so the request is reliably in flight
+        # when the drain starts
+        orig = svc.server.decode_fn
+        svc.server.decode_fn = (
+            lambda f, a: (time.sleep(0.6), orig(f, a))[1]
+        )
+        b = loader.get_batch("val")
+        body = json.dumps({
+            "fc": [np.asarray(b["fc_feats"][0], np.float32).tolist()],
+            "att": [np.asarray(b["att_feats"][0], np.float32).tolist()],
+        })
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        result = {}
+
+        def client():
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port,
+                                              timeout=60)
+            conn.request("POST", "/caption", body=body)
+            r = conn.getresponse()
+            result["status"], result["body"] = r.status, r.read()
+            conn.close()
+
+        t = threading.Thread(target=client)
+        t.start()
+        time.sleep(0.2)  # request submitted, decode sleeping
+        try:
+            fe.stop(drain=True, timeout=30)
+            t.join(timeout=60)
+            assert result.get("status") == 200, result
+            assert "caption" in json.loads(result["body"])
+            # listener is gone: a new connection is refused
+            with pytest.raises(OSError):
+                s = socket.create_connection(("127.0.0.1", fe.port),
+                                             timeout=2)
+                # some platforms accept then reset; force the failure
+                s.sendall(b"GET /healthz HTTP/1.1\r\n\r\n")
+                assert s.recv(1) == b""
+                raise ConnectionRefusedError
+        finally:
+            svc.close()
+
     def test_asyncio_mid_body_disconnect_and_bind_error(self):
         """A client that dies mid-body must not leave an unhandled
         IncompleteReadError task, and a bind failure must surface the real
