@@ -283,6 +283,8 @@ def train_multi_seed(
     lr = opt.optim_lr
     ss = 0.0
     update_lr_flag = True
+    no_improve = [0] * n_seeds  # per-seed stagnant-eval counters (solo
+    # train()'s num_period_best, per fleet member)
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
@@ -303,6 +305,22 @@ def train_multi_seed(
             "vocab": loader.get_vocab(),
         }
 
+    def fleet_stagnant():
+        """Early-stop gate: every seed stagnant for num_eval_no_improve
+        evals (the reference's per-job 'no improvement, exit', train.py:238,
+        across the whole fleet — the vmapped seeds step together, so the
+        fleet stops when its LAST member stops improving). Multi-host: the
+        exit is collective, so hosts all-gather their local verdicts (same
+        discipline as PreemptGuard.sync)."""
+        local = all(no_improve[r] >= opt.num_eval_no_improve
+                    for r in local_seeds)
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(np.int32(local))
+            return bool(np.min(flags))
+        return local
+
     def eval_seeds(at_iter):
         for r in local_seeds:
             p = seed_slice(r)
@@ -313,6 +331,7 @@ def train_multi_seed(
             score = stats["CIDEr"] if stats else -val_loss
             val_histories[r][at_iter] = {"loss": val_loss, "lang_stats": stats}
             if best_scores[r] is None or score > best_scores[r]:
+                no_improve[r] = 1
                 best_scores[r] = score
                 best_params[r] = p
                 best_opt_states[r] = seed_slice(r, opt_state)
@@ -326,6 +345,8 @@ def train_multi_seed(
                         params=best_params[r], opt_state=best_opt_states[r],
                         infos=seed_infos(r), best=True,
                     )
+            else:
+                no_improve[r] += 1
         log_fn(
             f"iter {at_iter} fleet val scores: "
             + " ".join("-" if best_scores[r] is None else
@@ -399,14 +420,19 @@ def train_multi_seed(
             save and iteration % opt.save_checkpoint_every == 0
             and iteration > 0
         )
+        stop_early = False
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
+            stop_early = fleet_stagnant()
         iteration += 1
         if periodic_save:
             # AFTER the increment: the snapshot's iter is the next step to
             # run, so a resumed fleet replays nothing (the preemption save
             # at the loop top has the same convention)
             save_rolling()
+        if stop_early:
+            log_fn("no improvement, exit")
+            break
         if opt.max_epochs != -1 and epoch >= opt.max_epochs:
             break
         if max_iterations is not None and iteration >= max_iterations:
@@ -635,10 +661,24 @@ def train_multi_seed_rl(
         ]
     update_lr_flag = True
     lrs = jnp.asarray(rl_lr_bases, jnp.float32)
+    no_improve = [0] * n_seeds  # per-seed stagnant-eval counters
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
         return jax.tree_util.tree_map(lambda x: _seed_row(x, r), tree)
+
+    def fleet_stagnant():
+        # every seed stagnant for num_eval_no_improve evals -> stop (the
+        # reference's per-job early stop across the fleet; collective on
+        # multi-host — see train_multi_seed.fleet_stagnant)
+        local = all(no_improve[r] >= opt.num_eval_no_improve
+                    for r in local_seeds)
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(np.int32(local))
+            return bool(np.min(flags))
+        return local
 
     best_written = [False] * n_seeds  # which seeds have an rl_-best file
 
@@ -667,6 +707,7 @@ def train_multi_seed_rl(
             score = stats["CIDEr"] if stats else -val_loss
             val_histories[r][at_iter] = {"loss": val_loss, "lang_stats": stats}
             if best_scores[r] is None or score > best_scores[r]:
+                no_improve[r] = 1
                 best_scores[r] = score
                 best_params[r] = p
                 best_opt_states[r] = seed_slice(r, opt_state)
@@ -680,6 +721,8 @@ def train_multi_seed_rl(
                         params=best_params[r], opt_state=best_opt_states[r],
                         infos=seed_infos(r), best=True, prefix="rl_",
                     )
+            else:
+                no_improve[r] += 1
         log_fn(
             f"iter {at_iter} rl fleet val scores: "
             + " ".join("-" if best_scores[r] is None else
@@ -781,13 +824,18 @@ def train_multi_seed_rl(
             save and iteration % opt.save_checkpoint_every == 0
             and iteration > 0
         )
+        stop_early = False
         if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
             eval_seeds(iteration)
+            stop_early = fleet_stagnant()
         iteration += 1
         if periodic_save:
             # AFTER the increment (same convention as the preemption save
             # at the loop top): the snapshot's iter is the next step to run
             save_rolling()
+        if stop_early:
+            log_fn("no improvement, exit")
+            break
         if opt.max_epochs != -1 and epoch >= opt.max_epochs:
             break
         if max_iterations is not None and iteration >= max_iterations:

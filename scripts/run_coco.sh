@@ -24,7 +24,9 @@
 # Knobs: ID (run id), NUM_SEEDS (default 8; dry 2), DATA_DIR (default data),
 # STAGES (comma subset of prepro,features,xe,rl,eval to resume a run),
 # FLEET_DEVICES (real runs: chips to shard the seed axis over; defaults to
-# NUM_SEEDS — one training seed per chip, see the HBM note below).
+# NUM_SEEDS — one training seed per chip, see the HBM note below),
+# RESUME (auto|0|1 — a requeued invocation auto-continues preempted fleets
+# from their rolling per-seed checkpoints; see the requeue block below).
 set -e
 set -o pipefail  # a failed stage must fail the run even through `| tee`
 cd "$(dirname "$0")/.."
@@ -168,12 +170,40 @@ DATA_FLAGS=(
   --data_root "$FEATURES_ROOT"
 )
 
+# ------------------------------------------------------- preemption requeue
+# RESUME=auto (default): re-invoking the SAME command after a preemption
+# (the training loops checkpoint on SIGTERM inside the grace window)
+# continues each fleet from its rolling per-seed checkpoints —
+# bitwise-exact (params, moments, RNG chains, loader cursor). RESUME=0
+# always starts fresh; RESUME=1 requires the rolling files and fails fast.
+RESUME=${RESUME:-auto}
+XE_RESUME_ARGS=()
+RL_RESUME_ARGS=()
+if [ "$RESUME" != "0" ]; then
+  if [ -f "checkpoint/model_${ID}_0.pkl" ] \
+      || [ -d "checkpoint/model_${ID}_0.orbax" ]; then
+    XE_RESUME_ARGS=(--start_from checkpoint --load_model_id "$ID")
+    echo "resume: xe fleet continues from checkpoint/model_${ID}_*"
+  elif [ "$RESUME" = "1" ] && has_stage xe; then
+    echo "RESUME=1 but no rolling XE checkpoints for id $ID" >&2
+    exit 1
+  fi
+  if [ -f "checkpoint/rl_model_${ID}_0.pkl" ] \
+      || [ -d "checkpoint/rl_model_${ID}_0.orbax" ]; then
+    # the rl script's default --start_from is the XE warm start; adding
+    # --rl_resume 1 switches it to resuming THIS SCST run's rl_ files
+    RL_RESUME_ARGS=(--rl_resume 1)
+    echo "resume: rl fleet continues from checkpoint/rl_model_${ID}_*"
+  fi
+fi
+
 # ----------------------------------------------------------------------- xe
 if has_stage xe; then
   echo "== stage xe: ${NUM_SEEDS}-seed vmapped XE fleet"
   ID=$ID NUM_SEEDS=$NUM_SEEDS FLEET_MODE=vmap \
     scripts/train_recurrent_fusion_model.sh \
-    "${DATA_FLAGS[@]}" "${TRAIN_COMMON[@]}" --language_eval 1
+    "${DATA_FLAGS[@]}" "${TRAIN_COMMON[@]}" --language_eval 1 \
+    "${XE_RESUME_ARGS[@]}"
 fi
 
 # ----------------------------------------------------------------------- rl
@@ -182,7 +212,8 @@ if has_stage rl; then
   ID=$ID NUM_SEEDS=$NUM_SEEDS FLEET_MODE=vmap \
     scripts/train_recurrent_fusion_model_rl.sh \
     --cider_df "$DATA_DIR/coco-train-idxs.p" \
-    "${DATA_FLAGS[@]}" "${TRAIN_COMMON[@]}" --language_eval 1
+    "${DATA_FLAGS[@]}" "${TRAIN_COMMON[@]}" --language_eval 1 \
+    "${RL_RESUME_ARGS[@]}"
 fi
 
 # --------------------------------------------------------------------- eval

@@ -95,6 +95,32 @@ class TestMultiSeed:
         p1, _, _ = load_checkpoint(str(tmp_path), "ms", 1, best=True)
         assert not np.allclose(p0["embed"], p1["embed"])
 
+    def test_fleet_early_stops_when_all_seeds_stagnate(self, tmp_path,
+                                                       monkeypatch):
+        """The fleet honors num_eval_no_improve like the reference's per-job
+        'no improvement, exit' (train.py:238): with a constant val score the
+        first eval improves (counter 1) and each later eval increments, so
+        the fleet must stop right after the num_eval_no_improve-th stagnant
+        eval instead of running to max_iterations (the canonical runbook
+        relies on this — max_epochs is -1 there)."""
+        from recurrent_fusion_network_tpu.training import multi_seed
+
+        def fake_eval(model, p, loader, opt, **kw):
+            return 1.0, [], {"CIDEr": 0.5}
+
+        monkeypatch.setattr(multi_seed, "eval_split", fake_eval)
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_path = str(tmp_path)
+        opt.id = "es"
+        opt.losses_log_every = 1
+        opt.save_checkpoint_every = 2
+        opt.num_eval_no_improve = 3
+        res = train_multi_seed(opt, loader, 2, max_iterations=1000,
+                               eval_at_end=False, log_fn=quiet)
+        # evals at iters 2 (improve -> 1), 4 (-> 2), 6 (-> 3: stop); the
+        # loop breaks right after, so no loss is recorded past iter 6
+        assert max(res["loss_histories"][0]) == 6
+
     def test_fleet_over_mesh_matches_unsharded(self, tmp_path):
         """Sharding the seed axis over a 4-device 'dp' mesh (fleet-over-mesh,
         one job per device like the reference's per-GPU fleet) must reproduce
