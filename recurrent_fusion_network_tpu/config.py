@@ -182,8 +182,9 @@ def _defaults() -> dict:
         checkpoint_async=0,  # orbax only: background the disk write (the
         # device->host copy stays synchronous, so donation is safe)
         graceful_preempt=1,  # SIGTERM -> checkpoint at the next iteration
-        # boundary and exit cleanly (training/preempt.py; single-process
-        # runs only — multi-host preemption needs external coordination)
+        # boundary and exit cleanly (training/preempt.py; multi-host runs
+        # coordinate via a per-boundary flag all-gather, so a signal on any
+        # subset of hosts stops every host at the same boundary)
         rl_resume=0,  # with --start_from: resume an SCST run from its own
         # rl_ checkpoints (rolling, optimizer + LR base restored) instead
         # of warm-starting from the XE best (the reference can only do the

@@ -67,6 +67,7 @@ def parse_features_payload(body: bytes, content_type: str = "",
     if content_type.split(";")[0].strip() == "application/x-npz" \
             or body[:4] == b"PK\x03\x04":
         import zipfile
+        import zlib
 
         try:
             z = np.load(io.BytesIO(body), allow_pickle=False)
@@ -89,7 +90,10 @@ def parse_features_payload(body: bytes, content_type: str = "",
                 atts = [np.asarray(z[f"att_{i}"], np.float32) for i in range(n)]
             except KeyError as e:
                 raise ValueError(f"npz payload missing array {e}") from e
-        except (zipfile.BadZipFile, OSError) as e:  # corrupt zip/member
+        except (zipfile.BadZipFile, OSError, zlib.error) as e:
+            # corrupt zip structure, truncated member, or a bad deflate
+            # stream inside a structurally-valid zip (zlib.error) — all
+            # client-error class, never a dropped connection
             raise ValueError(f"bad npz payload: {e}") from e
         return fcs, atts
     req = json.loads(body)

@@ -87,3 +87,21 @@ def global_dp_batch(mesh: Mesh, tree):
         lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
         tree,
     )
+
+
+def all_hosts_agree(flag: bool) -> bool:
+    """Collective AND over per-process booleans (True only when EVERY
+    process reports True). Single-process: identity, no collective.
+
+    Used for loop-exit decisions that must stay collective on multi-host
+    runs (early stop, fleet stagnation): a host breaking out of a training
+    loop on a host-local verdict deadlocks its peers inside the next
+    collective step. Every process must call this the same number of times
+    — the training loops do, since their boundary checks run in lockstep.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.int32(bool(flag)))
+    return bool(np.min(flags))

@@ -123,6 +123,28 @@ def _seed_row(x, r) -> np.ndarray:
     )
 
 
+def _stack_seed_trees(per_seed):
+    """Stack per-seed checkpoint pytrees along a new leading axis ON HOST.
+
+    jnp.stack would device-put every seed's params/moments onto the default
+    device first — at flagship scale (8 seeds x ~5.3 GB params+moments) a
+    >40 GB transient on one 16 GB chip. Host np arrays instead flow to
+    devices only through _shard_seed_axis (sharded placement) or the first
+    vstep dispatch (single device), so no full-fleet transient ever lands
+    on one chip."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *per_seed
+    )
+
+
+def _assert_arch_matches(opt, saved_opt):
+    for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
+        if key in saved_opt:
+            assert saved_opt[key] == getattr(opt, key), (
+                f"Command line argument and saved model disagree on '{key}'"
+            )
+
+
 def train_multi_seed(
     opt,
     loader,
@@ -181,15 +203,8 @@ def train_multi_seed(
             per_p.append(p)
             per_s.append(s)
             resume_infos.append(i)
-        saved_opt = resume_infos[0].get("opt", {})
-        for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
-            if key in saved_opt:
-                assert saved_opt[key] == getattr(opt, key), (
-                    f"Command line argument and saved model disagree on '{key}'"
-                )
-        params = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_p
-        )
+        _assert_arch_matches(opt, resume_infos[0].get("opt", {}))
+        params = _stack_seed_trees(per_p)
         del per_p
         if all(s is not None for s in per_s):
             from .checkpoint import adopt_structure
@@ -201,11 +216,9 @@ def train_multi_seed(
                     params,
                 ),
             )
-            adopted = [adopt_structure(template, s) for s in per_s]
-            opt_state = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *adopted
+            opt_state = _stack_seed_trees(
+                [adopt_structure(template, s) for s in per_s]
             )
-            del adopted
         else:
             opt_state = jax.vmap(tx.init)(params)
         del per_s
@@ -284,7 +297,10 @@ def train_multi_seed(
     ss = 0.0
     update_lr_flag = True
     no_improve = [0] * n_seeds  # per-seed stagnant-eval counters (solo
-    # train()'s num_period_best, per fleet member)
+    # train()'s num_period_best, per fleet member); survive resume so a
+    # requeued fleet keeps its accumulated early-stop progress
+    if resume_infos is not None:
+        no_improve = [int(i.get("no_improve", 0)) for i in resume_infos]
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
@@ -301,6 +317,7 @@ def train_multi_seed(
             "lr_history": dict(lr_history),
             "val_result_history": val_histories[r],
             "best_val_score": best_scores[r],
+            "no_improve": no_improve[r],  # early-stop progress
             "rng_key": _seed_row(rngs, r),  # resume continues the chain
             "vocab": loader.get_vocab(),
         }
@@ -312,14 +329,12 @@ def train_multi_seed(
         fleet stops when its LAST member stops improving). Multi-host: the
         exit is collective, so hosts all-gather their local verdicts (same
         discipline as PreemptGuard.sync)."""
-        local = all(no_improve[r] >= opt.num_eval_no_improve
-                    for r in local_seeds)
-        if mesh is not None and jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        from ..parallel.distributed import all_hosts_agree
 
-            flags = multihost_utils.process_allgather(np.int32(local))
-            return bool(np.min(flags))
-        return local
+        return all_hosts_agree(
+            all(no_improve[r] >= opt.num_eval_no_improve
+                for r in local_seeds)
+        )
 
     def eval_seeds(at_iter):
         for r in local_seeds:
@@ -540,14 +555,13 @@ def train_multi_seed_rl(
             resume_infos.append(infos_r)
             if "rl_lr_base" in infos_r:
                 rl_lr_bases[r] = infos_r["rl_lr_base"]
-            elif infos_r.get("lr_history"):
-                # legacy checkpoint: see train_rl's fallback rationale
-                rl_lr_bases[r] = max(infos_r["lr_history"].values())
+            # else: legacy checkpoint without the recorded base — keep the
+            # configured optim_rl_lr (the lr_history is XE-contaminated and
+            # cannot recover it; see train_rl's fallback rationale)
             if opt.load_best_score:
                 warm_start_scores[r] = infos_r.get("best_val_score", None)
-        params = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
-        )
+        _assert_arch_matches(opt, resume_infos[0].get("opt", {}))
+        params = _stack_seed_trees(per_seed)
         del per_seed
         if all("rng_key" in i for i in resume_infos):
             run_rngs = jnp.stack(
@@ -574,9 +588,7 @@ def train_multi_seed_rl(
             warm_start_params[r] = p
             if opt.load_best_score:
                 warm_start_scores[r] = infos_r.get("best_val_score", None)
-        params = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *per_seed
-        )
+        params = _stack_seed_trees(per_seed)
         del per_seed
         if opt.load_lr:
             for r, h in enumerate(lr_hists):
@@ -600,11 +612,9 @@ def train_multi_seed_rl(
             ),
         )
         try:
-            adopted = [adopt_structure(template, s) for s in saved_opt_states]
-            opt_state = jax.tree_util.tree_map(
-                lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *adopted
+            opt_state = _stack_seed_trees(
+                [adopt_structure(template, s) for s in saved_opt_states]
             )
-            del adopted
         except AssertionError:
             print("warning: checkpoint optimizer state incompatible; "
                   "re-initialized")
@@ -662,6 +672,8 @@ def train_multi_seed_rl(
     update_lr_flag = True
     lrs = jnp.asarray(rl_lr_bases, jnp.float32)
     no_improve = [0] * n_seeds  # per-seed stagnant-eval counters
+    if resume_infos is not None:  # survive resume (see train_multi_seed)
+        no_improve = [int(i.get("no_improve", 0)) for i in resume_infos]
 
     def seed_slice(r, tree=None):
         tree = params if tree is None else tree
@@ -671,14 +683,12 @@ def train_multi_seed_rl(
         # every seed stagnant for num_eval_no_improve evals -> stop (the
         # reference's per-job early stop across the fleet; collective on
         # multi-host — see train_multi_seed.fleet_stagnant)
-        local = all(no_improve[r] >= opt.num_eval_no_improve
-                    for r in local_seeds)
-        if mesh is not None and jax.process_count() > 1:
-            from jax.experimental import multihost_utils
+        from ..parallel.distributed import all_hosts_agree
 
-            flags = multihost_utils.process_allgather(np.int32(local))
-            return bool(np.min(flags))
-        return local
+        return all_hosts_agree(
+            all(no_improve[r] >= opt.num_eval_no_improve
+                for r in local_seeds)
+        )
 
     best_written = [False] * n_seeds  # which seeds have an rl_-best file
 
@@ -693,6 +703,7 @@ def train_multi_seed_rl(
             "rl_lr_base": float(rl_lr_bases[r]),
             "val_result_history": val_histories[r],
             "best_val_score": best_scores[r],
+            "no_improve": no_improve[r],  # early-stop progress
             "rng_key": _seed_row(run_rngs, r),  # resume continues the chain
             "vocab": loader.get_vocab(),
         }

@@ -176,7 +176,10 @@ def train(
 
     guard = PreemptGuard.from_opt(opt)
 
-    num_period_best = 0
+    # stagnant-eval counter survives resume: a requeued run must not need
+    # num_eval_no_improve FRESH stagnant evals to re-reach a stop it had
+    # nearly (or already) earned before the preemption
+    num_period_best = infos.get("num_period_best", 0)
     current_score = 0.0
     update_lr_flag = True
     lr = opt.optim_lr
@@ -195,6 +198,7 @@ def train(
             "loss_history": loss_history,
             "lr_history": lr_history,
             "ss_prob_history": ss_prob_history,
+            "num_period_best": num_period_best,  # early-stop progress
             "rng_key": np.asarray(rng),  # resume continues the RNG chain
             "vocab": loader.get_vocab(),
         }
@@ -259,7 +263,12 @@ def train(
                     params=params, opt_state=opt_state, infos=infos, best=True,
                 )
                 log_fn(f"model saved to {opt.checkpoint_path} (CIDEr {current_score:.3f})")
-            if num_period_best >= opt.num_eval_no_improve:
+            # collective on multi-host: per-host scores (host-local eval)
+            # diverge, and a host breaking alone would strand its peers in
+            # the next collective step / guard.sync() allgather
+            from ..parallel.distributed import all_hosts_agree
+
+            if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
                 break
 

@@ -204,16 +204,17 @@ def train_rl(
             # reproduce the original run's base exactly (it may itself have
             # been derived from the XE lr history under --load_lr)
             rl_lr_base = infos["rl_lr_base"]
-        elif lr_history:
-            # legacy rl_ checkpoint without the recorded base: the run's own
-            # lr_history values are already base * epoch-decay, so the
-            # --load_lr min/ratio derivation would double-divide; the max
-            # recorded lr (the pre-decay value) is the closest recoverable
-            # approximation of the original base
-            rl_lr_base = max(lr_history.values())
+        else:
+            # legacy rl_ checkpoint without the recorded base. The history
+            # cannot recover it: lr_history was seeded from the XE warm
+            # start's infos (line above) and then extended with RL values,
+            # so max() returns the XE peak LR (~10x the RL base) and min()
+            # a decayed RL value — both wrong. Fall back to the configured
+            # base and say so.
             log_fn(
-                "warning: rl checkpoint predates rl_lr_base; resuming with "
-                f"max recorded lr {rl_lr_base:.2e} as the base"
+                "warning: rl checkpoint predates rl_lr_base; the original "
+                "base is not recoverable from the (XE-contaminated) lr "
+                f"history — resuming with --optim_rl_lr {rl_lr_base:.2e}"
             )
     elif opt.load_lr and lr_history:
         rl_lr_base = min(lr_history.values()) / opt.optim_rl_lr_ratio
@@ -263,7 +264,8 @@ def train_rl(
 
     guard = PreemptGuard.from_opt(opt)
 
-    num_period_best = 0
+    # stagnant-eval counter survives resume (see train_loop)
+    num_period_best = infos.get("num_period_best", 0) if rl_resume else 0
     current_score = 0.0
     update_lr_flag = True
     lr = rl_lr_base
@@ -282,6 +284,7 @@ def train_rl(
             "loss_history": loss_history,
             "lr_history": lr_history,
             "rl_lr_base": rl_lr_base,  # --rl_resume restores this base
+            "num_period_best": num_period_best,  # early-stop progress
             "rng_key": np.asarray(rng),  # --rl_resume continues the chain
             "vocab": loader.get_vocab(),
         }
@@ -382,7 +385,10 @@ def train_rl(
                     params=params, opt_state=opt_state, infos=infos, best=True, prefix="rl_",
                 )
                 log_fn(f"rl model saved (CIDEr {current_score:.3f})")
-            if num_period_best >= opt.num_eval_no_improve:
+            # collective on multi-host (see train_loop's early stop)
+            from ..parallel.distributed import all_hosts_agree
+
+            if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
                 break
 

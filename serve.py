@@ -78,21 +78,29 @@ def main(argv=None):
         depth=pre_args.serve_depth,
         backbone=backbone,
     )
-    # compile the decode graph BEFORE announcing ready: through
-    # remote-compile backends the first decode costs minutes, which would
-    # otherwise land on the first live request (and outlive a drain window)
-    print("warming up the decode graph...", flush=True)
-    service.warmup()
-
     # graceful shutdown: SIGTERM (preemption/rollout) and SIGINT both stop
     # the listener, drain in-flight requests, flush the device pipeline,
-    # and exit 0 — same discipline as the training loops' PreemptGuard
+    # and exit 0 — same discipline as the training loops' PreemptGuard.
+    # Installed BEFORE the (potentially minutes-long) warmup compile, so a
+    # preemption during warmup still produces a clean exit 0 instead of an
+    # abrupt 143 an orchestrator would classify as a crash.
     import signal
     import threading
 
     stop = threading.Event()
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, lambda *_: stop.set())
+
+    # compile the decode graph BEFORE announcing ready: through
+    # remote-compile backends the first decode costs minutes, which would
+    # otherwise land on the first live request (and outlive a drain window)
+    print("warming up the decode graph...", flush=True)
+    service.warmup()
+    if stop.is_set():
+        print("signal during warmup — exiting before serving", flush=True)
+        service.close()
+        print("shutdown complete", flush=True)
+        return
 
     frontend = pre_args.serve_frontend
     if backbone is not None and frontend == "asyncio":
@@ -121,8 +129,13 @@ def main(argv=None):
           f"image mode {'on' if backbone else 'off'})", flush=True)
     stop.wait()
     print("shutting down: draining in-flight requests", flush=True)
-    httpd.shutdown()  # stop accepting; active handler threads finish
-    service.close()  # drains queued + in-flight device batches
+    httpd.shutdown()  # stop accepting; active handler threads continue
+    service.close()  # drains queued + in-flight device batches, resolving
+    # the futures the handler threads are blocked on
+    # ThreadingMixIn tracks handler threads (block_on_close, stdlib
+    # default True): join them so responses finish WRITING before the
+    # interpreter exits — daemon threads would be killed mid-response
+    httpd.server_close()
     print("shutdown complete", flush=True)
 
 

@@ -650,6 +650,24 @@ class TestAsyncFrontend:
             parse_features_payload(buf.getvalue(), "application/x-npz",
                                    max_bytes=1 << 20)
 
+        # corrupt deflate stream inside a structurally-valid zip: member
+        # access raises zlib.error (or a CRC BadZipFile) lazily — both must
+        # normalize to ValueError, not escape as a 500/connection drop
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+            inner = io.BytesIO()
+            np.save(inner, np.random.RandomState(0)
+                    .randn(4096).astype(np.float32))
+            z.writestr("fc_0.npy", inner.getvalue())
+            inner2 = io.BytesIO()
+            np.save(inner2, np.zeros(4, np.float32))
+            z.writestr("att_0.npy", inner2.getvalue())
+        blob = bytearray(buf.getvalue())
+        for off in range(200, 1000):  # scribble over member data only
+            blob[off] ^= 0xFF
+        with _pytest.raises(ValueError):
+            parse_features_payload(bytes(blob), "application/x-npz")
+
     def test_npz_bad_body_is_400_not_connection_drop(self):
         """A bare-.npy body over HTTP must produce a 400 response on the
         asyncio front end (an uncaught exception would drop the
