@@ -238,6 +238,13 @@ class CaptionService:
             atts = [np.zeros((B, n, d), np.float32)
                     for n, d in zip(self.model.att_nums,
                                     self.model.att_feat_sizes)]
+        if self.server.mesh is not None:
+            # match the server's dispatch placement (CaptionServer shards
+            # batches over 'dp' before decode), or warmup compiles an
+            # unsharded graph production never uses
+            from ..parallel.mesh import with_dp_sharding
+
+            fcs, atts = with_dp_sharding(self.server.mesh, (fcs, atts))
         out = self._decode(fcs, atts)
         jax.tree_util.tree_map(np.asarray, out)  # readback: compile done
 

@@ -29,6 +29,10 @@ def main(argv=None):
     pre.add_argument("--drain_timeout", type=float, default=30.0,
                      help="graceful-shutdown wait (s) for in-flight "
                           "requests after SIGTERM/SIGINT")
+    pre.add_argument("--serve_dp_devices", type=int, default=1,
+                     help="shard each decode batch over an N-device 'dp' "
+                          "mesh (one server feeds a whole slice; "
+                          "serve_batch_size must divide by N)")
     pre.add_argument("--serve_frontend", default="asyncio",
                      choices=("asyncio", "threads"),
                      help="asyncio: single-loop keep-alive ingest (>1k "
@@ -71,12 +75,18 @@ def main(argv=None):
         )
         backbone = (bb_params, feats_fn, 448)
 
+    mesh = None
+    if pre_args.serve_dp_devices > 1:
+        from recurrent_fusion_network_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(pre_args.serve_dp_devices)
     service = CaptionService(
         model, params, vocab,
         batch_size=pre_args.serve_batch_size,
         beam_size=opt.beam_size,
         depth=pre_args.serve_depth,
         backbone=backbone,
+        mesh=mesh,
     )
     # graceful shutdown: SIGTERM (preemption/rollout) and SIGINT both stop
     # the listener, drain in-flight requests, flush the device pipeline,

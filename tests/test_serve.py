@@ -735,6 +735,9 @@ class TestAsyncFrontend:
         env = {k: v for k, v in os.environ.items()
                if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS")}
         env["JAX_PLATFORMS"] = "cpu"
+        # 8 virtual devices: the drill also covers --serve_dp_devices
+        # (dp-sharded decode batches + mesh-matched warmup)
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
         env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
         env["PYTHONUNBUFFERED"] = "1"
         p = subprocess.Popen(
@@ -742,7 +745,7 @@ class TestAsyncFrontend:
              "--model_path", str(tmp_path), "--load_model_id", "sv",
              "--id", "sv", "--checkpoint_path", str(tmp_path),
              "--host", "127.0.0.1", "--port", "0", "--beam_size", "2",
-             "--serve_batch_size", "4"],
+             "--serve_batch_size", "8", "--serve_dp_devices", "8"],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
@@ -757,9 +760,20 @@ class TestAsyncFrontend:
                     break
                 assert time.time() < deadline, "server never came up"
             assert port
-            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
             conn.request("GET", "/healthz")
-            assert conn.getresponse().status == 200
+            r = conn.getresponse()
+            assert r.status == 200
+            r.read()  # drain the body so the keep-alive conn can be reused
+            b = loader.get_batch("val")
+            body = json.dumps({
+                "fc": [np.asarray(b["fc_feats"][0], np.float32).tolist()],
+                "att": [np.asarray(b["att_feats"][0], np.float32).tolist()],
+            })
+            conn.request("POST", "/caption", body=body)
+            r = conn.getresponse()
+            got = json.loads(r.read())
+            assert r.status == 200 and "caption" in got, got
             conn.close()
             p.send_signal(signal.SIGTERM)
             out = p.stdout.read()
