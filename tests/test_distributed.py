@@ -114,7 +114,9 @@ def _run_cluster(mode, n=2, extra=()):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
     env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS",
+                        "PALLAS_AXON_POOL_IPS")}  # no TPU-tunnel touch
+    # from CPU-pinned cluster workers (retries hang when the pool is down)
     # the worker imports the package by repo-relative name; python only puts
     # the script's own directory (tests/) on sys.path in a subprocess
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

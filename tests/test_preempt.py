@@ -425,7 +425,11 @@ class TestSigtermEndToEnd:
         """Real-surface drill: main.py under SIGTERM writes the triple-file
         checkpoint and exits 0 inside the grace window."""
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        env = dict(os.environ)
+        # strip the axon trigger: a CPU-pinned child must not touch the
+        # TPU tunnel at all — with the pool unreachable, the plugin's
+        # connection retries hang the drill (observed live)
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "PALLAS_AXON_POOL_IPS")}
         env["JAX_PLATFORMS"] = "cpu"
         env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         env["PYTHONUNBUFFERED"] = "1"
