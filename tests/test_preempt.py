@@ -362,6 +362,53 @@ class TestFleetResume:
         for r in range(2):
             assert sorted(res["loss_histories"][r]) == [0, 1, 2, 3]
 
+    def test_fleet_preempt_with_async_orbax_completes_writes(
+        self, tmp_path, monkeypatch
+    ):
+        """A preempted fleet under --checkpoint_async must not exit with
+        in-flight TensorStore writes: the trainer's wait_until_finished
+        barrier runs before return, so the rolling per-seed orbax dirs are
+        complete and immediately resumable."""
+        from recurrent_fusion_network_tpu.training.checkpoint import backend
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+        )
+
+        common = dict(caption_model="show_tell", batch_size=4, seed=23)
+        _patch_trigger(monkeypatch, 2)
+        opt1, loader1 = synthetic_setup(**common)
+        opt1.checkpoint_path = str(tmp_path)
+        opt1.checkpoint_backend = "orbax"
+        opt1.checkpoint_async = 1
+        opt1.id = "fa"
+        opt1.losses_log_every = 1
+        opt1.save_checkpoint_every = 1000
+        train_multi_seed(opt1, loader1, 2, max_iterations=50,
+                         eval_at_end=False, log_fn=quiet)
+        # the writes landed (no pending-commit markers) and load cleanly
+        ck = backend(opt1)
+        for r in range(2):
+            params, opt_state, infos = ck.load_checkpoint(
+                str(tmp_path), "fa", r, best=False
+            )
+            assert "embed" in params and opt_state is not None
+            assert infos["iter"] == 2 and "rng_key" in infos
+
+        _patch_trigger(monkeypatch, 10**9)
+        opt2, loader2 = synthetic_setup(**common)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.checkpoint_backend = "orbax"
+        opt2.checkpoint_async = 1
+        opt2.id = "fa"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "fa"
+        opt2.losses_log_every = 1
+        opt2.save_checkpoint_every = 1000
+        res = train_multi_seed(opt2, loader2, 2, max_iterations=4,
+                               eval_at_end=False, save=False, log_fn=quiet)
+        for r in range(2):
+            assert sorted(res["loss_histories"][r]) == [0, 1, 2, 3]
+
     def test_rl_fleet_resumes_as_fleet_exactly(self, tmp_path, monkeypatch):
         """A preempted SCST fleet resumes AS A FLEET (--rl_resume
         --start_from): rollout RNG chains, moments, and per-seed LR bases
