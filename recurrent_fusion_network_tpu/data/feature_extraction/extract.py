@@ -10,7 +10,10 @@ TPU-first:
   * all 10 augmentation variants are composed on the fly (augment.py) instead
     of pre-rendering 10 image trees to disk;
   * output is the packed memory-mapped layout consumed by
-    PackedFeatureSource ({variant}_fc.npy / {variant}_att.npy + ids.json).
+    PackedFeatureSource ({variant}_fc.npy / {variant}_att.npy + ids.json);
+  * preemptible: a progress marker (progress.json, bound to the exact work
+    list) is checkpointed at flush boundaries and on SIGTERM; re-running
+    the same command resumes at the recorded row (--resume 0 to disable).
 
 Weights: --torch_weights <path to a torchvision resnet*.pth state dict>;
 without it the backbone is randomly initialized (pipeline smoke runs only).
@@ -73,6 +76,11 @@ def main(argv=None):
                         "sharded: fixed-size row shards + manifest "
                         "(many-host, data/sharded.py)")
     p.add_argument("--shard_size", type=int, default=4096)
+    p.add_argument("--resume", type=int, default=1,
+                   help="continue an interrupted extraction from its "
+                        "progress marker (SIGTERM checkpoints it; COCO-"
+                        "scale extraction is hours per encoder); 0 = "
+                        "always start fresh")
     args = p.parse_args(argv)
 
     params, feats_fn, C_fc, C_att = build_backbone(
@@ -98,6 +106,50 @@ def main(argv=None):
     pack_dir = out_dir if args.output_format == "packed" else out_dir + ".packed_tmp"
     os.makedirs(pack_dir, exist_ok=True)
     S = args.att_size
+
+    # ---------------------------------------------------------- resume state
+    # a progress marker makes the hours-long COCO extraction preemptible:
+    # SIGTERM (or a crash) loses at most one flush window, and re-invoking
+    # the same command continues at the recorded row. The marker binds to
+    # the exact work list (names hash + dims + variants); any mismatch
+    # starts fresh rather than silently mixing incompatible rows.
+    import hashlib
+    import signal
+    import threading
+
+    meta = {
+        "n": N,
+        "variants": list(variants),
+        "arch": args.arch,
+        "att_size": S,
+        "image_size": args.image_size,
+        "names_sha1": hashlib.sha1("\n".join(names).encode()).hexdigest(),
+    }
+    progress_path = os.path.join(pack_dir, "progress.json")
+    done_rows = 0
+    if args.resume and os.path.exists(progress_path):
+        with open(progress_path) as f:
+            prog = json.load(f)
+        if all(prog.get(k) == v for k, v in meta.items()):
+            done_rows = int(prog.get("done", 0))
+            print(f"resuming extraction at row {done_rows}/{N}")
+        else:
+            print("progress marker does not match this invocation — "
+                  "starting fresh")
+
+    def write_progress(done):
+        tmp = progress_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({**meta, "done": done}, f)
+        os.replace(tmp, progress_path)
+
+    stop = {"flag": False}
+    old_handler = None
+    if threading.current_thread() is threading.main_thread():
+        old_handler = signal.signal(
+            signal.SIGTERM, lambda *_: stop.__setitem__("flag", True)
+        )
+
     # stream straight into the on-disk arrays: at COCO scale the att matrix
     # is ~200 GB per variant and must never be RAM-resident. IMAGE-major
     # order: each image decodes from disk ONCE and all its augmentation
@@ -105,15 +157,30 @@ def main(argv=None):
     # decode V times — ~1.1M redundant decodes at COCO scale with all 10).
     fc_outs, att_outs = {}, {}
     for variant in variants:
-        fc_outs[variant] = np.lib.format.open_memmap(
-            os.path.join(pack_dir, f"{variant}_fc.npy"), mode="w+",
-            dtype=np.float32, shape=(N, C_fc),
-        )
-        att_outs[variant] = np.lib.format.open_memmap(
-            os.path.join(pack_dir, f"{variant}_att.npy"), mode="w+",
-            dtype=np.float32, shape=(N, S * S, C_att),
-        )
-    for start in range(0, N, B):
+        fc_path = os.path.join(pack_dir, f"{variant}_fc.npy")
+        att_path = os.path.join(pack_dir, f"{variant}_att.npy")
+        if done_rows and os.path.exists(fc_path):
+            fc_outs[variant] = np.lib.format.open_memmap(fc_path, mode="r+")
+            att_outs[variant] = np.lib.format.open_memmap(att_path, mode="r+")
+            assert fc_outs[variant].shape == (N, C_fc)
+            assert att_outs[variant].shape == (N, S * S, C_att)
+        else:
+            done_rows = 0  # marker without arrays: start over
+            fc_outs[variant] = np.lib.format.open_memmap(
+                fc_path, mode="w+", dtype=np.float32, shape=(N, C_fc),
+            )
+            att_outs[variant] = np.lib.format.open_memmap(
+                att_path, mode="w+",
+                dtype=np.float32, shape=(N, S * S, C_att),
+            )
+
+    def flush_all():
+        for variant in variants:
+            fc_outs[variant].flush()
+            att_outs[variant].flush()
+
+    preempted = False
+    for start in range(done_rows, N, B):
         chunk = names[start : start + B]
         imgs = jnp.stack(
             [jnp.asarray(load_image(os.path.join(args.images_dir, n),
@@ -132,11 +199,23 @@ def main(argv=None):
             att_outs[variant][start : start + len(chunk)] = (
                 np.asarray(att)[: len(chunk)].reshape(len(chunk), S * S, C_att)
             )
-        if (start // B) % 50 == 0:
+        if ((start - done_rows) // B) % 50 == 0 or stop["flag"]:
+            # flush BEFORE the marker: the marker must never claim rows the
+            # data pages haven't reached disk for
+            flush_all()
+            write_progress(start + len(chunk))
             print(f"{start + len(chunk)}/{N} images x {len(variants)} variants")
-    for variant in variants:
-        fc_outs[variant].flush()
-        att_outs[variant].flush()
+        if stop["flag"]:
+            print(f"preempted — extraction checkpointed at row "
+                  f"{start + len(chunk)}/{N}; re-run to resume")
+            preempted = True
+            break
+    if old_handler is not None:
+        signal.signal(signal.SIGTERM, old_handler)
+    flush_all()
+    if preempted:
+        return
+    write_progress(N)
     del fc_outs, att_outs
     with open(os.path.join(pack_dir, "ids.json"), "w") as f:
         json.dump(ids, f)

@@ -176,6 +176,10 @@ DATA_FLAGS=(
 # continues each fleet from its rolling per-seed checkpoints —
 # bitwise-exact (params, moments, RNG chains, loader cursor). RESUME=0
 # always starts fresh; RESUME=1 requires the rolling files and fails fast.
+# The features stage is independently preemptible: the extractor keeps a
+# progress marker per encoder and its default --resume 1 continues an
+# interrupted extraction at the recorded row (hours per encoder at COCO
+# scale).
 RESUME=${RESUME:-auto}
 XE_RESUME_ARGS=()
 RL_RESUME_ARGS=()
