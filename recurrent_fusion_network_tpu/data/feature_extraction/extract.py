@@ -111,11 +111,18 @@ def main(argv=None):
     # a progress marker makes the hours-long COCO extraction preemptible:
     # SIGTERM (or a crash) loses at most one flush window, and re-invoking
     # the same command continues at the recorded row. The marker binds to
-    # the exact work list (names hash + dims + variants); any mismatch
-    # starts fresh rather than silently mixing incompatible rows.
+    # the exact work list (names hash + dims + variants) AND the backbone
+    # weights (path + size + mtime): any mismatch starts fresh rather than
+    # silently mixing incompatible rows — in particular a random-init dry
+    # run must never satisfy (or extend) a marker once real weights appear
+    # (run_coco.sh adds --torch_weights conditionally on file presence).
     import hashlib
-    import signal
-    import threading
+
+    def weights_fingerprint(path):
+        if not path:
+            return None
+        st = os.stat(path)
+        return [os.path.abspath(path), st.st_size, st.st_mtime_ns]
 
     meta = {
         "n": N,
@@ -123,6 +130,7 @@ def main(argv=None):
         "arch": args.arch,
         "att_size": S,
         "image_size": args.image_size,
+        "torch_weights": weights_fingerprint(args.torch_weights),
         "names_sha1": hashlib.sha1("\n".join(names).encode()).hexdigest(),
     }
     progress_path = os.path.join(pack_dir, "progress.json")
@@ -143,29 +151,34 @@ def main(argv=None):
             json.dump({**meta, "done": done}, f)
         os.replace(tmp, progress_path)
 
-    stop = {"flag": False}
-    old_handler = None
-    if threading.current_thread() is threading.main_thread():
-        old_handler = signal.signal(
-            signal.SIGTERM, lambda *_: stop.__setitem__("flag", True)
-        )
+    # flag-setting SIGTERM guard shared with the training loops (second
+    # signal steps aside, so an impatient supervisor's next one acts
+    # immediately even mid-compile; handler skipped off the main thread)
+    from ...training.preempt import PreemptGuard
+
+    guard = PreemptGuard(enabled=True).install()
 
     # stream straight into the on-disk arrays: at COCO scale the att matrix
     # is ~200 GB per variant and must never be RAM-resident. IMAGE-major
     # order: each image decodes from disk ONCE and all its augmentation
     # variants derive from that decode (variant-major would redo the JPEG
     # decode V times — ~1.1M redundant decodes at COCO scale with all 10).
+    if done_rows and not all(
+        os.path.exists(os.path.join(pack_dir, f"{v}_{kind}.npy"))
+        for v in variants for kind in ("fc", "att")
+    ):
+        print("progress marker without its arrays — starting fresh")
+        done_rows = 0  # marker without arrays: start over
     fc_outs, att_outs = {}, {}
     for variant in variants:
         fc_path = os.path.join(pack_dir, f"{variant}_fc.npy")
         att_path = os.path.join(pack_dir, f"{variant}_att.npy")
-        if done_rows and os.path.exists(fc_path):
+        if done_rows:
             fc_outs[variant] = np.lib.format.open_memmap(fc_path, mode="r+")
             att_outs[variant] = np.lib.format.open_memmap(att_path, mode="r+")
             assert fc_outs[variant].shape == (N, C_fc)
             assert att_outs[variant].shape == (N, S * S, C_att)
         else:
-            done_rows = 0  # marker without arrays: start over
             fc_outs[variant] = np.lib.format.open_memmap(
                 fc_path, mode="w+", dtype=np.float32, shape=(N, C_fc),
             )
@@ -199,19 +212,22 @@ def main(argv=None):
             att_outs[variant][start : start + len(chunk)] = (
                 np.asarray(att)[: len(chunk)].reshape(len(chunk), S * S, C_att)
             )
-        if ((start - done_rows) // B) % 50 == 0 or stop["flag"]:
+        # snapshot the flag ONCE per iteration so the flush decision, the
+        # break, and the printed row all agree (a signal landing between
+        # separate reads could break without writing the marker it reports)
+        stop_now = guard.triggered
+        if ((start - done_rows) // B) % 50 == 0 or stop_now:
             # flush BEFORE the marker: the marker must never claim rows the
             # data pages haven't reached disk for
             flush_all()
             write_progress(start + len(chunk))
             print(f"{start + len(chunk)}/{N} images x {len(variants)} variants")
-        if stop["flag"]:
+        if stop_now:
             print(f"preempted — extraction checkpointed at row "
                   f"{start + len(chunk)}/{N}; re-run to resume")
             preempted = True
             break
-    if old_handler is not None:
-        signal.signal(signal.SIGTERM, old_handler)
+    guard.close()
     flush_all()
     if preempted:
         return

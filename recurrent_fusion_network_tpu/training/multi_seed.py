@@ -337,10 +337,13 @@ def train_multi_seed(
         )
 
     def eval_seeds(at_iter):
-        # returns {r: host params} so a rolling save at the same boundary
-        # reuses the copies instead of a second full device->host readback
-        # (flagship scale: 1.76 GB params per seed through the tunnel)
-        host_params = {}
+        # returns ({r: host params}, {r: host opt state}) so a rolling save
+        # at the same boundary reuses the copies instead of a second full
+        # device->host readback (flagship scale: 1.76 GB params + 3.5 GB
+        # adam moments per seed through the tunnel). Moments are only
+        # materialized for seeds that improved (the -best save needs them);
+        # non-improving seeds' moments are sliced lazily by save_rolling.
+        host_params, host_opts = {}, {}
         for r in local_seeds:
             p = host_params[r] = seed_slice(r)
             val_loss, _, stats = eval_split(
@@ -353,7 +356,7 @@ def train_multi_seed(
                 no_improve[r] = 1
                 best_scores[r] = score
                 best_params[r] = p
-                best_opt_states[r] = seed_slice(r, opt_state)
+                best_opt_states[r] = host_opts[r] = seed_slice(r, opt_state)
                 if save:
                     # persist -best at improvement time (solo train()'s
                     # contract per seed) — a crash or preemption later must
@@ -371,19 +374,23 @@ def train_multi_seed(
             + " ".join("-" if best_scores[r] is None else
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
-        return host_params
+        return host_params, host_opts
 
-    def save_rolling(host_params=None):
+    def save_rolling(eval_slices=None):
         # rolling per-seed checkpoints, solo model_{id}_{rank} naming: the
         # fleet resumes as a fleet (--start_from, see resume block above) or
         # any seed resumes solo (train(), rank=r) — bitwise-exactly, since
-        # the per-seed RNG chain rides in infos. host_params: param copies
-        # already materialized by eval_seeds at this same boundary.
+        # the per-seed RNG chain rides in infos. eval_slices: the
+        # (host_params, host_opts) pair eval_seeds materialized at this same
+        # boundary — params always, adam moments for seeds that improved —
+        # reused here so neither tree pays a second device->host readback.
+        host_params, host_opts = eval_slices if eval_slices else ({}, {})
         for r in local_seeds:
-            p = host_params[r] if host_params else seed_slice(r)
+            p = host_params[r] if r in host_params else seed_slice(r)
+            o = host_opts[r] if r in host_opts else seed_slice(r, opt_state)
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
-                params=p, opt_state=seed_slice(r, opt_state),
+                params=p, opt_state=o,
                 infos=seed_infos(r), best=False,
             )
 
@@ -717,10 +724,13 @@ def train_multi_seed_rl(
         }
 
     def eval_seeds(at_iter):
-        # returns {r: host params} so a rolling save at the same boundary
-        # reuses the copies instead of a second full device->host readback
-        # (flagship scale: 1.76 GB params per seed through the tunnel)
-        host_params = {}
+        # returns ({r: host params}, {r: host opt state}) so a rolling save
+        # at the same boundary reuses the copies instead of a second full
+        # device->host readback (flagship scale: 1.76 GB params + 3.5 GB
+        # adam moments per seed through the tunnel). Moments are only
+        # materialized for seeds that improved (the -best save needs them);
+        # non-improving seeds' moments are sliced lazily by save_rolling.
+        host_params, host_opts = {}, {}
         for r in local_seeds:
             p = host_params[r] = seed_slice(r)
             val_loss, _, stats = eval_split(
@@ -733,7 +743,7 @@ def train_multi_seed_rl(
                 no_improve[r] = 1
                 best_scores[r] = score
                 best_params[r] = p
-                best_opt_states[r] = seed_slice(r, opt_state)
+                best_opt_states[r] = host_opts[r] = seed_slice(r, opt_state)
                 if save:
                     # persist rl_-best at improvement time (see the XE
                     # fleet's eval_seeds): the ensemble member must survive
@@ -751,19 +761,22 @@ def train_multi_seed_rl(
             + " ".join("-" if best_scores[r] is None else
                        f"{best_scores[r]:.3f}" for r in local_seeds)
         )
-        return host_params
+        return host_params, host_opts
 
-    def save_rolling(host_params=None):
+    def save_rolling(eval_slices=None):
         # rolling rl_ per-seed files, solo train_rl naming: the fleet
         # resumes as a fleet (--rl_resume --start_from) or any seed solo
         # (train_rl --rl_resume, rank=r) — rl_lr_base and the per-seed RNG
-        # chain ride in infos for the exact restore. host_params: copies
-        # already materialized by eval_seeds at this same boundary.
+        # chain ride in infos for the exact restore. eval_slices: the
+        # (host_params, host_opts) copies eval_seeds materialized at this
+        # same boundary, reused to skip duplicate device->host readbacks.
+        host_params, host_opts = eval_slices if eval_slices else ({}, {})
         for r in local_seeds:
-            p = host_params[r] if host_params else seed_slice(r)
+            p = host_params[r] if r in host_params else seed_slice(r)
+            o = host_opts[r] if r in host_opts else seed_slice(r, opt_state)
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
-                params=p, opt_state=seed_slice(r, opt_state),
+                params=p, opt_state=o,
                 infos=seed_infos(r), best=False, prefix="rl_",
             )
 
