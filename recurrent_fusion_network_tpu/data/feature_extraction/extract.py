@@ -192,6 +192,16 @@ def main(argv=None):
             fc_outs[variant].flush()
             att_outs[variant].flush()
 
+    # ids.json is the COMPLETION marker consumers key on (PackedFeatureSource
+    # loads it unconditionally): while rows remain, a stale one from a prior
+    # completed extraction must not survive — a fresh restart zero-truncates
+    # the arrays, and a preemption before refilling them would otherwise
+    # leave a directory that LOOKS complete while rows past the progress
+    # marker are zeros (silently consumed by training downstream).
+    ids_path = os.path.join(pack_dir, "ids.json")
+    if done_rows < N and os.path.exists(ids_path):
+        os.unlink(ids_path)
+
     preempted = False
     for start in range(done_rows, N, B):
         chunk = names[start : start + B]
@@ -222,7 +232,11 @@ def main(argv=None):
             flush_all()
             write_progress(start + len(chunk))
             print(f"{start + len(chunk)}/{N} images x {len(variants)} variants")
-        if stop_now:
+        if stop_now and start + len(chunk) < N:
+            # rows remain: checkpoint and leave. A signal landing on the
+            # FINAL chunk is completion, not preemption — finalize normally
+            # rather than forcing a whole re-invocation (backbone rebuild +
+            # weight load) just to write ids.json over finished arrays.
             print(f"preempted — extraction checkpointed at row "
                   f"{start + len(chunk)}/{N}; re-run to resume")
             preempted = True
@@ -233,7 +247,7 @@ def main(argv=None):
         return
     write_progress(N)
     del fc_outs, att_outs
-    with open(os.path.join(pack_dir, "ids.json"), "w") as f:
+    with open(ids_path, "w") as f:
         json.dump(ids, f)
     if args.output_format == "sharded":
         from ..sharded import pack_to_shards

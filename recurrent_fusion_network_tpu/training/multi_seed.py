@@ -386,8 +386,12 @@ def train_multi_seed(
         # reused here so neither tree pays a second device->host readback.
         host_params, host_opts = eval_slices if eval_slices else ({}, {})
         for r in local_seeds:
-            p = host_params[r] if r in host_params else seed_slice(r)
-            o = host_opts[r] if r in host_opts else seed_slice(r, opt_state)
+            # pop as consumed: a non-improving seed's host params are freed
+            # right after its write instead of pinning every local seed's
+            # 1.76 GB copy until the whole loop finishes (improved seeds'
+            # slices stay alive via best_params/best_opt_states by design)
+            p = host_params.pop(r) if r in host_params else seed_slice(r)
+            o = host_opts.pop(r) if r in host_opts else seed_slice(r, opt_state)
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
                 params=p, opt_state=o,
@@ -772,8 +776,12 @@ def train_multi_seed_rl(
         # same boundary, reused to skip duplicate device->host readbacks.
         host_params, host_opts = eval_slices if eval_slices else ({}, {})
         for r in local_seeds:
-            p = host_params[r] if r in host_params else seed_slice(r)
-            o = host_opts[r] if r in host_opts else seed_slice(r, opt_state)
+            # pop as consumed: a non-improving seed's host params are freed
+            # right after its write instead of pinning every local seed's
+            # 1.76 GB copy until the whole loop finishes (improved seeds'
+            # slices stay alive via best_params/best_opt_states by design)
+            p = host_params.pop(r) if r in host_params else seed_slice(r)
+            o = host_opts.pop(r) if r in host_opts else seed_slice(r, opt_state)
             _ckpt.save_checkpoint(
                 opt.checkpoint_path, opt.id, r,
                 params=p, opt_state=o,

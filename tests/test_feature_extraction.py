@@ -302,6 +302,75 @@ class TestExtractCLI:
         main(common + ["--output_dir", str(out)])
         assert json.load(open(out / "progress.json"))["done"] == 6
 
+    def test_ids_json_is_a_completion_marker(self, tmp_path, monkeypatch):
+        """ids.json must exist IFF the directory is complete. A fresh
+        restart over a previously completed dir zero-truncates the arrays,
+        so a preemption before refilling them would otherwise leave a dir
+        that LOOKS complete (stale ids.json) while rows past the marker are
+        zeros — silently consumed by training. And a SIGTERM landing on the
+        FINAL chunk is completion, not preemption: finalize in place rather
+        than demanding a whole re-invocation to write ids.json."""
+        import os
+        import signal
+
+        from PIL import Image
+
+        from recurrent_fusion_network_tpu.data.feature_extraction import (
+            extract,
+        )
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        g = np.random.default_rng(7)
+        for i in range(5):
+            arr = (g.random((40, 52, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"{3000 + i}.jpg")
+        out = tmp_path / "packed"
+        common = ["--images_dir", str(img_dir), "--output_dir", str(out),
+                  "--arch", "resnet50", "--image_size", "64",
+                  "--att_size", "2", "--batch_size", "2",
+                  "--variants", "original"]
+        extract.main(common)
+        assert (out / "ids.json").exists()
+
+        # work-list change -> fresh restart; SIGTERM while loading the
+        # middle chunk -> preempted mid-run. The stale ids.json must be
+        # gone BEFORE any row is produced, and still gone afterwards.
+        Image.fromarray((g.random((40, 52, 3)) * 255).astype(np.uint8)).save(
+            img_dir / "3005.jpg"
+        )
+        state = {"calls": 0, "ids_at_first_load": None}
+        real_load = extract.load_image
+
+        def spying_load(path, size):
+            if state["calls"] == 0:
+                state["ids_at_first_load"] = (out / "ids.json").exists()
+            state["calls"] += 1
+            if os.path.basename(path) == "3002.jpg":  # middle chunk
+                os.kill(os.getpid(), signal.SIGTERM)
+            return real_load(path, size)
+
+        monkeypatch.setattr(extract, "load_image", spying_load)
+        extract.main(common)
+        assert state["ids_at_first_load"] is False
+        assert not (out / "ids.json").exists()
+        prog = json.load(open(out / "progress.json"))
+        assert 0 < prog["done"] < 6
+
+        # resume with a SIGTERM during the FINAL chunk: completes anyway
+        def final_chunk_sigterm(path, size):
+            if os.path.basename(path) == "3005.jpg":  # last chunk
+                os.kill(os.getpid(), signal.SIGTERM)
+            return real_load(path, size)
+
+        monkeypatch.setattr(extract, "load_image", final_chunk_sigterm)
+        extract.main(common)
+        assert json.load(open(out / "progress.json"))["done"] == 6
+        assert json.load(open(out / "ids.json")) == list(range(3000, 3006))
+        fc = np.load(out / "original_fc.npy")
+        assert np.isfinite(fc).all()
+        assert float(np.abs(fc).sum(axis=1).min()) > 0  # no zero rows
+
 
 class TestImageFolderEval:
     def test_caption_raw_images_end_to_end(self, tmp_path):
