@@ -31,6 +31,14 @@ import numpy as np
 from .dataset import FLIP_TYPE_TO_VARIANT, Dataset
 
 
+def _as_py_rng_state(state):
+    """random.Random.setstate needs (version, tuple_of_ints, gauss_next);
+    pickle preserves the tuples, but states that round-tripped through a
+    list-producing serializer still restore."""
+    version, internal, gauss_next = state
+    return (version, tuple(internal), gauss_next)
+
+
 class DataLoader:
     def __init__(
         self,
@@ -96,6 +104,14 @@ class DataLoader:
             s: np.random.default_rng(opt.seed + 104729 * (i + 1))
             for i, s in enumerate(("train", "val", "test"))
         }
+        # CONSUMED-view RNG snapshots (like `iterators`): the state of both
+        # streams as of the last batch HANDED to the trainer. The live RNGs
+        # run ahead of this on the prefetch thread, so a checkpoint must
+        # record these snapshots — restoring construction-time seeds would
+        # make every post-resume caption-slice/variant/shuffle draw diverge
+        # from the uninterrupted run (real COCO: images with !=5 captions
+        # and use_flip/use_crop draw every batch).
+        self.rng_states = {s: self._snapshot_rng(s) for s in self._rng}
 
         self._prefetch_enabled = prefetch
         self._prefetchers: Dict[str, "_Prefetcher"] = {}
@@ -122,14 +138,34 @@ class DataLoader:
         self.iterators[split] = 0
         self._prod_it[split] = 0
 
-    def restore_state(self, iterators: dict, split_image_id: dict):
-        """Resume from checkpointed iterator state (train.py:49-50 contract)."""
+    def _snapshot_rng(self, split: str) -> dict:
+        # Random.getstate() is an immutable tuple; Generator exposes a fresh
+        # state dict per call — both pickle cleanly inside infos
+        return {
+            "py": self._rng[split].getstate(),
+            "np": self._np_rng[split].bit_generator.state,
+        }
+
+    def restore_state(self, iterators: dict, split_image_id: dict,
+                      rng_states: Optional[dict] = None):
+        """Resume from checkpointed iterator state (train.py:49-50 contract).
+
+        rng_states: the loader's `rng_states` snapshot riding in infos
+        (per-split {"py", "np"} states). Without it (pre-existing
+        checkpoints) the cursor/order still restore but the RNG streams
+        keep their construction seeding — resume stays deterministic yet
+        not draw-for-draw identical to the uninterrupted run."""
         for split in self.iterators:
             self._stop_prefetcher(split)
         self.iterators = dict(iterators)
         self._prod_it = dict(iterators)
         self.split_image_id = {s: list(v) for s, v in split_image_id.items()}
         self._order = {s: list(v) for s, v in split_image_id.items()}
+        if rng_states:
+            for split, st in rng_states.items():
+                self._rng[split].setstate(_as_py_rng_state(st["py"]))
+                self._np_rng[split].bit_generator.state = st["np"]
+                self.rng_states[split] = self._snapshot_rng(split)
 
     def _next_image(self, split: str):
         """Advance the production cursor by one; returns (image_id, wrapped)."""
@@ -167,6 +203,7 @@ class DataLoader:
         batch = self._assemble_batch(split, batch_size, seq_per_img, variant)
         self.iterators[split] = self._prod_it[split]
         self.split_image_id[split] = self._order[split][:]
+        self.rng_states[split] = self._snapshot_rng(split)
         return batch
 
     def _assemble_batch(self, split, batch_size=None, seq_per_img=None, variant=None):
@@ -282,6 +319,7 @@ class DataLoader:
         # checkpointed iterators resume exactly (train.py:49-50 contract)
         self.iterators[split] = state["iterators"]
         self.split_image_id[split] = state["split_image_id"]
+        self.rng_states[split] = state["rng"]
         return batch
 
     def _stop_prefetcher(self, split: str):
@@ -320,6 +358,10 @@ class _Prefetcher:
             state = {
                 "iterators": self.loader._prod_it[self.split],
                 "split_image_id": self.loader._order[self.split][:],
+                # RNG states as of THIS batch (the live streams keep
+                # advancing on this thread — the consumed view must ride
+                # with the batch, like the cursor)
+                "rng": self.loader._snapshot_rng(self.split),
             }
             self._put(("ok", (batch, state)))
 

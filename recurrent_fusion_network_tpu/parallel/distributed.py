@@ -89,6 +89,26 @@ def global_dp_batch(mesh: Mesh, tree):
     )
 
 
+def host_mean(value: float) -> float:
+    """Collective mean of a per-process scalar (identity single-process).
+
+    Periodic eval on multi-host runs scores each host's LOCAL slice of the
+    host-sharded val stream (eval_split docstring), so best-checkpoint
+    gating on the raw local score would diverge across hosts — different
+    hosts would then issue different numbers of (collective) checkpoint
+    saves, deadlocking the orbax barrier or splitting pickle history state.
+    The mean over equal-sized disjoint host slices IS the global-set score
+    for per-image-mean metrics (CIDEr, and -val_loss as a mean of batch
+    means). Call-count discipline as all_hosts_agree.
+    """
+    if jax.process_count() == 1:
+        return float(value)
+    from jax.experimental import multihost_utils
+
+    vals = multihost_utils.process_allgather(np.float64(value))
+    return float(np.mean(vals))
+
+
 def all_hosts_agree(flag: bool) -> bool:
     """Collective AND over per-process booleans (True only when EVERY
     process reports True). Single-process: identity, no collective.

@@ -25,6 +25,15 @@ import jax
 import numpy as np
 
 
+# Multi-host write discipline marker: pickle saves are plain host-side
+# file writes — on a multi-host run with replicated params every process
+# would race the SAME {path}.tmp on the shared checkpoint filesystem, so
+# the solo training loops gate pickle saves to process 0. Orbax saves are
+# COLLECTIVE (every process must call them — orbax runs cross-process
+# barriers per save); backends advertise which they are via `collective`.
+collective = False
+
+
 def backend(opt=None):
     """Checkpoint module for opt.checkpoint_backend: this module ('pickle',
     the reference-contract default) or training.orbax_ckpt ('orbax')."""
@@ -44,6 +53,7 @@ def backend(opt=None):
                 ),
                 load_checkpoint=orbax_ckpt.load_checkpoint,
                 wait_until_finished=orbax_ckpt.wait_until_finished,
+                collective=True,
             )
         return orbax_ckpt
     return sys.modules[__name__]

@@ -172,6 +172,17 @@ def train_multi_seed(
     opt.seq_length = loader.seq_length
     model = setup(opt)
     _ckpt = checkpoint_backend(opt)
+    # fleet checkpoints are HOST-LOCAL: each host saves only its own seeds'
+    # files (per-rank paths), independently and possibly a different number
+    # of times per boundary (improvement-gated -best saves). Orbax saves
+    # are collective — every process must join a barrier per save — so the
+    # two are structurally incompatible past one process.
+    if jax.process_count() > 1 and getattr(_ckpt, "collective", False):
+        raise ValueError(
+            "multi-host fleets need --checkpoint_backend pickle: per-seed "
+            "checkpoint files are host-local, but orbax saves run a "
+            "cross-process barrier per save (counts/paths diverge)"
+        )
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
 
@@ -230,6 +241,7 @@ def train_multi_seed(
             loader.restore_state(
                 resume_infos[0]["iterators"],
                 resume_infos[0]["split_image_id"],
+                resume_infos[0].get("loader_rng"),
             )
     else:
         params = jax.vmap(model.init_params)(init_rngs)
@@ -312,6 +324,7 @@ def train_multi_seed(
             "epoch": epoch,
             "iterators": dict(loader.iterators),
             "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "loader_rng": dict(loader.rng_states),  # draw-exact resume
             "opt": dict(vars(opt)),
             "loss_history": loss_histories[r],
             "lr_history": dict(lr_history),
@@ -474,11 +487,18 @@ def train_multi_seed(
 
     result = {"params": params, "loss_histories": loss_histories, "model": model}
 
+    # epilogue preemption verdict must be COLLECTIVE: a SIGTERM landing on
+    # one host after its last in-loop guard.sync() would otherwise make
+    # hosts diverge on whether the final eval (and its -best writes) runs.
+    # Every host exits the loop at the same boundary (stop conditions are
+    # collective), so this one extra sync stays call-count aligned.
+    preempted = guard.sync()
+
     # the saved '-best' artifacts need at least one scored snapshot per seed
     # — but NOT under preemption: the rolling saves above already persisted
     # the state, and a full fleet eval would outlive the grace window
     # (eval_seeds itself writes the per-seed -best files at improvement time)
-    if not guard.triggered and (
+    if not preempted and (
         eval_at_end
         or (save and any(best_params[r] is None for r in local_seeds))
     ):
@@ -537,6 +557,17 @@ def train_multi_seed_rl(
     opt.seq_length = loader.seq_length
     model = setup(opt)
     _ckpt = checkpoint_backend(opt)
+    # fleet checkpoints are HOST-LOCAL: each host saves only its own seeds'
+    # files (per-rank paths), independently and possibly a different number
+    # of times per boundary (improvement-gated -best saves). Orbax saves
+    # are collective — every process must join a barrier per save — so the
+    # two are structurally incompatible past one process.
+    if jax.process_count() > 1 and getattr(_ckpt, "collective", False):
+        raise ValueError(
+            "multi-host fleets need --checkpoint_backend pickle: per-seed "
+            "checkpoint files are host-local, but orbax saves run a "
+            "cross-process barrier per save (counts/paths diverge)"
+        )
     rl_crit = make_rl_criterion(opt)
     tx = make_optimizer(opt)
 
@@ -590,6 +621,7 @@ def train_multi_seed_rl(
             loader.restore_state(
                 resume_infos[0]["iterators"],
                 resume_infos[0]["split_image_id"],
+                resume_infos[0].get("loader_rng"),
             )
     elif opt.start_from is not None:
         per_seed, lr_hists = [], []
@@ -717,6 +749,7 @@ def train_multi_seed_rl(
             "epoch": epoch,
             "iterators": dict(loader.iterators),
             "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "loader_rng": dict(loader.rng_states),  # draw-exact resume
             "opt": dict(vars(opt)),
             "loss_history": reward_histories[r],
             "rl_lr_base": float(rl_lr_bases[r]),
@@ -894,10 +927,14 @@ def train_multi_seed_rl(
         "reward_histories": reward_histories,
         "model": model,
     }
+    # epilogue preemption verdict is COLLECTIVE (see train_multi_seed):
+    # one aligned extra sync, so hosts agree on whether the final eval and
+    # the ship--best block run.
+    preempted = guard.sync()
     # no post-preemption eval: the rolling saves already persisted the
     # state, and a full fleet eval would outlive the grace window
     # (eval_seeds itself writes the rl_-best files at improvement time)
-    if not guard.triggered and (
+    if not preempted and (
         eval_at_end
         or (save and any(best_params[r] is None for r in local_seeds))
     ):
@@ -906,7 +943,7 @@ def train_multi_seed_rl(
     result["val_histories"] = val_histories
     result["best_params"] = best_params
     result["local_seeds"] = list(local_seeds)
-    if save and not guard.triggered:
+    if save and not preempted:
         # a warm-started seed that never beat its XE best score still ships
         # an rl_-best file (its XE weights) so the rl_ ensemble is complete
         # for eval_ensemble --rl_prefix over every rank; under --rl_resume

@@ -26,6 +26,10 @@ from typing import Any, Optional, Tuple
 
 import jax
 
+# every process must call save_checkpoint (orbax runs cross-process
+# barriers per save) — see checkpoint.backend()'s write discipline note
+collective = True
+
 
 def _checkpointer():
     import orbax.checkpoint as ocp

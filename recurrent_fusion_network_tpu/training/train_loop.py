@@ -110,7 +110,8 @@ def train(
                     f"Command line argument and saved model disagree on '{key}'"
                 )
         if "iterators" in infos:
-            loader.restore_state(infos["iterators"], infos["split_image_id"])
+            loader.restore_state(infos["iterators"], infos["split_image_id"],
+                                 infos.get("loader_rng"))
         if "rng_key" in infos:
             # continue the dropout/scheduled-sampling RNG chain where the
             # saved run stopped instead of replaying it from the seed
@@ -186,12 +187,20 @@ def train(
     ss_prob = 0.0
 
     def snapshot_infos():
-        # one infos builder for the periodic save and the preemption save
+        # one infos builder for the periodic save and the preemption save.
+        # Both run AFTER this iteration's step (loader cursor, RNG chain,
+        # and params are post-step), so the recorded iter is iteration+1 —
+        # the NEXT step to run. Recording the pre-increment value made a
+        # resume re-enter an already-fired eval boundary: spurious eval,
+        # num_period_best double-count, history overwrite, and labels off
+        # by one vs the uninterrupted run. (The fleet loops snapshot after
+        # their own `iteration += 1` — same convention.)
         return {
-            "iter": iteration,
+            "iter": iteration + 1,
             "epoch": epoch,
             "iterators": dict(loader.iterators),
             "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "loader_rng": dict(loader.rng_states),  # draw-exact resume
             "best_val_score": best_val_score,
             "opt": dict(vars(opt)),
             "val_result_history": val_result_history,
@@ -202,6 +211,12 @@ def train(
             "rng_key": np.asarray(rng),  # resume continues the RNG chain
             "vocab": loader.get_vocab(),
         }
+
+    # multi-host write discipline: pickle saves are host-side writes of the
+    # SAME path on every process (params replicated) — one writer, process
+    # 0, avoids racing {path}.tmp on the shared filesystem. Orbax saves are
+    # collective and MUST run on every process (checkpoint.backend note).
+    save_here = getattr(_ckpt, "collective", False) or jax.process_index() == 0
 
     while True:
         trace.tick(iteration)
@@ -243,6 +258,15 @@ def train(
             current_score = (
                 lang_stats["CIDEr"] if (opt.language_eval and lang_stats) else -val_loss
             )
+            # host-AGREED verdict: on multi-host runs each process scored
+            # only its local slice of the val stream, so the raw local
+            # score would give hosts different best_flag values — and a
+            # diverging number of collective orbax saves deadlocks the
+            # barrier. Mean over equal disjoint host slices IS the global
+            # score for per-image-mean metrics (host_mean docstring).
+            from ..parallel.distributed import host_mean
+
+            current_score = host_mean(current_score)
             jlog.log(event="val", iter=iteration, loss=val_loss,
                      **(lang_stats or {}))
             best_flag = best_val_score is None or current_score > best_val_score
@@ -253,15 +277,17 @@ def train(
                 num_period_best += 1
 
             infos = snapshot_infos()
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, rank,
-                params=params, opt_state=opt_state, infos=infos, best=False,
-            )
-            if best_flag:
+            if save_here:
                 _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, rank,
-                    params=params, opt_state=opt_state, infos=infos, best=True,
+                    params=params, opt_state=opt_state, infos=infos, best=False,
                 )
+            if best_flag:
+                if save_here:
+                    _ckpt.save_checkpoint(
+                        opt.checkpoint_path, opt.id, rank,
+                        params=params, opt_state=opt_state, infos=infos, best=True,
+                    )
                 log_fn(f"model saved to {opt.checkpoint_path} (CIDEr {current_score:.3f})")
             # collective on multi-host: per-host scores (host-local eval)
             # diverge, and a host breaking alone would strand its peers in
@@ -273,15 +299,19 @@ def train(
                 break
 
         if guard.sync():
-            # SIGTERM landed: save at this iteration boundary and exit
-            # cleanly inside the preemption grace window (resume with
-            # --start_from loses at most this one iteration)
+            # SIGTERM landed: save at this iteration boundary (post-step —
+            # the snapshot records iteration+1 as the next step to run, so
+            # resume replays nothing) and exit cleanly inside the
+            # preemption grace window
             infos = snapshot_infos()
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, rank,
-                params=params, opt_state=opt_state, infos=infos, best=False,
-            )
-            log_fn(f"rank {rank}: preempted — checkpoint saved at iter {iteration}")
+            if save_here:
+                _ckpt.save_checkpoint(
+                    opt.checkpoint_path, opt.id, rank,
+                    params=params, opt_state=opt_state, infos=infos, best=False,
+                )
+            log_fn(f"rank {rank}: preempted — checkpoint saved "
+                   f"(resumes at iter {iteration + 1})")
+            iteration += 1  # epilogue/infos agree with the snapshot: steps done
             break
 
         log_fn(

@@ -183,7 +183,8 @@ def train_rl(
             best=not rl_resume, prefix="rl_" if rl_resume else "",
         )
         if "iterators" in infos:
-            loader.restore_state(infos["iterators"], infos["split_image_id"])
+            loader.restore_state(infos["iterators"], infos["split_image_id"],
+                                 infos.get("loader_rng"))
         if rl_resume and "rng_key" in infos:
             # a true resume continues the rollout RNG chain where the run
             # stopped; a warm start keeps its own fresh chain
@@ -272,12 +273,16 @@ def train_rl(
     rewards = np.zeros((1, 1))
 
     def snapshot_infos():
-        # one infos builder for the periodic save and the preemption save
+        # one infos builder for the periodic save and the preemption save.
+        # iter records iteration+1 (the NEXT step to run) — see
+        # train_loop.snapshot_infos: both saves run post-step, and the
+        # pre-increment value made a resume re-fire the eval boundary.
         return {
-            "iter": iteration,
+            "iter": iteration + 1,
             "epoch": epoch,
             "iterators": dict(loader.iterators),
             "split_image_id": {s: list(v) for s, v in loader.split_image_id.items()},
+            "loader_rng": dict(loader.rng_states),  # draw-exact resume
             "best_val_score": best_val_score,
             "opt": dict(vars(opt)),
             "val_result_history": val_result_history,
@@ -288,6 +293,10 @@ def train_rl(
             "rng_key": np.asarray(rng),  # --rl_resume continues the chain
             "vocab": loader.get_vocab(),
         }
+
+    # multi-host write discipline — see train_loop: one pickle writer
+    # (process 0), but collective orbax saves run on every process
+    save_here = getattr(_ckpt, "collective", False) or jax.process_index() == 0
 
     while True:
         trace.tick(iteration)
@@ -367,6 +376,11 @@ def train_rl(
             current_score = (
                 lang_stats["CIDEr"] if (opt.language_eval and lang_stats) else -val_loss
             )
+            # host-agreed verdict — see train_loop: local per-host scores
+            # would diverge best_flag and the collective save count
+            from ..parallel.distributed import host_mean
+
+            current_score = host_mean(current_score)
             best_flag = best_val_score is None or current_score > best_val_score
             if best_flag:
                 best_val_score = current_score
@@ -375,15 +389,17 @@ def train_rl(
                 num_period_best += 1
 
             infos = snapshot_infos()
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, rank,
-                params=params, opt_state=opt_state, infos=infos, best=False, prefix="rl_",
-            )
-            if best_flag:
+            if save_here:
                 _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, rank,
-                    params=params, opt_state=opt_state, infos=infos, best=True, prefix="rl_",
+                    params=params, opt_state=opt_state, infos=infos, best=False, prefix="rl_",
                 )
+            if best_flag:
+                if save_here:
+                    _ckpt.save_checkpoint(
+                        opt.checkpoint_path, opt.id, rank,
+                        params=params, opt_state=opt_state, infos=infos, best=True, prefix="rl_",
+                    )
                 log_fn(f"rl model saved (CIDEr {current_score:.3f})")
             # collective on multi-host (see train_loop's early stop)
             from ..parallel.distributed import all_hosts_agree
@@ -393,16 +409,19 @@ def train_rl(
                 break
 
         if guard.sync():
-            # SIGTERM landed: save at this iteration boundary and exit
-            # cleanly inside the preemption grace window (resume with
-            # --start_from loses at most this one iteration)
+            # SIGTERM landed: save at this iteration boundary (post-step;
+            # the snapshot records iteration+1 so resume replays nothing)
+            # and exit cleanly inside the preemption grace window
             infos = snapshot_infos()
-            _ckpt.save_checkpoint(
-                opt.checkpoint_path, opt.id, rank,
-                params=params, opt_state=opt_state, infos=infos, best=False,
-                prefix="rl_",
-            )
-            log_fn(f"rank {rank}: preempted — rl checkpoint saved at iter {iteration}")
+            if save_here:
+                _ckpt.save_checkpoint(
+                    opt.checkpoint_path, opt.id, rank,
+                    params=params, opt_state=opt_state, infos=infos, best=False,
+                    prefix="rl_",
+                )
+            log_fn(f"rank {rank}: preempted — rl checkpoint saved "
+                   f"(resumes at iter {iteration + 1})")
+            iteration += 1  # epilogue/infos agree with the snapshot: steps done
             break
 
         log_fn(

@@ -65,8 +65,9 @@ def main():
             lambda cls, o: OneHostTrigger()
         )
         opt.id = "mhp"
-        # per-host dir: a real pod writes once from a shared FS, but the
-        # test asserts BOTH hosts completed their save at the SAME iter
+        # per-host dir so the test can OBSERVE the write discipline: on a
+        # shared FS every process would hit the same path, so the solo
+        # loops gate pickle writes to process 0 — host 1 must save nothing
         opt.checkpoint_path = os.path.join(sys.argv[5], f"h{pid}")
         os.makedirs(opt.checkpoint_path, exist_ok=True)
         opt.save_checkpoint_every = 10**9
@@ -89,6 +90,31 @@ def main():
             beam_size=2, language_eval_flag=False, mesh=mesh,
         )
         print("PREDS:" + json.dumps(preds), flush=True)
+        return
+    if mode == "evalagree":
+        # Periodic eval on multi-host: each host scores only ITS slice of
+        # the host-sharded val stream, so the raw local scores DIVERGE; the
+        # loop must gate best_flag/num_period_best on the host_mean'd score
+        # (identical on every host) and write pickle files from process 0
+        # only. The worker prints its verdict state for cross-host compare.
+        opt.id = "mha"
+        opt.checkpoint_path = os.path.join(sys.argv[5], f"h{pid}")
+        os.makedirs(opt.checkpoint_path, exist_ok=True)
+        opt.save_checkpoint_every = 2
+        opt.val_images_use = 8
+        opt.language_eval = 0  # score = -val_loss (host-local without fix)
+        infos = train(opt, loader, max_iterations=5, mesh=mesh,
+                      log_fn=lambda *a, **k: None)
+        local_scores = {
+            str(k): float(v["loss"]) for k, v in
+            infos.get("val_result_history", {}).items()
+        }
+        print("LOSSES:" + json.dumps({
+            "iter": infos["iter"],
+            "best": infos.get("best_val_score"),
+            "npb": infos.get("num_period_best"),
+            "local_losses": local_scores,
+        }), flush=True)
         return
     if mode == "rl":
         import numpy as np

@@ -114,6 +114,57 @@ class TestIterators:
             i["id"] for i in next_batch["infos"]
         ]
 
+    def test_restore_state_resumes_rng_draws_exactly(self):
+        """Checkpoint/resume must be DRAW-exact, not just cursor-exact: with
+        seq_per_img < captions-per-image every image costs a caption-slice
+        draw (loader py-RNG), and use_flip/use_crop costs a variant draw
+        (np-RNG) — real-COCO conditions. The rng_states snapshot rides with
+        the consumed batch (the prefetch thread runs ahead), pickles like
+        infos, and restores both streams so the resumed continuation equals
+        the uninterrupted one batch-for-batch, features included."""
+        kw = dict(seq_per_img=3, seed=11, prefetch=True,
+                  use_flip=1, use_crop=1)
+        opt, loader = synthetic_setup(**kw)
+        for _ in range(3):
+            loader.get_batch("train")
+        state = pickle.loads(pickle.dumps((
+            dict(loader.iterators),
+            {s: list(v) for s, v in loader.split_image_id.items()},
+            dict(loader.rng_states),
+        )))
+        cont = [loader.get_batch("train") for _ in range(3)]
+        loader.close()
+
+        # fresh loader, desynced by one consumed batch, then restored
+        opt2, loader2 = synthetic_setup(**kw)
+        loader2.get_batch("train")
+        loader2.restore_state(*state)
+        resumed = [loader2.get_batch("train") for _ in range(3)]
+        loader2.close()
+        for a, b in zip(cont, resumed):
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(
+                a["fc_feats_array"][0], b["fc_feats_array"][0]
+            )
+            assert a["bounds"] == b["bounds"]
+
+        # vacuity guard: WITHOUT the rng snapshot the construction-seeded
+        # streams produce different draws (old behavior — cursor-only).
+        # prefetch=False here: with a prefetcher the live RNGs advance by
+        # however far the producer thread ran ahead (racy — it can land
+        # exactly on the captured position); synchronous assembly pins the
+        # stale position to 1 batch vs the snapshot's 3.
+        opt3, loader3 = synthetic_setup(**{**kw, "prefetch": False})
+        loader3.get_batch("train")
+        loader3.restore_state(state[0], state[1])
+        stale = [loader3.get_batch("train") for _ in range(3)]
+        loader3.close()
+        assert any(
+            not np.array_equal(a["labels"], b["labels"])
+            or not np.array_equal(a["fc_feats_array"][0], b["fc_feats_array"][0])
+            for a, b in zip(cont, stale)
+        )
+
     def test_reset_iterator(self):
         opt, loader = synthetic_setup()
         first = loader.get_batch("val")

@@ -205,21 +205,44 @@ class TestTwoProcessCluster:
 
     def test_preemption_on_one_host_stops_both_collectively(self, tmp_path):
         """SIGTERM lands on host 1 only (simulated flag); guard.sync()'s
-        allgather must trip BOTH hosts at the same iteration boundary, each
-        completing its checkpoint save — a host stopping alone would
-        deadlock the other inside the next collective step (and this test
-        would time out)."""
+        allgather must trip BOTH hosts at the same iteration boundary — a
+        host stopping alone would deadlock the other inside the next
+        collective step (and this test would time out). Write discipline:
+        pickle saves go through ONE writer (process 0) — on a shared FS
+        every process would race the same {path}.tmp — so host 0 saves and
+        host 1 must not."""
         import pickle
 
         outs = _run_cluster("preempt", extra=(str(tmp_path),))
         # both hosts stopped at the same (early) boundary
         assert outs[0]["iter"] == outs[1]["iter"] < 50
-        for k in range(2):
-            p = tmp_path / f"h{k}" / "infos_mhp_0.pkl"
-            with open(p, "rb") as f:
-                infos = pickle.load(f)
-            assert infos["iter"] == outs[k]["iter"]
-            assert os.path.exists(tmp_path / f"h{k}" / "model_mhp_0.pkl")
+        p = tmp_path / "h0" / "infos_mhp_0.pkl"
+        with open(p, "rb") as f:
+            infos = pickle.load(f)
+        assert infos["iter"] == outs[0]["iter"]
+        assert os.path.exists(tmp_path / "h0" / "model_mhp_0.pkl")
+        # one writer: the non-zero process wrote nothing
+        assert not os.path.exists(tmp_path / "h1" / "model_mhp_0.pkl")
+        assert not os.path.exists(tmp_path / "h1" / "infos_mhp_0.pkl")
+
+    def test_eval_verdict_is_host_agreed(self, tmp_path):
+        """Periodic-eval best gating on multi-host: each host's LOCAL val
+        slice scores differently, yet best_val_score / num_period_best must
+        come out identical on every host (host_mean'd score) — hosts
+        diverging here would issue different numbers of collective
+        checkpoint saves (orbax barrier deadlock). Pickle writes come from
+        process 0 only."""
+        outs = _run_cluster("evalagree", extra=(str(tmp_path),))
+        # the raw local scores really did diverge (the test is vacuous
+        # otherwise) ...
+        assert outs[0]["local_losses"] != outs[1]["local_losses"]
+        # ... but the agreed verdict state is identical
+        assert outs[0]["best"] == outs[1]["best"] is not None
+        assert outs[0]["npb"] == outs[1]["npb"] is not None
+        assert outs[0]["iter"] == outs[1]["iter"]
+        # one writer: process 0 has the triple files, process 1 nothing
+        assert os.path.exists(tmp_path / "h0" / "model_mha_0.pkl")
+        assert not os.path.exists(tmp_path / "h1" / "model_mha_0.pkl")
 
     def test_dp_rl_runs_with_local_reward_scoring(self):
         """Multi-host SCST executes end-to-end: each host scores ITS rollout

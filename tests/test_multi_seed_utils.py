@@ -19,6 +19,24 @@ def quiet(*a, **k):
 
 
 class TestMultiSeed:
+    def test_multihost_fleet_refuses_orbax_backend(self, monkeypatch):
+        """Fleet checkpoints are host-local per-seed files; orbax saves run
+        a cross-process barrier per save (improvement-gated counts diverge
+        across hosts -> deadlock), so a multi-host fleet must refuse the
+        orbax backend loudly instead of hanging inside the grace window."""
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed_rl,
+        )
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.checkpoint_backend = "orbax"
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(ValueError, match="multi-host fleets"):
+            train_multi_seed(opt, loader, 2, max_iterations=1, save=False)
+        with pytest.raises(ValueError, match="multi-host fleets"):
+            train_multi_seed_rl(opt, loader, None, 2, max_iterations=1,
+                                save=False)
+
     def test_vmapped_step_matches_single_seed_exactly(self):
         """Seed r of the vmapped fleet must follow the identical trajectory
         a solo run of that seed would (vmap is semantics-preserving)."""

@@ -107,12 +107,13 @@ def _patch_trigger(monkeypatch, n):
 
 class TestPreemptSaveResume:
     def test_xe_preempt_saves_and_resume_is_exact(self, tmp_path, monkeypatch):
-        """Preempt at iter 3, resume: the resumed trajectory must equal the
-        uninterrupted run step-for-step — params from the boundary save,
-        loader iterators from the saved state, and the dropout RNG CHAIN
-        continued via the checkpointed rng_key (resumed iteration k replays
-        uninterrupted iteration k+1: the saved iteration number is re-run
-        with the next batch, the reference's resume convention)."""
+        """Preempt after step 3, resume: the resumed trajectory must equal
+        the uninterrupted run LABEL-FOR-LABEL — params from the boundary
+        save, loader iterators from the saved state, and the dropout RNG
+        CHAIN continued via the checkpointed rng_key. The snapshot records
+        iteration+1 (the next step to run — the reference's post-increment
+        convention, train.py), so a resume replays nothing and labels stay
+        aligned with the uninterrupted run."""
         common = dict(caption_model="show_tell", batch_size=4, seed=5)
 
         # uninterrupted run: 6 iterations
@@ -123,7 +124,7 @@ class TestPreemptSaveResume:
         os.makedirs(opt_u.checkpoint_path, exist_ok=True)
         infos_u = train(opt_u, loader_u, max_iterations=6, log_fn=quiet)
 
-        # preempted run: guard fires at the iter-3 boundary
+        # preempted run: guard fires at the boundary after step 3
         _patch_trigger(monkeypatch, 3)
         opt1, loader1 = synthetic_setup(**common)
         opt1.checkpoint_path = str(tmp_path)
@@ -132,18 +133,19 @@ class TestPreemptSaveResume:
         opt1.drop_prob_lm = 0.5
         opt1.save_checkpoint_every = 1000  # no periodic saves — preempt only
         infos1 = train(opt1, loader1, max_iterations=50, log_fn=quiet)
-        assert infos1["iter"] == 3
+        assert infos1["iter"] == 4  # steps 0..3 done
         assert os.path.exists(tmp_path / "model_pre_0.pkl")
         with open(tmp_path / "infos_pre_0.pkl", "rb") as f:
             saved = pickle.load(f)
-        assert saved["iter"] == 3 and "rng_key" in saved
-        # first three steps match the uninterrupted run
-        for k in range(3):
+        assert saved["iter"] == 4 and "rng_key" in saved
+        assert "loader_rng" in saved  # draw-exact loader resume state
+        # completed steps match the uninterrupted run
+        for k in range(4):
             np.testing.assert_allclose(
                 infos1["loss_history"][k], infos_u["loss_history"][k], rtol=1e-6
             )
 
-        # resume: continues at iter 3 and reproduces uninterrupted iters 4..5
+        # resume: continues at iter 4 and reproduces uninterrupted 4..5
         _patch_trigger(monkeypatch, 10**9)
         opt2, loader2 = synthetic_setup(**common)
         opt2.checkpoint_path = str(tmp_path)
@@ -152,16 +154,15 @@ class TestPreemptSaveResume:
         opt2.losses_log_every = 1
         opt2.drop_prob_lm = 0.5
         opt2.save_checkpoint_every = 1000
-        infos2 = train(opt2, loader2, max_iterations=5, log_fn=quiet)
-        # saved history carried over (0..2), iter 3 re-run, iter 4 appended
-        assert sorted(infos2["loss_history"]) == [0, 1, 2, 3, 4]
-        assert infos2["iter"] == 5
-        np.testing.assert_allclose(
-            infos2["loss_history"][3], infos_u["loss_history"][4], rtol=1e-6
-        )
-        np.testing.assert_allclose(
-            infos2["loss_history"][4], infos_u["loss_history"][5], rtol=1e-6
-        )
+        infos2 = train(opt2, loader2, max_iterations=6, log_fn=quiet)
+        # saved history carried over (0..3), iters 4..5 appended — every
+        # label equals the uninterrupted run's (no replay, no shift)
+        assert sorted(infos2["loss_history"]) == [0, 1, 2, 3, 4, 5]
+        assert infos2["iter"] == 6
+        for k in range(6):
+            np.testing.assert_allclose(
+                infos2["loss_history"][k], infos_u["loss_history"][k], rtol=1e-6
+            )
 
     def test_rl_preempt_and_rl_resume(self, tmp_path, monkeypatch):
         """An SCST run preempted mid-stream resumes from its own rl_
@@ -510,6 +511,6 @@ class TestSigtermEndToEnd:
         # don't hardcode the count — assert save/report coherence instead)
         import re
 
-        m = re.search(r"preempted — checkpoint saved at iter (\d+)", out)
+        m = re.search(r"preempted — checkpoint saved \(resumes at iter (\d+)\)", out)
         assert m, out[-3000:]
         assert infos["iter"] == int(m.group(1)) and "rng_key" in infos

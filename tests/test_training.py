@@ -165,7 +165,8 @@ class TestOrbaxCheckpoints:
         from recurrent_fusion_network_tpu.training import orbax_ckpt
 
         p, o, i = orbax_ckpt.load_checkpoint(str(tmp_path), "ox", 0, best=True)
-        assert "embed" in p and o is not None and i["iter"] == 3
+        # boundary after step 3 records iter=4: the next step to run
+        assert "embed" in p and o is not None and i["iter"] == 4
 
         # sharding-aware restore onto the 8-device mesh
         from jax.sharding import NamedSharding, PartitionSpec as P
