@@ -111,6 +111,10 @@ def save_checkpoint(
             _dir(checkpoint_path, run_id, rank, "optimizer", best, prefix),
             opt_state, force=True,
         )
+    # process-0 infos write assumes one REPLICATED logical checkpoint per
+    # rank (the solo loops). Per-host per-rank fleet saves would lose
+    # hosts>0's infos — which is why multi-host fleets refuse this backend
+    # (multi_seed.py's collective-backend assert).
     if infos is not None and jax.process_index() == 0:
         tag = f"{prefix}infos_{run_id}_{rank}" + ("-best" if best else "")
         with open(os.path.join(checkpoint_path, tag + ".pkl"), "wb") as f:
