@@ -35,12 +35,18 @@ from typing import Optional
 import numpy as np
 
 _MAX_HEADER = 64 * 1024
-_MAX_BODY = 256 * 1024 * 1024
+
+
+def _max_body() -> int:
+    from .http_serve import MAX_BODY  # one cap for both front ends
+
+    return MAX_BODY
 
 
 def _response(code: int, body: bytes, keep_alive: bool) -> bytes:
     reason = {200: "OK", 400: "Bad Request", 404: "Not Found",
-              413: "Payload Too Large", 500: "Internal Server Error"}
+              413: "Payload Too Large", 500: "Internal Server Error",
+              503: "Service Unavailable"}
     return (
         f"HTTP/1.1 {code} {reason.get(code, 'OK')}\r\n"
         f"Content-Type: application/json\r\n"
@@ -63,6 +69,10 @@ class AsyncCaptionFrontend:
         # requests past header parse and not yet responded — read by the
         # drain path; loop-confined writes (the event loop is one thread)
         self._inflight = 0
+        # set by the drain path: handlers stop admitting NEW requests (the
+        # listener close alone only blocks new CONNECTIONS — existing
+        # keep-alive clients would keep the drain from ever reaching zero)
+        self._draining = False
 
     # ------------------------------------------------------------- request
 
@@ -75,8 +85,12 @@ class AsyncCaptionFrontend:
             return 400, {"error": f"{type(e).__name__}: {e}"}
         try:
             fut = self.service.server.submit(fcs, atts)
-        except (ValueError, RuntimeError) as e:  # shape contract / closed
+        except ValueError as e:  # shape-contract violation: caller's fault
             return 400, {"error": f"{type(e).__name__}: {e}"}
+        except RuntimeError as e:  # server closed/closing: RETRYABLE — a
+            # rolling restart needs clients/load-balancers to see 503, not
+            # "your request was malformed"
+            return 503, {"error": f"{type(e).__name__}: {e}"}
         try:
             row = await asyncio.wrap_future(fut)
         except Exception as e:  # device/batch failure
@@ -89,15 +103,18 @@ class AsyncCaptionFrontend:
                       writer: asyncio.StreamWriter) -> None:
         try:
             while True:
+                if self._draining:
+                    # graceful stop: cut this keep-alive connection instead
+                    # of admitting another request (HTTP/1.1 clients treat
+                    # the close-between-requests as normal)
+                    return
                 try:
                     head = await reader.readuntil(b"\r\n\r\n")
                 except asyncio.IncompleteReadError:
                     return  # client closed between requests
                 except asyncio.LimitOverrunError:
-                    writer.write(_response(413, b'{"error":"headers"}', False))
-                    await writer.drain()
-                    return
-                if len(head) > _MAX_HEADER:
+                    # the oversize-header cap: start_server(limit=_MAX_HEADER)
+                    # makes readuntil raise before a longer head can return
                     writer.write(_response(413, b'{"error":"headers"}', False))
                     await writer.drain()
                     return
@@ -123,7 +140,7 @@ class AsyncCaptionFrontend:
                         400, b'{"error":"content-length"}', False))
                     await writer.drain()
                     return
-                if length > _MAX_BODY:
+                if length > _max_body():
                     writer.write(_response(413, b'{"error":"body"}', False))
                     await writer.drain()
                     return
@@ -195,6 +212,18 @@ class AsyncCaptionFrontend:
                 startup_error.append(e)
                 self._started.set()  # unblock start() immediately
             finally:
+                # let just-cancelled handler tasks finish unwinding (their
+                # finally blocks await writer.wait_closed()) before closing
+                # the loop — closing with pending tasks leaks sockets and
+                # spews 'Task was destroyed but it is pending'
+                try:
+                    pending = asyncio.all_tasks(self._loop)
+                    if pending:
+                        self._loop.run_until_complete(asyncio.wait(
+                            pending, timeout=5
+                        ))
+                except Exception:
+                    pass
                 self._loop.close()
 
         self._thread = threading.Thread(target=run, daemon=True)
@@ -222,9 +251,13 @@ class AsyncCaptionFrontend:
             drained = threading.Event()
 
             async def _drain():
+                self._draining = True  # handlers stop admitting new requests
                 if self._server is not None:
-                    self._server.close()  # stop accepting; handlers continue
-                    await self._server.wait_closed()
+                    # close the listener WITHOUT awaiting wait_closed():
+                    # on Python >= 3.12.1 wait_closed() waits for every
+                    # CONNECTION to drop, so one idle keep-alive client
+                    # would stall the drain for the full timeout
+                    self._server.close()
                 deadline = self._loop.time() + timeout
                 while self._inflight and self._loop.time() < deadline:
                     await asyncio.sleep(0.01)

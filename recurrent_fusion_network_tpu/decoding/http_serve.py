@@ -45,6 +45,10 @@ import numpy as np
 from ..data.vocab import decode_sequence
 from .serve import CaptionServer
 
+# request-body cap shared by both HTTP front ends (aio_serve imports it):
+# flagship 5-encoder f32 features are ~13 MB as npz, so 256 MB is generous
+MAX_BODY = 256 * 1024 * 1024
+
 
 def parse_features_payload(body: bytes, content_type: str = "",
                            max_bytes: int = 512 << 20):
@@ -254,6 +258,12 @@ class CaptionService:
 
 def make_handler(service: CaptionService):
     class Handler(BaseHTTPRequestHandler):
+        # socket timeout (stdlib applies it per connection): a client that
+        # stalls mid-upload or idles on keep-alive cannot pin this handler
+        # thread forever — the read raises timeout and the handler exits,
+        # which also bounds server_close()'s thread join at shutdown
+        timeout = 120
+
         def log_message(self, *a):  # quiet by default
             pass
 
@@ -278,7 +288,20 @@ def make_handler(service: CaptionService):
                 self._send(404, {"error": "unknown path"})
 
         def do_POST(self):
-            n = int(self.headers.get("Content-Length", 0))
+            # validate Content-Length like the asyncio front end does: a
+            # negative value would make rfile.read(-1) block until EOF
+            # (pinning this handler thread for the client's whole timeout),
+            # a non-numeric one would raise out of do_POST with no response
+            try:
+                n = int(self.headers.get("Content-Length", 0) or 0)
+            except ValueError:
+                n = -1
+            if n < 0:
+                self._send(400, {"error": "invalid Content-Length"})
+                return
+            if n > MAX_BODY:
+                self._send(413, {"error": "body too large"})
+                return
             body = self.rfile.read(n)
             try:
                 if self.path == "/caption":
@@ -293,6 +316,13 @@ def make_handler(service: CaptionService):
             except (json.JSONDecodeError, KeyError, TypeError, ValueError,
                     OSError) as e:  # malformed request/image -> client error
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+                return
+            except RuntimeError as e:
+                # server closed/closing (shutdown drain) is RETRYABLE: 503
+                # tells clients/load-balancers to retry elsewhere (matches
+                # the asyncio front end); other RuntimeErrors stay 500
+                code = 503 if "closed" in str(e) else 500
+                self._send(code, {"error": f"{type(e).__name__}: {e}"})
                 return
             except Exception as e:  # device/batch failure -> server error
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})

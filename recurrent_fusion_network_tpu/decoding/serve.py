@@ -20,10 +20,31 @@ import queue
 import threading
 import time
 from collections import deque
-from concurrent.futures import Future
+from concurrent.futures import Future, InvalidStateError
 from typing import Callable, Iterable, Iterator, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+def _safe_result(fut: Future, value) -> None:
+    """Resolve a request Future that a client may have CANCELLED (an asyncio
+    front end cancelling a handler task chains to concurrent-Future.cancel,
+    which always succeeds here — the worker never marks futures running).
+    An unguarded set_result would raise InvalidStateError and kill the
+    worker thread, hanging every other request forever."""
+    if not fut.cancelled():
+        try:
+            fut.set_result(value)
+        except InvalidStateError:  # cancelled between the check and the set
+            pass
+
+
+def _safe_exception(fut: Future, exc: BaseException) -> None:
+    if not fut.cancelled():
+        try:
+            fut.set_exception(exc)
+        except InvalidStateError:
+            pass
 
 
 def pipelined_map(fn: Callable, items: Iterable, *, depth: int = 2) -> Iterator:
@@ -155,6 +176,15 @@ class CaptionServer:
                 )
         fut: Future = Future()
         self._queue.put((fcs, atts, fut))
+        # close() racing this submit: if the closing flag flipped while we
+        # were validating, the worker (and close()'s own drain) may already
+        # have finished — our request could sit in a dead queue forever.
+        # The post-put re-check closes the window: either the put landed
+        # before close()'s post-join drain (which fails it), or the worker
+        # is already dead and we fail the leftovers ourselves. While the
+        # worker lives it still serves queued requests — don't steal them.
+        if self._closing.is_set() and not self._worker.is_alive():
+            self._drain_failed()
         return fut
 
     def _validate_dims(self, fcs, atts) -> None:
@@ -186,12 +216,16 @@ class CaptionServer:
         self._worker.join()
         # a submit() racing close() can land its request after the worker's
         # final drain; fail it rather than leave its Future pending forever
+        # (submit's post-put re-check covers the complementary window)
+        self._drain_failed()
+
+    def _drain_failed(self) -> None:
         while True:
             try:
                 *_, fut = self._queue.get_nowait()
             except queue.Empty:
                 break
-            fut.set_exception(RuntimeError("server closed before dispatch"))
+            _safe_exception(fut, RuntimeError("server closed before dispatch"))
 
     def __enter__(self):
         return self
@@ -253,6 +287,27 @@ class CaptionServer:
         return group
 
     def _dispatch(self, group):
+        # one batch = one shape: a spec reset after a failed unconfirmed
+        # dispatch can leave old-spec requests queued next to new-spec ones;
+        # stacking them together would fail the WHOLE mixed batch (innocent
+        # requests included). Keep the head request's shapes, fail strays
+        # individually — "a malformed request must fail alone" holds across
+        # spec resets too.
+        head = (
+            tuple(x.shape for x in group[0][0]),
+            tuple(x.shape for x in group[0][1]),
+        )
+        kept = []
+        for g in group:
+            spec = (tuple(x.shape for x in g[0]), tuple(x.shape for x in g[1]))
+            if spec == head:
+                kept.append(g)
+            else:
+                _safe_exception(g[2], ValueError(
+                    f"request feature shapes {spec} differ from this batch's "
+                    f"{head} (stale contract after a failed first batch)"
+                ))
+        group = kept
         futures = [g[2] for g in group]
         try:
             n = len(group)
@@ -271,7 +326,7 @@ class CaptionServer:
         except Exception as e:  # malformed request / compile / dispatch
             # error: fail THIS batch only, keep the worker alive
             for f in futures:
-                f.set_exception(e)
+                _safe_exception(f, e)
             with self._spec_lock:
                 if not self._spec_confirmed:
                     # the contract was established by a batch that never
@@ -292,7 +347,7 @@ class CaptionServer:
             host = jax.tree_util.tree_map(np.asarray, out)
         except Exception as e:  # device-side execution error
             for f in futures:
-                f.set_exception(e)
+                _safe_exception(f, e)
             return
         for i, fut in enumerate(futures):
-            fut.set_result(jax.tree_util.tree_map(lambda x: x[i], host))
+            _safe_result(fut, jax.tree_util.tree_map(lambda x: x[i], host))

@@ -142,10 +142,22 @@ def main(argv=None):
     httpd.shutdown()  # stop accepting; active handler threads continue
     service.close()  # drains queued + in-flight device batches, resolving
     # the futures the handler threads are blocked on
-    # ThreadingMixIn tracks handler threads (block_on_close, stdlib
-    # default True): join them so responses finish WRITING before the
-    # interpreter exits — daemon threads would be killed mid-response
-    httpd.server_close()
+    # server_close() releases the listener socket. Handler threads are
+    # daemons (stdlib never tracks daemon threads for the block_on_close
+    # join), and service.close() above already resolved every in-flight
+    # future, so responses for live requests are written by now. Run the
+    # close on a bounded side thread anyway: if daemon_threads ever flips,
+    # a client stalled mid-read must not hold shutdown past
+    # --drain_timeout (SIGKILL from the supervisor would record a crash
+    # instead of this clean exit).
+    import threading as _threading
+
+    closer = _threading.Thread(target=httpd.server_close, daemon=True)
+    closer.start()
+    closer.join(pre_args.drain_timeout)
+    if closer.is_alive():
+        print("drain timeout: abandoning stalled handler thread(s)",
+              flush=True)
     print("shutdown complete", flush=True)
 
 

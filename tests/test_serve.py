@@ -108,6 +108,45 @@ class TestCaptionServer:
         assert srv.stats["batches"] >= 3
         assert srv.stats["padded_rows"] == srv.stats["batches"] * 4 - 10
 
+    def test_cancelled_future_does_not_kill_worker(self):
+        """A client cancelling its Future (the asyncio front end does this
+        when a handler task is cancelled) must not crash the worker with
+        InvalidStateError — futures are never marked running, so cancel()
+        always succeeds; an unguarded set_result on it would kill the
+        worker thread and hang every later request."""
+        with CaptionServer(jax.jit(_fake_decode), batch_size=2, depth=2,
+                           flush_interval=0.005) as srv:
+            srv.submit(*_request(0)).cancel()
+            futs = [srv.submit(*_request(i)) for i in range(1, 5)]
+            for i, f in zip(range(1, 5), futs):
+                np.testing.assert_array_equal(
+                    f.result(timeout=60)["seq"], [i, i + 1, i + 2]
+                )
+        assert not srv._worker.is_alive()
+
+    def test_mixed_spec_batch_fails_strays_alone(self):
+        """One batch = one shape: after a failed unconfirmed first batch
+        resets the contract, a queued old-spec request must fail ALONE
+        instead of poisoning the batch it would be stacked into."""
+        from concurrent.futures import Future
+
+        srv = CaptionServer(_fake_decode, batch_size=2, flush_interval=0.005)
+        srv.close()  # worker gone: drive _dispatch/_resolve directly
+
+        def entry(i, att_shape=(2, 3)):
+            return ([np.full((4,), float(i), np.float32)],
+                    [np.full(att_shape, 0.5 * i, np.float32)], Future())
+
+        good0, stray, good1 = entry(0), entry(1, att_shape=(3, 3)), entry(2)
+        futures, out = srv._dispatch([good0, stray, good1])
+        srv._resolve(futures, out)
+        with pytest.raises(ValueError, match="differ from this batch"):
+            stray[2].result(timeout=5)
+        np.testing.assert_array_equal(
+            good0[2].result(timeout=5)["seq"], [0, 1, 2])
+        np.testing.assert_array_equal(
+            good1[2].result(timeout=5)["seq"], [2, 3, 4])
+
     def test_results_flow_without_close(self):
         """Futures resolve while the server stays open (window drains when
         the queue goes quiet — no deadlock waiting for more requests)."""
@@ -846,6 +885,138 @@ class TestAsyncFrontend:
                 assert s.recv(1) == b""
                 raise ConnectionRefusedError
         finally:
+            svc.close()
+
+    def test_graceful_drain_not_stalled_by_idle_keepalive(self):
+        """An IDLE keep-alive connection must not stall the graceful drain:
+        on Python >= 3.12.1 Server.wait_closed() waits for every CONNECTION
+        to drop, so awaiting it (old code) turned a sub-second shutdown into
+        the full timeout. The drain now closes only the listener, the
+        draining flag cuts idle keep-alive loops, and stop() returns as
+        soon as in-flight hits zero."""
+        import http.client
+        import time
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=4)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2)
+        fe = run_server_async(svc, "127.0.0.1", 0)
+        try:
+            b = loader.get_batch("val")
+            body = json.dumps({
+                "fc": [np.asarray(b["fc_feats"][0], np.float32).tolist()],
+                "att": [np.asarray(b["att_feats"][0], np.float32).tolist()],
+            })
+            conn = http.client.HTTPConnection("127.0.0.1", fe.port,
+                                              timeout=60)
+            conn.request("POST", "/caption", body=body)
+            r = conn.getresponse()
+            r.read()
+            assert r.status == 200
+            # connection now idles on keep-alive (parked in readuntil)
+            t0 = time.monotonic()
+            fe.stop(drain=True, timeout=25)
+            elapsed = time.monotonic() - t0
+            assert elapsed < 10, (
+                f"drain stalled {elapsed:.1f}s on an idle keep-alive "
+                f"connection"
+            )
+            conn.close()
+        finally:
+            svc.close()
+
+    def test_closed_service_returns_503_on_both_frontends(self):
+        """POSTs landing during/after shutdown get 503 (retryable — a
+        rolling restart wants load balancers to retry elsewhere), not 400
+        ('your request is malformed') or a generic 500."""
+        import http.client
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.aio_serve import (
+            run_server_async,
+        )
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+            run_server,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=5)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        b = loader.get_batch("val")
+        body = json.dumps({
+            "fc": [np.asarray(b["fc_feats"][0], np.float32).tolist()],
+            "att": [np.asarray(b["att_feats"][0], np.float32).tolist()],
+        })
+
+        for frontend in ("asyncio", "threads"):
+            svc = CaptionService(model, params, loader.get_vocab(),
+                                 batch_size=2, beam_size=2)
+            if frontend == "asyncio":
+                fe = run_server_async(svc, "127.0.0.1", 0)
+                port = fe.port
+            else:
+                httpd = run_server(svc, "127.0.0.1", 0)
+                port = httpd.server_address[1]
+            try:
+                svc.server.close()  # the shutdown path closes the server
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=60)
+                conn.request("POST", "/caption", body=body)
+                r = conn.getresponse()
+                assert r.status == 503, (frontend, r.status, r.read())
+                json.loads(r.read())
+                conn.close()
+            finally:
+                if frontend == "asyncio":
+                    fe.stop()
+                else:
+                    httpd.shutdown()
+                svc.close()
+
+    def test_threads_frontend_validates_content_length(self):
+        """Negative / non-numeric Content-Length on the THREADING front end
+        gets a 400 response instead of a blocking rfile.read(-1) (thread
+        pinned for the client's timeout) or an uncaught ValueError."""
+        import socket
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+            run_server,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", seed=6)
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2)
+        httpd = run_server(svc, "127.0.0.1", 0)
+        port = httpd.server_address[1]
+        try:
+            for bad in (b"-7", b"abc"):
+                with socket.create_connection(("127.0.0.1", port),
+                                              timeout=30) as s:
+                    s.sendall(b"POST /caption HTTP/1.1\r\n"
+                              b"Host: x\r\nContent-Length: " + bad +
+                              b"\r\n\r\n")
+                    resp = s.recv(4096)
+                    assert b"400" in resp.split(b"\r\n", 1)[0], (bad, resp)
+        finally:
+            httpd.shutdown()
             svc.close()
 
     def test_asyncio_mid_body_disconnect_and_bind_error(self):
