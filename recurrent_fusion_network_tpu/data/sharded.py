@@ -47,7 +47,10 @@ class ShardedFeatureSource:
         self.root = root
         with open(os.path.join(root, "manifest.json")) as f:
             m = json.load(f)
-        assert m.get("version") == 1, f"unknown store version {m.get('version')}"
+        # real exceptions, not asserts: format checks must survive python -O,
+        # and a layout mismatch must error rather than read plausible garbage
+        if m.get("version") != 1:
+            raise ValueError(f"unknown store version {m.get('version')}")
         self.fc_dim: int = m["fc_dim"]
         self.att_num: int = m["att_num"]
         self.att_dim: int = m["att_dim"]
@@ -56,6 +59,19 @@ class ShardedFeatureSource:
         self.shard_size: int = m["shard_size"]
         self.shards: List[dict] = m["shards"]
         self.ids: List = m["ids"]
+        # _locate maps rows with r // shard_size while _offsets trusts the
+        # per-shard counts — the two only agree when every non-final shard
+        # holds exactly shard_size rows and the counts sum to len(ids). An
+        # inconsistent manifest (hand-repaired store, truncated re-pack)
+        # must fail HERE, not silently return the wrong feature rows.
+        counts = [int(s["count"]) for s in self.shards]
+        if any(c != self.shard_size for c in counts[:-1]) or (
+            counts and not 0 < counts[-1] <= self.shard_size
+        ) or sum(counts) != len(self.ids):
+            raise ValueError(
+                f"inconsistent manifest: shard counts {counts} vs "
+                f"shard_size {self.shard_size} and {len(self.ids)} ids"
+            )
         self.row: Dict = {image_id: r for r, image_id in enumerate(self.ids)}
         self.io_threads = io_threads
         self._lib = None
@@ -101,7 +117,8 @@ class ShardedFeatureSource:
         n = len(image_ids)
         if variants is None:
             variants = ["original"] * n
-        assert len(variants) == n
+        if len(variants) != n:  # not an assert: must survive python -O
+            raise ValueError(f"{len(variants)} variants for {n} image ids")
         D, A, C = self.fc_dim, self.att_num, self.att_dim
         fc_out = np.empty((n, D), np.float32)
         att_out = np.empty((n, A, C), np.float32)
@@ -143,6 +160,12 @@ class ShardedFeatureSource:
         import ctypes
 
         self._seen_shards.add(shard)
+        if row_bytes % _F32:
+            # the C side writes n*row_bytes bytes into `out`; a non-multiple
+            # of 4 would make the floor-divided f32 buffer too SHORT — heap
+            # corruption, not an exception. No current caller does this;
+            # guard the boundary for future column types.
+            raise ValueError(f"row_bytes {row_bytes} must be f32-aligned")
         out = np.empty(n * (row_bytes // _F32), np.float32)
         offsets = np.ascontiguousarray(offsets, np.int64)
         rc = self._lib.gather_rows(

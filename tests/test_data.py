@@ -239,6 +239,52 @@ class TestShardedSource:
 
         assert load_library() is not None, "g++ is baked in; build must work"
 
+    def test_corrupt_cached_library_self_heals(self, tmp_path):
+        """A truncated/garbage .so NEWER than the source (pre-atomic builds
+        could leave one after a SIGTERM mid-link) must trigger a rebuild
+        from source, not a permanent silent fallback to the slow path."""
+        import os
+        import time
+
+        from recurrent_fusion_network_tpu.data.native import build
+
+        lib_path = build._LIB
+        backup = None
+        if os.path.exists(lib_path):
+            backup = lib_path + ".bak"
+            os.replace(lib_path, backup)
+        try:
+            with open(lib_path, "wb") as f:
+                f.write(b"\x7fELF garbage not a library")
+            future = time.time() + 3600  # newer than the source
+            os.utime(lib_path, (future, future))
+            build._state.clear()
+            lib = build.load_library()
+            assert lib is not None, "corrupt cache must rebuild, not fail"
+            assert hasattr(lib, "gather_rows")
+        finally:
+            build._state.clear()
+            if backup:
+                os.replace(backup, lib_path)
+
+    def test_inconsistent_manifest_rejected(self, tmp_path):
+        """_locate assumes every non-final shard holds exactly shard_size
+        rows; a manifest violating that must raise, not silently read the
+        wrong feature rows."""
+        import json as _json
+
+        from recurrent_fusion_network_tpu.data.sharded import (
+            ShardedFeatureSource,
+        )
+
+        self._store(tmp_path, n=10, shard_size=3)
+        man = tmp_path / "sh" / "manifest.json"
+        m = _json.loads(man.read_text())
+        m["shards"][0]["count"] = 2  # non-final shard short of shard_size
+        man.write_text(_json.dumps(m))
+        with pytest.raises(ValueError, match="inconsistent manifest"):
+            ShardedFeatureSource(str(tmp_path / "sh"))
+
     def test_only_touched_shards_open(self, tmp_path):
         """A host reading a row subset opens only that subset's shard files
         (the many-host locality property)."""
