@@ -102,6 +102,11 @@ class CiderD:
         backend: str = "auto",
         n_threads: int = 0,
     ):
+        if not 1 <= n <= N_MAX:
+            # the int64 key packs n 15-bit token digits under a 2^60 order
+            # tag — exactly four fit. n=5 would overflow: silent wraparound
+            # aliasing in numpy, signed-overflow UB in the C++ engine.
+            raise ValueError(f"n must be in [1, {N_MAX}] (int64 key capacity)")
         self.n = n
         self.sigma = sigma
         self.ref_len = float(ref_len)
@@ -233,6 +238,26 @@ class CiderD:
                 f"token id {hi} >= KEY_BASE ({int(KEY_BASE)}); n-gram hashing "
                 "would alias — raise KEY_BASE in rewards/cider_d.py"
             )
+        # negative ids alias too ((5,-1) hashes like (4, KEY_BASE-1)), and
+        # trim_with_eos only stops at 0 so e.g. -1 padding would reach the
+        # hash; the repo uses -1 padding elsewhere (top_words), so guard it
+        lo = min(
+            min((int(np.min(h)) for h in hyps if np.size(h)), default=0),
+            min((int(np.min(r)) for rs in refs_per_hyp for r in rs
+                 if np.size(r)), default=0),
+        )
+        if lo < 0:
+            raise ValueError(
+                f"negative token id {lo}: n-gram hashing requires ids in "
+                f"[0, KEY_BASE) — pad with 0 (EOS), not -1"
+            )
+        # empty reference groups: the numpy engine would raise
+        # ZeroDivisionError but the native one computes 0.0/0.0 = NaN and
+        # silently poisons the whole batch's policy gradient — fail loudly
+        # in BOTH engines before scoring
+        for i, rs in enumerate(refs_per_hyp):
+            if len(rs) == 0:
+                raise ValueError(f"empty reference set for hypothesis {i}")
         if self._native_ctx is not None:
             return self._score_native(hyps, refs_per_hyp, ref_cache_keys)
         cache: Dict = {}

@@ -6,9 +6,11 @@ baseline, combine with weights, and broadcast the per-sentence reward over
 timesteps (get_rewards.py:39-112).
 
 SPICE (an external Java HTTP service in the reference, spiceD.py:30-114) is
-supported through an optional callable hook with the same (gts, res) -> scores
-contract; the default reward is CIDEr-only like the reference's defaults
-(opts.py:193-198).
+supported through an optional callable hook called as
+``spice_fn(hyps, refs_per_hyp) -> per-hyp scores`` — hypotheses FIRST, one
+reference list per hypothesis row (NOT the reference jar's (gts, res)
+argument order; metrics/spice.py's adapters implement this contract). The
+default reward is CIDEr-only like the reference's defaults (opts.py:193-198).
 """
 
 from __future__ import annotations
@@ -55,11 +57,15 @@ def compute_reward(
 
     if bleu4_weight > 0:
         scorer = BleuScorer(4)
-        for h, rs in zip(hyps, refs):
-            scorer.append(
-                [str(t) for t in trim_with_eos(h)],
-                [[str(t) for t in trim_with_eos(r)] for r in rs],
-            )
+        # tokenize each IMAGE's reference set once (2B rows share n_img
+        # sets — rebuilding per row cost ~2*seq_per_img redundant passes
+        # per image on this CPU hot path; same dedup the CIDEr path gets
+        # from ref_cache_keys)
+        ref_toks = [
+            [[str(t) for t in trim_with_eos(r)] for r in g] for g in gts
+        ]
+        for h, j in zip(hyps, img_of):
+            scorer.append([str(t) for t in trim_with_eos(h)], ref_toks[j])
         _, per_sent = scorer.compute()
         bleu4 = np.array([s[3] for s in per_sent])
     else:

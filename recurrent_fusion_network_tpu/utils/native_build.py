@@ -34,8 +34,13 @@ def compile_library(src: str, lib: str) -> bool:
     any toolchain failure."""
     cxx = os.environ.get("CXX", "g++")
     tmp = f"{lib}.{os.getpid()}.tmp"
-    cmd = [cxx, "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-           src, "-o", tmp]
+    # -ffp-contract=off: GCC contracts a*b+c into FMA by default at -O3 on
+    # FMA-capable targets, which would round differently from the numpy
+    # fallback — the native/numpy engines must not make training rewards
+    # depend on the build toolchain (they still differ at the last ULP
+    # from summation ORDER; see the CiderD backend note)
+    cmd = [cxx, "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+           "-std=c++17", "-pthread", src, "-o", tmp]
     try:
         proc = subprocess.run(cmd, capture_output=True, timeout=240)
         if proc.returncode != 0:

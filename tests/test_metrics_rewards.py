@@ -217,7 +217,14 @@ class TestHarness:
 
 
 class TestNativeCiderD:
-    def test_native_matches_python_exactly(self):
+    def test_native_matches_python_to_float64_rounding(self):
+        """The two engines share the exact algorithm and key packing but
+        accumulate in different ORDERS (C++ sequential loops vs numpy
+        pairwise/BLAS), so agreement is to float64 rounding (rtol 1e-12),
+        not bitwise; builds pin -ffp-contract=off so FMA contraction
+        cannot widen the gap per toolchain. Pick backend='numpy' or
+        'native' explicitly when bitwise cross-machine reproducibility
+        of RL rewards matters."""
         import shutil
 
         if shutil.which("g++") is None:
