@@ -209,6 +209,11 @@ def _align(
     selection rule); falls back to greedy past NODE_BUDGET search nodes."""
     cands = _candidates(hyp, ref, synonyms)
     n = len(hyp)
+    # dfs recurses once per hypothesis token: a degenerate/adversarial
+    # caption past ~400 tokens would hit Python's recursion limit before
+    # the node budget could trigger the documented greedy fallback
+    if n > 400:
+        return _align_greedy(hyp, ref, synonyms)
     # last hyp position that can use each ref position (dominance prune)
     last_user = {}
     for i in range(n):
@@ -223,17 +228,6 @@ def _align(
     for i in range(n - 1, -1, -1):
         suffix_possible[i] = suffix_possible[i + 1] + (1 if cands[i] else 0)
 
-    def chunks_of(m):
-        c, prev = 0, None
-        for j in m:
-            if j < 0:
-                prev = None
-                continue
-            if prev is None or j != prev + 1:
-                c += 1
-            prev = j
-        return c
-
     def dfs(i, count):
         best["nodes"] += 1
         if best["nodes"] > NODE_BUDGET:
@@ -241,7 +235,7 @@ def _align(
         if count + suffix_possible[i] < best["count"]:
             return  # cannot reach the current best match count
         if i == n:
-            ch = chunks_of(match)
+            ch = _chunks(match)
             if count > best["count"] or (
                 count == best["count"] and ch < best["chunks"]
             ):
@@ -274,7 +268,7 @@ def _align(
         # wins on the (count, -chunks) objective
         g = _align_greedy(hyp, ref, synonyms)
         g_count = sum(1 for j in g if j >= 0)
-        if (g_count, -chunks_of(g)) > (best["count"], -best["chunks"]):
+        if (g_count, -_chunks(g)) > (best["count"], -best["chunks"]):
             return g
     return best["match"]
 
@@ -293,11 +287,26 @@ def _chunks(match: List[int]) -> int:
     return n
 
 
-def meteor_sentence(
+def _score_from_stats(m_h, m_r, len_h, len_r, chunks) -> float:
+    if m_h <= 0 or m_r <= 0 or len_h <= 0 or len_r <= 0:
+        return 0.0
+    p = m_h / len_h
+    r = m_r / len_r
+    f_mean = p * r / (ALPHA * p + (1 - ALPHA) * r)
+    frag = chunks / ((m_h + m_r) / 2.0)
+    return f_mean * (1 - GAMMA * frag**BETA)
+
+
+def meteor_sentence_stats(
     hyp: Sequence[str], refs: List[Sequence[str]],
     synonyms: Optional[SynonymTable] = None,
     paraphrases: Optional[ParaphraseTable] = None,
-) -> float:
+):
+    """(score, stats) for the best-scoring reference. stats is the
+    (m_h, m_r, len_h, len_r, chunks) sufficient-statistic tuple the jar
+    pools over the corpus for its FINAL score (Meteor-1.5 aggregates
+    segment stats and computes P/R/penalty once — NOT the mean of
+    per-segment scores)."""
     if paraphrases is not None:
         hyp, hyp_w = paraphrases.canonicalize_weighted(list(hyp))
         ref_pairs = [paraphrases.canonicalize_weighted(list(r)) for r in refs]
@@ -305,6 +314,12 @@ def meteor_sentence(
         hyp_w = [1] * len(hyp)
         ref_pairs = [(list(r), [1] * len(r)) for r in refs]
     best = 0.0
+    # zero-match segments still contribute their lengths to the pooled
+    # denominators (first reference, deterministically)
+    best_stats = (
+        0, 0, sum(hyp_w),
+        sum(ref_pairs[0][1]) if ref_pairs else 0, 0,
+    )
     for ref, ref_w in ref_pairs:
         if not hyp or not ref:
             continue
@@ -319,13 +334,19 @@ def meteor_sentence(
         # a paraphrase table, which reduces to the plain formula)
         m_h = sum(hyp_w[i] for i, j in enumerate(match) if j >= 0)
         m_r = sum(ref_w[j] for j in match if j >= 0)
-        p = m_h / sum(hyp_w)
-        r = m_r / sum(ref_w)
-        f_mean = p * r / (ALPHA * p + (1 - ALPHA) * r)
-        frag = _chunks(match) / ((m_h + m_r) / 2.0)
-        score = f_mean * (1 - GAMMA * frag**BETA)
-        best = max(best, score)
-    return best
+        stats = (m_h, m_r, sum(hyp_w), sum(ref_w), _chunks(match))
+        score = _score_from_stats(*stats)
+        if score > best:
+            best, best_stats = score, stats
+    return best, best_stats
+
+
+def meteor_sentence(
+    hyp: Sequence[str], refs: List[Sequence[str]],
+    synonyms: Optional[SynonymTable] = None,
+    paraphrases: Optional[ParaphraseTable] = None,
+) -> float:
+    return meteor_sentence_stats(hyp, refs, synonyms, paraphrases)[0]
 
 
 def compute_meteor(gts: Dict, res: Dict, synonyms=None, paraphrases=None):
@@ -351,9 +372,17 @@ def compute_meteor(gts: Dict, res: Dict, synonyms=None, paraphrases=None):
         paraphrases = ParaphraseTable.from_file(paraphrases)
 
     keys = sorted(gts.keys(), key=str)
-    scores = [
-        meteor_sentence(res[k][0].split(), [r.split() for r in gts[k]],
-                        synonyms, paraphrases)
-        for k in keys
-    ]
-    return float(np.mean(scores)) if scores else 0.0, scores
+    scores, pooled = [], np.zeros(5)
+    for k in keys:
+        s, stats = meteor_sentence_stats(
+            res[k][0].split(), [r.split() for r in gts[k]],
+            synonyms, paraphrases,
+        )
+        scores.append(s)
+        pooled += np.asarray(stats, float)
+    # corpus score = jar semantics: POOL the per-segment sufficient
+    # statistics (matches, lengths, chunks of each segment's best
+    # alignment) and compute P/R/penalty once — not the mean of the
+    # per-segment scores (macro and micro differ whenever lengths vary)
+    corpus = _score_from_stats(*pooled) if scores else 0.0
+    return corpus, scores

@@ -293,8 +293,11 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
             continue
         if w in CONJUNCTIONS:
             # modifier conjunction inside an NP ("a black and white cat"):
-            # everything so far is adjective-like, so keep the NP open
-            if np_words and all(
+            # everything so far is adjective-like, so keep the NP open.
+            # len cap: re-scanning the open NP per conjunction is O(n^2)
+            # on an adversarial "red and red and ..." caption; real NPs
+            # never carry 32 modifiers, so past that just close the NP.
+            if np_words and len(np_words) < 32 and all(
                 m in COLORS or m in SIZES or _is_verb_like(m)
                 for m in np_words
             ):
@@ -413,17 +416,17 @@ class _Matcher:
     SynonymTable, the same format as METEOR's, metrics/meteor.py)."""
 
     def __init__(self, synonyms=None):
-        self._groups: Dict[str, Set[int]] = {}
-        for gid, group in enumerate(BUILTIN_SYNONYM_GROUPS):
-            for w in group:
-                self._groups.setdefault(w, set()).add(gid)
+        from .meteor import SynonymTable
+
+        # the word->group-set index IS SynonymTable's job — reuse it for
+        # the builtin groups rather than keeping a second implementation
+        self._builtin = SynonymTable(BUILTIN_SYNONYM_GROUPS)
         self._user = synonyms  # SynonymTable-like (.related) or None
 
     def words_match(self, a: str, b: str) -> bool:
         if a == b:
             return True
-        ga, gb = self._groups.get(a), self._groups.get(b)
-        if ga and gb and not ga.isdisjoint(gb):
+        if self._builtin.related(a, b):
             return True
         return bool(self._user is not None and self._user.related(a, b))
 
@@ -433,24 +436,33 @@ class _Matcher:
         )
 
     def count_matches(self, cand: Set[tuple], ref: Set[tuple]) -> int:
-        """Greedy bipartite matching (exact matches claimed first so a
-        synonym never steals an exact partner)."""
-        remaining = set(ref)
-        matched = 0
-        inexact = []
-        for t in cand:
-            if t in remaining:
-                remaining.discard(t)
-                matched += 1
-            else:
-                inexact.append(t)
-        for t in inexact:
-            for r in remaining:
-                if self.tuples_match(t, r):
-                    remaining.discard(r)
-                    matched += 1
-                    break
-        return matched
+        """MAXIMUM bipartite matching (Kuhn's augmenting paths) over sorted
+        tuple lists. Greedy set-iteration was both nondeterministic (set
+        order varies with PYTHONHASHSEED, so the same corpus scored
+        differently per process) and an undercount when a tuple with many
+        synonym partners grabbed a reference another tuple needed —
+        synonym relations are NOT transitive, so matching is a real
+        bipartite problem. Per-caption tuple sets are tiny (tens), so
+        O(V*E) is nothing."""
+        cand_l = sorted(cand)
+        ref_l = sorted(ref)
+        adj = [
+            [j for j, r in enumerate(ref_l) if self.tuples_match(t, r)]
+            for t in cand_l
+        ]
+        match_r = [-1] * len(ref_l)
+
+        def augment(i, seen):
+            for j in adj[i]:
+                if j in seen:
+                    continue
+                seen.add(j)
+                if match_r[j] < 0 or augment(match_r[j], seen):
+                    match_r[j] = i
+                    return True
+            return False
+
+        return sum(augment(i, set()) for i in range(len(cand_l)))
 
 
 def _prf(cand: Set[tuple], ref: Set[tuple], matcher: _Matcher):

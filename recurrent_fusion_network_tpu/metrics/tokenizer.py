@@ -31,7 +31,9 @@ _SPLIT = re.compile(r"[\s]+")
 # PTB clitic suffixes, split into their own tokens (kept by the strip list)
 _CLITIC = re.compile(r"(n't|'s|'m|'re|'ve|'ll|'d)$")
 _BRACKET_QUOTE = re.compile(r"[\(\)\[\]\{\}\"]")
-_STANDALONE = re.compile(r"(\.\.\.|--|[,;:\?\!])")
+# , and : stay word-internal when DIGIT-flanked (CoreNLP keeps '1,000' and
+# '4:30' as single tokens); elsewhere they split off like ; ? !
+_STANDALONE = re.compile(r"(\.\.\.|--|[;\?\!]|(?<!\d)[,:]|[,:](?!\d))")
 _STRIP_SET = frozenset(PUNCTUATIONS)
 
 
@@ -45,6 +47,13 @@ def tokenize_sentence(s: str) -> List[str]:
     for tok in _SPLIT.split(s.strip()):
         if not tok:
             continue
+        # sentence-final period splits off BEFORE clitic analysis (PTB
+        # emits "dog 's ." — period-last order; stripping it after the
+        # clitic check left "dog's." fused while mid-sentence "dog's"
+        # split, so the same word never matched across positions);
+        # abbreviation periods (u.s.) stay word-internal like PTB keeps them
+        if len(tok) > 1 and tok.endswith(".") and "." not in tok[:-1]:
+            tok = tok[:-1]
         if _CLITIC.fullmatch(tok):  # a bare clitic survives whole
             out.append(tok)
             continue
@@ -56,10 +65,6 @@ def tokenize_sentence(s: str) -> List[str]:
             head, tail = tok, None
         # PTB renders quote-wrapped words as ` word ' (both stripped)
         head = head.strip("'`")
-        # sentence-final period splits off (and is stripped); abbreviation
-        # periods (u.s.) stay word-internal like PTB keeps them
-        if head.endswith(".") and "." not in head[:-1]:
-            head = head[:-1]
         if head and head not in _STRIP_SET:
             out.append(head)
         if tail is not None:

@@ -43,6 +43,25 @@ class TestTokenizer:
         assert tokenize_sentence("the {large} [sign]") == \
             ["the", "large", "sign"]
 
+    def test_final_period_splits_before_clitics(self):
+        """'dog's.' must tokenize like mid-sentence 'dog's' (PTB emits the
+        period LAST: dog 's .) — stripping the period after the clitic
+        check left the clitic fused at sentence end, so the same word never
+        matched across positions (review r3)."""
+        assert tokenize_sentence("it is the dog's.") == \
+            ["it", "is", "the", "dog", "'s"]
+        assert tokenize_sentence("don't stop.") == ["do", "n't", "stop"]
+
+    def test_digit_internal_comma_colon_kept(self):
+        """CoreNLP keeps '1,000' and '4:30' as single tokens; the split
+        rules only break , and : when not digit-flanked (review r3)."""
+        assert tokenize_sentence("over 1,000 people at 4:30") == \
+            ["over", "1,000", "people", "at", "4:30"]
+        assert tokenize_sentence("red, blue: green") == \
+            ["red", "blue", "green"]
+        assert tokenize_sentence("time: 4:30, cost: 1,000") == \
+            ["time", "4:30", "cost", "1,000"]
+
 
 class TestBleu:
     def test_perfect_match(self):
@@ -294,6 +313,35 @@ class TestMeteor:
         assert stemmed > 0.8
         mean, per = compute_meteor({0: ["a man rides"]}, {0: ["a man rides"]})
         assert mean > 0.9 and len(per) == 1
+
+    def test_meteor_long_hypothesis_falls_back_not_crashes(self):
+        """A degenerate 1200-token caption must take the documented greedy
+        fallback, not blow Python's recursion limit (the dfs recursed once
+        per hyp token before the node budget could trigger — review r3)."""
+        from recurrent_fusion_network_tpu.metrics.meteor import meteor_sentence
+
+        s = meteor_sentence(["tok"] * 1200, [["tok"] * 1200])
+        assert s == pytest.approx(1 - 0.5 * (1 / 1200) ** 3, rel=1e-6)
+
+    def test_meteor_corpus_score_pools_statistics(self):
+        """The jar's corpus METEOR pools per-segment sufficient statistics
+        (matches, lengths, chunks) and computes P/R/penalty ONCE — not the
+        mean of per-segment scores. With unequal segment lengths the two
+        differ; assert we report the pooled (micro) value."""
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.metrics.meteor import compute_meteor
+
+        gts = {0: ["a b"], 1: ["a b c d e f g h i j"]}
+        res = {0: ["a b"], 1: ["a b c d e x x x x x"]}
+        corpus, per = compute_meteor(gts, res)
+        assert len(per) == 2
+        assert corpus != pytest.approx(float(np.mean(per)))
+        # pooled by hand: seg0 m=2 ch=1 len 2/2; seg1 m=5 ch=1 len 10/10
+        P = R = (2 + 5) / (2 + 10)
+        f = P * R / (0.9 * P + 0.1 * R)
+        frag = (1 + 1) / ((7 + 7) / 2.0)
+        assert corpus == pytest.approx(f * (1 - 0.5 * frag**3), rel=1e-9)
 
     def test_meteor_in_harness(self):
         out = evaluate_captions(

@@ -90,6 +90,23 @@ class TestSceneGraphParser:
 
 
 class TestScoring:
+    def test_matcher_is_maximal_and_deterministic(self):
+        """Tuple matching must be a MAXIMUM bipartite matching: synonym
+        relations are not transitive, so greedy set-iteration both
+        undercounted (a many-partnered tuple could steal the only
+        reference another tuple fit) and varied with PYTHONHASHSEED
+        (review r3)."""
+        from recurrent_fusion_network_tpu.metrics.meteor import SynonymTable
+        from recurrent_fusion_network_tpu.metrics.spice_approx import _Matcher
+
+        m = _Matcher(SynonymTable([["b", "c"], ["b", "a"]]))
+        cand = {("b",), ("a",)}
+        ref = {("c",), ("a",)}
+        # greedy could try b->a first, stranding a (count 1); the maximum
+        # matching is b->c, a->a (count 2)
+        for _ in range(5):  # any iteration order must give the same answer
+            assert m.count_matches(cand, ref) == 2
+
     def test_identical_is_one(self):
         s = score_pair("a man riding a horse", ["a man riding a horse"])
         assert s["All"]["f"] == pytest.approx(1.0)
