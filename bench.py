@@ -248,21 +248,32 @@ def bench_train(model, dtype_name):
     probe_tflops = None
     try:
         M = 8192
+        K = 8  # chained matmuls per timed call
         a = jax.random.normal(key, (M, M)).astype(jnp.bfloat16)
         b = jax.random.normal(jax.random.fold_in(key, 99), (M, M)).astype(
             jnp.bfloat16)
-        mm = jax.jit(lambda a, b: a @ b)
-        jax.block_until_ready(mm(a, b))  # compile + warm
+
+        # A data-dependent CHAIN of K matmuls ending in a scalar: the
+        # 4-byte readback is a RELIABLE completion barrier (the train
+        # timings use readbacks for exactly that reason — _median_time's
+        # note that block_until_ready under-barriers on tunneled
+        # transports applies here too), while K amortizes the one
+        # dispatch+readback round-trip so it can't dominate a ~25 ms
+        # matmul the way a per-call barrier would.
+        def chain(a, b):
+            y = a
+            for _ in range(K):
+                y = y @ b
+            return y[0, 0].astype(jnp.float32)
+
+        mm = jax.jit(chain)
+        np.asarray(mm(a, b))  # compile + warm
         t = []
         for _ in range(3):
-            # block_until_ready, NOT np.asarray: the probe must time the
-            # matmul alone — a 128 MB device-to-host readback in the timed
-            # region would understate the ceiling and inflate
-            # mfu_vs_demonstrated (the train step only reads back a scalar)
             t0 = time.perf_counter()
-            jax.block_until_ready(mm(a, b))
+            np.asarray(mm(a, b))
             t.append(time.perf_counter() - t0)
-        probe_tflops = 2 * M**3 / float(np.median(t)) / 1e12
+        probe_tflops = K * 2 * M**3 / float(np.median(t)) / 1e12
     except Exception:
         pass
     return {
@@ -383,35 +394,81 @@ def _run_phase(phase: str):
         return bench_decode(dataclasses.replace(model, tied_att_keys=False))
     if phase == "rl":
         return bench_rl(model)
-    return bench_train(model, "bfloat16" if phase == "train_bf16" else "float32")
+    if phase in ("train_f32", "train_float32", "train_bf16"):
+        return bench_train(
+            model, "bfloat16" if phase == "train_bf16" else "float32"
+        )
+    # a typo'd phase must error loudly, not silently record f32-train
+    # numbers under the wrong label
+    raise ValueError(f"unknown bench phase {phase!r}")
 
 
 def main():
     import subprocess
     import sys
 
+    import signal
+
     # Each phase runs in its own subprocess so it gets a fresh TPU memory
     # state — the decode graph's buffers and the f32 training step do not
     # both fit on one chip otherwise.
     results = {}
+    # one phase child at a time; a SIGTERM to THIS process must take the
+    # child with it (an orphan keeps the TPU client open and blocks the
+    # driver's next bench attempt)
+    child = {"proc": None}
+
+    def _terminate(signum, frame):
+        p = child["proc"]
+        if p is not None and p.poll() is None:
+            p.kill()
+        raise SystemExit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _terminate)
+
     def run_phase(phase, rows=None):
         env = dict(os.environ)
         if rows is not None:
             env["BENCH_TRAIN_ROWS"] = str(rows)
-        proc = subprocess.run(
+        p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--phase", phase],
-            capture_output=True, text=True, env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
-        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
-        if proc.returncode != 0 or not line.startswith("{"):
-            print(f"# phase {phase} (rows={rows}) failed:\n"
-                  f"{proc.stderr[-2000:]}", file=sys.stderr)
+        child["proc"] = p
+        try:
+            # a wedged TPU dispatch/compile must not hang the whole bench
+            # forever — the ONE-JSON-line contract needs main() to finish
+            out, err = p.communicate(timeout=2400)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, err = p.communicate()
+            print(f"# phase {phase} (rows={rows}) timed out", file=sys.stderr)
             return None
-        return json.loads(line)
+        finally:
+            child["proc"] = None
+        # the phase's JSON is the LAST line that parses — atexit hooks or
+        # stray library prints after it must not fail a successful phase
+        payload = None
+        for line in reversed(out.strip().splitlines()):
+            try:
+                payload = json.loads(line)
+                break
+            except ValueError:
+                continue
+        if p.returncode != 0 or not isinstance(payload, dict):
+            print(f"# phase {phase} (rows={rows}) failed:\n"
+                  f"{err[-2000:]}", file=sys.stderr)
+            return None
+        return payload
 
     for phase in ("decode", "decode_parity", "train_f32", "train_bf16", "rl"):
         results[phase] = run_phase(phase)
+        if results[phase] is None:
+            # one same-config retry: the tunneled backend throws transient
+            # FAILED_PRECONDITION-class errors (TRAIN_CFG note) and the
+            # headline decode must not die to a one-off transport blip
+            results[phase] = run_phase(phase)
         if results[phase] is None and phase.startswith("train_"):
             # the top train batches sit near the HBM edge; retry smaller
             dt = "bfloat16" if phase.endswith("bf16") else "float32"
