@@ -31,6 +31,17 @@ def make_ensemble_step_fn(members: Sequence[Tuple[Any, Any, Any]]):
     members: sequence of (model, params, memory) triples. The carry is a tuple
     of per-model states. For MoS models the 'logit' is the mixture probability
     (matching the reference's one_time_step contract).
+
+    Reference QUIRK preserved deliberately: the reference ensembles MoS
+    members by log_softmax(mean(mixture PROBABILITIES)) — one_time_step
+    returns self.mos(output) (probabilities in [0,1],
+    misc/ReviewNetModel.py:156-165) and model_ensemble_*_one_step applies
+    log_softmax to their mean (eval_utils.py:282-289). That compresses
+    per-step scores into a ~1-nat range (a single-member MoS "ensemble"
+    does not reduce to the solo decode's log(p)), and mixing MoS with
+    non-MoS members averages [0,1] probabilities against raw logits. We
+    reproduce it exactly for output parity; MoS is ReviewNet-only and
+    off by default, and the flagship RFNet ensembles are unaffected.
     """
 
     def step_fn(tokens, states):

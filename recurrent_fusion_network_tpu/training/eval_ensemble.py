@@ -17,19 +17,28 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.vocab import decode_sequence
 from ..decoding.ensemble import ensemble_sample, flip_combine
 from ..metrics.coco_eval import language_eval
-from .eval_split import batch_feats, cast_tree, dedupe_feats, eval_dtype
+from .eval_split import (
+    batch_feats,
+    cast_tree,
+    dedupe_feats,
+    default_gts_lookup,
+    eval_dtype,
+    iter_eval_batches,
+    trim_to_budget,
+)
 
 
-def _member_feats(data, n_members, diff_feat, batch_size, seq_per_img,
-                  dtype=None):
-    """Per-member (fc, att), deduped to one row per image."""
-    fc, att = batch_feats(data, dtype)
-    fc1, att1 = dedupe_feats(fc, att, batch_size, seq_per_img)
+def _to_device(x):
+    return [jnp.asarray(v) for v in x] if isinstance(x, list) else jnp.asarray(x)
+
+
+def _member_splits(fc1, att1, n_members, diff_feat):
     if diff_feat:
         assert isinstance(fc1, list) and len(fc1) >= n_members, (
             "diff_feat ensemble needs a feat_array batch with one encoder "
@@ -37,6 +46,20 @@ def _member_feats(data, n_members, diff_feat, batch_size, seq_per_img,
         )
         return [(fc1[i], att1[i]) for i in range(n_members)]
     return [(fc1, att1) for _ in range(n_members)]
+
+
+def _member_feats(data, n_members, diff_feat, batch_size, seq_per_img,
+                  dtype=None):
+    """Per-member (fc, att), deduped to one row per image.
+
+    Dedupe runs on HOST numpy BEFORE the device conversion: the loader's
+    batch carries seq_per_img repeated rows per image (the loss pass needs
+    them; the ensemble has no loss pass), so converting first would
+    transfer ~spi x the needed feature bytes per batch."""
+    fc, att = batch_feats(data, dtype, as_numpy=True)
+    fc1, att1 = dedupe_feats(fc, att, batch_size, seq_per_img)
+    return _member_splits(_to_device(fc1), _to_device(att1),
+                          n_members, diff_feat)
 
 
 def eval_ensemble(
@@ -81,6 +104,18 @@ def eval_ensemble(
     dtype = eval_dtype(opt)
     if dtype is not None:
         params_list = [cast_tree(p, dtype) for p in params_list]
+    # commit member params to device ONCE: host-side trees passed to a
+    # jitted fn re-upload on every call — at flagship scale that is all N
+    # members' full weights per dispatched batch (x2 under flip_ensemble),
+    # with two batches in flight under the pipeline
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        params_list = jax.device_put(
+            params_list, NamedSharding(mesh, PartitionSpec())
+        )
+    else:
+        params_list = jax.device_put(params_list)
     decode_jit = jax.jit(
         lambda ps, feats: ensemble_sample(models, ps, feats, beam_size=beam_size)
     )
@@ -89,18 +124,10 @@ def eval_ensemble(
     loader.reset_iterator(split)
     vocab = loader.get_vocab()
     predictions = []
-
-    def batches():
-        n = 0
-        while True:
-            data = loader.get_batch(split, variant="original") \
-                if flip_ensemble else loader.get_batch(split)
-            n += loader.batch_size
-            yield data
-            if data["bounds"]["wrapped"]:
-                return
-            if val_images_use > 0 and n >= val_images_use:
-                return
+    batches = lambda: iter_eval_batches(
+        loader, split, val_images_use,
+        variant="original" if flip_ensemble else None,
+    )
 
     def _shard(feats):
         if mesh is None:
@@ -118,9 +145,9 @@ def eval_ensemble(
             return out_a, None
         # same images, flipped features (the iterator is not advanced:
         # the SAME batch's images reload under the flip variant)
-        data_flip = _reload_variant(loader, data, "flip")
-        feats_f = _shard(_member_feats(data_flip, len(members), diff_feat,
-                                       local_bs, loader.seq_per_img, dtype))
+        fc_f, att_f = _variant_feats(loader, data, "flip", dtype)
+        feats_f = _shard(_member_splits(_to_device(fc_f), _to_device(att_f),
+                                        len(members), diff_feat))
         return out_a, decode(feats_f)
 
     from ..decoding.serve import pipelined_map
@@ -137,27 +164,12 @@ def eval_ensemble(
             b = data["bounds"]
             print(f"ensemble {split} ... {b['it_pos_now']}/{b['it_max']}")
 
-    limit = len(loader.split_image_id[split])
-    if val_images_use > 0:
-        limit = min(limit, val_images_use)
-    predictions = predictions[:limit]
+    predictions = trim_to_budget(predictions, loader, split, val_images_use)
 
     lang_stats = None
     if language_eval_flag:
         if gts_lookup is None:
-            ds = loader.dataset
-
-            def gts_lookup(image_id):
-                # same protocol as eval_split: prefer the raw annotation
-                # sentences (coco-caption scores against the annotations
-                # JSON); the label-matrix fallback is truncated/UNK-ed and
-                # not comparable to the reference's absolute scores
-                raw = ds.raw_sentences_for_image(image_id)
-                if raw:
-                    return raw
-                if image_id not in ds.image_id_to_index:
-                    return []
-                return decode_sequence(vocab, ds.captions_for_image(image_id))
+            gts_lookup = default_gts_lookup(loader)
 
         lang_stats = language_eval(
             gts_lookup, predictions, f"ensemble_{opt.id}_{rank}", split,
@@ -166,11 +178,12 @@ def eval_ensemble(
     return predictions, lang_stats
 
 
-def _reload_variant(loader, data, variant):
-    """Load the same images' features under another augmentation variant."""
+def _variant_feats(loader, data, variant, dtype=None):
+    """The same images' features under another augmentation variant —
+    already one row per image (no seq_per_img repeat + re-dedupe: the
+    decode only ever consumes the deduped rows)."""
     sources = loader.sources
     ids = [info["id"] for info in data["infos"]]
-    spi = loader.seq_per_img
     fc_batch = [[] for _ in sources]
     att_batch = [[] for _ in sources]
     for image_id in ids:
@@ -180,13 +193,9 @@ def _reload_variant(loader, data, variant):
                 att = att.reshape(-1, att.shape[-1])
             fc_batch[m].append(fc)
             att_batch[m].append(att)
-    out = dict(data)
-    fc_all = [np.repeat(np.stack(fb), spi, axis=0).astype(np.float32) for fb in fc_batch]
-    att_all = [np.repeat(np.stack(ab), spi, axis=0).astype(np.float32) for ab in att_batch]
+    dt = dtype or np.float32
+    fc_all = [np.stack(fb).astype(dt) for fb in fc_batch]
+    att_all = [np.stack(ab).astype(dt) for ab in att_batch]
     if "fc_feats_array" in data:
-        out["fc_feats_array"] = fc_all
-        out["att_feats_array"] = att_all
-    else:
-        out["fc_feats"] = fc_all[0]
-        out["att_feats"] = att_all[0]
-    return out
+        return fc_all, att_all
+    return fc_all[0], att_all[0]

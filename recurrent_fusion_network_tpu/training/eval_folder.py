@@ -34,6 +34,18 @@ def eval_image_folder(
     att_size: int = 14,
 ) -> List[dict]:
     """Returns [{'image_id', 'file', 'caption'}] for every image in the folder."""
+    # one backbone feeds one encoder: a multi-encoder RecurrentFusionModel
+    # must be refused HERE with a clear message (its encode asserts
+    # len(fc_feats) == M deep inside jit tracing otherwise); an M==1
+    # feat-array model works with the single stream wrapped in a list
+    wrap = hasattr(model, "fc_feat_sizes")
+    if wrap and len(model.fc_feat_sizes) > 1:
+        raise ValueError(
+            f"--image_folder extracts ONE backbone's features, but this "
+            f"{type(model).__name__} expects {len(model.fc_feat_sizes)} "
+            f"encoder streams — precompute per-encoder features and use "
+            f"the standard eval path instead"
+        )
     bb_params, feats_fn, _, _ = build_backbone(backbone_arch, att_size, backbone_weights)
 
     names = sorted(
@@ -48,6 +60,8 @@ def eval_image_folder(
 
     @jax.jit
     def caption(fc, att):
+        if wrap:  # M==1 feat-array model: one-element encoder lists
+            fc, att = [fc], [att]
         return model_sample(model, params, fc, att, beam_size=beam_size).seq
 
     out = []

@@ -73,6 +73,72 @@ def dedupe_feats(fc, att, batch_size, seq_per_img):
 # decode programs at every periodic eval (code-review finding). Keyed by the
 # hashable frozen model dataclass + the criterion/decoding knobs.
 _LOSS_FN_CACHE = {}
+def iter_eval_batches(loader, split, val_images_use, *, variant=None):
+    """Eval batch stream shared by eval_split and eval_ensemble: stops at
+    the epoch wrap or once val_images_use images were produced (batch_size
+    counts IMAGES; each contributes seq_per_img label rows)."""
+    n = 0
+    while True:
+        data = (loader.get_batch(split, variant=variant) if variant
+                else loader.get_batch(split))
+        n += loader.batch_size
+        yield data
+        if data["bounds"]["wrapped"]:
+            return
+        if val_images_use > 0 and n >= val_images_use:
+            return
+
+
+def trim_to_budget(predictions, loader, split, val_images_use):
+    """Trim predictions to the GLOBAL image budget and drop wrap duplicates.
+
+    predictions are this host's LOCAL rows, appended batch-major. On a
+    host-sharded loader each global batch's images are laid out
+    (host0 block, host1 block, ...), so a local row's GLOBAL position is
+    batch*global_images + host_index*local_images + k. The previous
+    predictions[:limit] compared the LOCAL list against the GLOBAL limit,
+    so multi-host evals silently kept every local row — the scored image
+    set depended on the topology (non-comparable best-checkpoint gating)
+    and epoch-wrap duplicates survived on hosts past the cut.
+    """
+    limit = len(loader.split_image_id[split])
+    if val_images_use > 0:
+        limit = min(limit, val_images_use)
+    hc = getattr(loader, "host_count", 1)
+    if hc <= 1:
+        return predictions[:limit]
+    n_img_g = loader.batch_size  # images per GLOBAL batch
+    n_l = n_img_g // hc
+    base = loader.host_index * n_l
+    return [
+        p for pos, p in enumerate(predictions)
+        if (pos // n_l) * n_img_g + base + (pos % n_l) < limit
+    ]
+
+
+def default_gts_lookup(loader):
+    """image_id -> reference sentences, shared by both eval paths.
+
+    Prefer the raw annotation sentences (reference protocol: coco-caption
+    scores against the annotations JSON). Fall back to decoding the label
+    matrix only when the info JSON predates raw_sentences — that fallback
+    is seq_length-truncated and UNK-substituted, so absolute scores are
+    not comparable to the reference's, though best-checkpoint gating
+    still works."""
+    ds = loader.dataset
+    vocab = loader.get_vocab()
+
+    def gts_lookup(image_id):
+        raw = ds.raw_sentences_for_image(image_id)
+        if raw:
+            return raw
+        if image_id not in ds.image_id_to_index:
+            return []
+        return decode_sequence(vocab, ds.captions_for_image(image_id))
+
+    return gts_lookup
+
+
 _SAMPLE_FN_CACHE = {}
 
 
@@ -131,17 +197,7 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     loss_sum, loss_evals = 0.0, 0
     predictions = []
     vocab = loader.get_vocab()
-
-    def batches():
-        n = 0
-        while True:
-            data = loader.get_batch(split)
-            n += loader.batch_size
-            yield data
-            if data["bounds"]["wrapped"]:
-                return
-            if val_images_use > 0 and n >= val_images_use:
-                return
+    batches = lambda: iter_eval_batches(loader, split, val_images_use)
 
     def dispatch(data):
         """Queue loss + decode for one batch; returns device futures."""
@@ -188,29 +244,12 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
             b = data["bounds"]
             print(f"evaluating {split} ... {b['it_pos_now']}/{b['it_max']} loss={loss:.3f}")
 
-    limit = len(loader.split_image_id[split])
-    if val_images_use > 0:
-        limit = min(limit, val_images_use)
-    predictions = predictions[:limit]
+    predictions = trim_to_budget(predictions, loader, split, val_images_use)
 
     lang_stats = None
     if language_eval_flag:
         if gts_lookup is None:
-            ds = loader.dataset
-
-            def gts_lookup(image_id):
-                # Prefer the raw annotation sentences (reference protocol:
-                # coco-caption scores against the annotations JSON). Fall back
-                # to decoding the label matrix only when the info JSON predates
-                # raw_sentences — that fallback is seq_length-truncated and
-                # UNK-substituted, so absolute scores are not comparable to
-                # the reference's, though best-checkpoint gating still works.
-                raw = ds.raw_sentences_for_image(image_id)
-                if raw:
-                    return raw
-                if image_id not in ds.image_id_to_index:
-                    return []
-                return decode_sequence(vocab, ds.captions_for_image(image_id))
+            gts_lookup = default_gts_lookup(loader)
 
         lang_stats = language_eval(
             gts_lookup, predictions, f"eval_split_{opt.id}_{rank}", split,

@@ -404,6 +404,47 @@ class TestImageFolderEval:
         for p in preds:
             assert isinstance(p["caption"], str)
 
+    def test_feat_array_models_single_encoder_or_refused(self, tmp_path):
+        """An M==1 RecurrentFusionModel works with the one backbone stream
+        wrapped in a list; an M>1 model is refused with a clear message
+        instead of an assert deep inside jit tracing (review r3)."""
+        from PIL import Image
+
+        from recurrent_fusion_network_tpu.models import RecurrentFusionModel
+        from recurrent_fusion_network_tpu.training.eval_folder import (
+            eval_image_folder,
+        )
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        g = np.random.default_rng(1)
+        Image.fromarray((g.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            img_dir / "7.jpg")
+
+        vocab = {str(i + 1): w for i, w in enumerate("a man dog".split())}
+        common = dict(vocab_size=len(vocab), seq_length=6,
+                      input_encoding_size=12, rnn_size=12, att_hid_size=12,
+                      num_review_steps=2, num_review_steps_0=2,
+                      top_words_count=3)
+        m1 = RecurrentFusionModel(fc_feat_sizes=(2048,),
+                                  att_feat_sizes=(2048,), att_nums=(4,),
+                                  **common)
+        preds = eval_image_folder(
+            m1, m1.init_params(jax.random.PRNGKey(0)), vocab, str(img_dir),
+            beam_size=2, batch_size=1, image_size=64,
+            backbone_arch="resnet50", att_size=2,
+        )
+        assert len(preds) == 1 and isinstance(preds[0]["caption"], str)
+
+        m3 = RecurrentFusionModel(fc_feat_sizes=(2048, 8, 8),
+                                  att_feat_sizes=(2048, 8, 8),
+                                  att_nums=(4, 4, 4), **common)
+        with pytest.raises(ValueError, match="encoder streams"):
+            eval_image_folder(
+                m3, None, vocab, str(img_dir), backbone_arch="resnet50",
+                att_size=2, image_size=64,
+            )
+
 
 class TestDenseNet:
     def test_densenet161_feature_width(self):

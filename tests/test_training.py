@@ -273,6 +273,39 @@ class TestTraceWindow:
 
 
 class TestEvalSplit:
+    def test_trim_to_budget_host_sharded(self):
+        """On a host-sharded loader the prediction list holds LOCAL rows;
+        the budget/wrap trim must cut by each row's GLOBAL position —
+        predictions[:global_limit] silently kept every local row, so the
+        scored image set depended on the topology (review r3)."""
+        from recurrent_fusion_network_tpu.training.eval_split import (
+            trim_to_budget,
+        )
+
+        class L:  # the attributes trim_to_budget consults
+            batch_size = 8  # images per GLOBAL batch
+            seq_per_img = 2
+            host_count = 2
+            host_index = 1
+            split_image_id = {"val": list(range(20))}
+
+        # host 1 of 2, 3 batches of 4 local images each: global positions
+        # are b*8 + 4 + k
+        preds = [{"image_id": f"b{p // 4}k{p % 4}"} for p in range(12)]
+        kept = trim_to_budget(preds, L(), "val", 10)
+        # budget 10 -> batch0 global 4..7 kept, batch1 global 12..15 and
+        # batch2 dropped entirely on this host
+        assert [p["image_id"] for p in kept] == ["b0k0", "b0k1", "b0k2", "b0k3"]
+        # single host: plain prefix trim
+        L.host_count, L.host_index = 1, 0
+        assert len(trim_to_budget(preds, L(), "val", 10)) == 10
+        # no budget: the split size caps (drops wrap duplicates)
+        L.host_count, L.host_index = 2, 0
+        kept = trim_to_budget(preds, L(), "val", 0)
+        # limit 20: host0 keeps batch0 (0..3), batch1 (8..11), batch2
+        # (16..19) -> all 12 local rows are under 20
+        assert len(kept) == 12
+
     def test_contract(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="recurrent_fusion_model")
         opt.eval_results_dir = str(tmp_path)
