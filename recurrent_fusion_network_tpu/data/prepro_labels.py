@@ -44,13 +44,17 @@ def preprocess(
         # the Karpathy JSON ships pre-tokenized captions
         return [w.lower() for w in sent["tokens"] if w.strip()]
 
-    all_caps = [tokens(s) for img in images for s in img["sentences"]]
+    # tokenize each sentence ONCE (vocab pass, encode pass, and top-words
+    # pass all reuse the cached lists — ~616k sentences at COCO scale);
+    # cached positionally, not by mutating the caller's dicts
+    toks_cache = [[tokens(s) for s in img["sentences"]] for img in images]
+    all_caps = [t for per_img in toks_cache for t in per_img]
     vocab = build_vocab(all_caps, word_count_threshold)
     word_to_ix = {w: i + 1 for i, w in enumerate(vocab)}
 
     labels, starts, ends, out_images = [], [], [], []
     row = 0
-    for img in images:
+    for img, img_toks in zip(images, toks_cache):
         split = img.get("split", "train")
         out_images.append(
             {
@@ -68,8 +72,18 @@ def preprocess(
         )
         starts.append(row + 1)
         assert len(img["sentences"]) > 0, "image with no captions"
-        for s in img["sentences"]:
-            enc = encode_caption(tokens(s), word_to_ix, max_length)
+        for toks in img_toks:
+            enc = encode_caption(toks, word_to_ix, max_length)
+            if len(enc) == 0:
+                # the reference aborts on empty captions
+                # (scripts/prepro_labels.py:130 assert label_length > 0);
+                # an all-zero row would silently train on an immediate-EOS
+                # target and pollute the n-gram doc-freqs
+                raise ValueError(
+                    f"empty caption for image "
+                    f"{img.get('cocoid', img.get('imgid'))!r} — fix or drop "
+                    f"the annotation"
+                )
             rowv = np.zeros(max_length, dtype=np.int64)
             rowv[: len(enc)] = enc
             labels.append(rowv)
@@ -78,10 +92,10 @@ def preprocess(
 
     # top words by frequency over TRAIN captions only
     train_counts = Counter()
-    for img in images:
+    for img, img_toks in zip(images, toks_cache):
         if img.get("split", "train") in ("train", "restval"):
-            for s in img["sentences"]:
-                train_counts.update(tokens(s))
+            for toks in img_toks:
+                train_counts.update(toks)
     top_words = [w for w, _ in train_counts.most_common(top_words_count)]
 
     info = {"ix_to_word": ix_to_word_map(vocab), "images": out_images}

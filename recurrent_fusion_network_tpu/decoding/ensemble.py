@@ -85,24 +85,28 @@ def ensemble_sample(
 
 
 def sentence_logprob(seq, seq_logprobs):
-    """Accumulated log-prob of each sentence: tokens + the EOS step
-    (the SCST mask convention, also used by the flip combiner)."""
+    """sum(seq_logprobs * (seq > 0)) — the reference's sentence log-prob
+    (eval_utils.py:690,947, feeding the flip combiner at
+    eval_ensemble.py:175-182): the mask aligns WITH the sequence, so the
+    EOS step and everything after are excluded. (Deliberately NOT the
+    SCST shifted mask, which always counts position 0 and the EOS step —
+    that convention belongs to the reward loss, not this comparison.)"""
     seq = np.asarray(seq)
     lps = np.asarray(seq_logprobs)
-    mask0 = (seq > 0).astype(np.float64)
-    mask = np.concatenate([np.ones_like(mask0[:, :1]), mask0[:, :-1]], axis=1)
-    return (lps * mask).sum(axis=1)
+    return (lps * (seq > 0)).sum(axis=1)
 
 
 def flip_combine(out_a: EnsembleOut, out_b: EnsembleOut) -> Tuple[np.ndarray, np.ndarray]:
     """Per-image pick of the higher-log-prob sentence between two decodes
-    (eval_ensemble.py:162-187). Returns (seq, chosen_logprob)."""
-    if out_a.top_p is not None:
-        p_a = np.asarray(out_a.top_p[:, 0])
-        p_b = np.asarray(out_b.top_p[:, 0])
-    else:
-        p_a = sentence_logprob(out_a.seq, out_a.seq_logprobs)
-        p_b = sentence_logprob(out_b.seq, out_b.seq_logprobs)
-    pick_a = p_a >= p_b
+    (eval_ensemble.py:162-187). Returns (seq, chosen_logprob).
+
+    Both branches compare the reference's masked per-token sum — the beam
+    path previously compared accumulated beam scores (top_p), which
+    include the EOS log-prob and put length-cutoff beams on inconsistent
+    footing. Tie-break matches the reference's `if prob_1 > prob_2`:
+    the FLIPPED decode wins exact ties."""
+    p_a = sentence_logprob(out_a.seq, out_a.seq_logprobs)
+    p_b = sentence_logprob(out_b.seq, out_b.seq_logprobs)
+    pick_a = p_a > p_b
     seq = np.where(pick_a[:, None], np.asarray(out_a.seq), np.asarray(out_b.seq))
     return seq, np.where(pick_a, p_a, p_b)

@@ -126,9 +126,12 @@ if has_stage prepro; then
     --output_labels "$DATA_DIR/cocotalk_label.npz" \
     --output_top_words "$DATA_DIR/vocab_train.pkl" \
     $([ "$DRY_RUN" = "1" ] && echo "--word_count_threshold 1")
+  # --karpathy_json: df over the UNtruncated sentence tokens — the
+  # reference script's exact source (the label matrix truncates at 16)
   python -m recurrent_fusion_network_tpu.data.prepro_ngrams \
     --input_json "$DATA_DIR/cocotalk.json" \
     --input_labels "$DATA_DIR/cocotalk_label.npz" \
+    --karpathy_json "$KARPATHY_JSON" \
     --output_pkl "$DATA_DIR/coco-train-idxs.p"
 fi
 

@@ -418,9 +418,92 @@ class TestPrepro:
         assert len(df) > 0
         # df counts images, not captions: df <= #images
         assert max(df.values()) <= len(ids)
-        # every unigram of image 0's first caption is present
+        # every n-gram of image 0's first caption is present
         for gram in seq_ngrams(ds.captions_for_image(ids[0])[0]):
             assert gram in df
+
+    def test_empty_caption_rejected(self):
+        """The reference aborts on empty captions (prepro_labels.py:130
+        assert); an all-zero label row would silently train on an
+        immediate-EOS target (review r3)."""
+        fix = self.karpathy_fixture()
+        fix["images"][2]["sentences"][1] = {"tokens": ["  ", ""]}
+        with pytest.raises(ValueError, match="empty caption"):
+            preprocess(fix, max_length=6, word_count_threshold=2)
+
+    def test_ngrams_full_row_gets_eos(self):
+        """A caption that fills the whole label row has no 0 terminator;
+        its EOS n-grams must still count (the reference always appends
+        <eos> — review r3)."""
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import seq_ngrams
+
+        grams = seq_ngrams(np.array([3, 4, 5, 6], dtype=np.int64), n_max=2)
+        assert (6, 0) in grams and (0,) in grams
+
+    def test_ngrams_karpathy_source_is_untruncated(self):
+        """--karpathy_json counts df over the UNtruncated sent['tokens']
+        (reference semantics); the label-matrix path loses n-grams past
+        max_length (review r3)."""
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+            compute_doc_freq,
+            compute_doc_freq_karpathy,
+        )
+
+        fix = self.karpathy_fixture()
+        long_toks = ["a", "man", "dog", "park", "ball", "runs", "big",
+                     "park", "ball"]
+        fix["images"][0]["sentences"][0] = {"tokens": long_toks}
+        info, labels, starts, ends, top = preprocess(
+            fix, max_length=6, word_count_threshold=2
+        )
+        ds = Dataset(info, labels, starts, ends, top)
+        w2i = {w: int(i) for i, w in info["ix_to_word"].items()}
+        df_k, n = compute_doc_freq_karpathy(fix["images"], w2i)
+        train_ids = ds.splits()["train"]
+        assert n == len(train_ids)
+        df_m = compute_doc_freq(ds, train_ids)
+        # the tail bigram ('park','ball') at positions 7-8 only exists in
+        # image 500's long caption — the truncated matrix (max_length 6)
+        # cannot see it there; if no other caption carries it, the two
+        # sources must disagree on that key
+        tail = (w2i["park"], w2i["ball"])
+        assert df_k.get(tail, 0) >= df_m.get(tail, 0)
+        assert df_k != df_m  # truncation loses mass somewhere
+
+    def test_ngrams_split_all(self, tmp_path):
+        """--split all must work (the reference script's mode), not
+        KeyError (review r3)."""
+        import pickle as pkl
+
+        from recurrent_fusion_network_tpu.data import prepro_ngrams
+        from recurrent_fusion_network_tpu.data import prepro_labels
+
+        fix = self.karpathy_fixture()
+        (tmp_path / "k.json").write_text(json.dumps(fix))
+        prepro_labels.main([
+            "--input_json", str(tmp_path / "k.json"),
+            "--output_json", str(tmp_path / "info.json"),
+            "--output_labels", str(tmp_path / "lab.npz"),
+            "--output_top_words", str(tmp_path / "top.pkl"),
+            "--word_count_threshold", "2",
+        ])
+        prepro_ngrams.main([
+            "--input_json", str(tmp_path / "info.json"),
+            "--input_labels", str(tmp_path / "lab.npz"),
+            "--output_pkl", str(tmp_path / "all.p"),
+            "--split", "all",
+        ])
+        out = pkl.load(open(tmp_path / "all.p", "rb"))
+        assert out["ref_len"] == pytest.approx(float(np.log(12)))
+        # and the karpathy-exact CLI path round-trips
+        prepro_ngrams.main([
+            "--input_json", str(tmp_path / "info.json"),
+            "--input_labels", str(tmp_path / "lab.npz"),
+            "--output_pkl", str(tmp_path / "train.p"),
+            "--karpathy_json", str(tmp_path / "k.json"),
+        ])
+        out2 = pkl.load(open(tmp_path / "train.p", "rb"))
+        assert len(out2["document_frequency"]) > 0
 
 
 class TestDirFeatureSource:

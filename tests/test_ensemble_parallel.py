@@ -167,10 +167,41 @@ class TestEnsemble:
 
         out_a = EnsembleOut(jnp.asarray(a_seq), jnp.asarray(a_lp), None, None)
         out_b = EnsembleOut(jnp.asarray(b_seq), jnp.asarray(b_lp), None, None)
-        # sentence logprobs: a = [-3, -6], b = [-1, -11]
+        # reference sentence logprobs (mask = seq > 0, EOS step excluded):
+        # a = [-2, -5], b = [-0.5, -10]
         seq, p = flip_combine(out_a, out_b)
         np.testing.assert_array_equal(seq[0], b_seq[0])
         np.testing.assert_array_equal(seq[1], a_seq[1])
+
+    def test_flip_combine_reference_mask_and_tiebreak(self):
+        """The comparison is the reference's sum(lp * (seq > 0)) — the EOS
+        step is EXCLUDED (the old SCST-shifted mask counted it, flipping
+        picks whenever EOS confidence differed) — and an exact tie goes to
+        the FLIPPED decode (eval_ensemble.py:179-182 `if prob_1 > prob_2`)."""
+        from recurrent_fusion_network_tpu.decoding.ensemble import (
+            EnsembleOut,
+            sentence_logprob,
+        )
+
+        # token-sum favors a (-1 > -2.4) but the EOS-inclusive sum favors
+        # b (-4 < -2.5): the reference metric must pick a
+        a_seq = np.array([[3, 0, 0]])
+        a_lp = np.array([[-1.0, -3.0, 0.0]])  # confident token, weak EOS
+        b_seq = np.array([[4, 5, 0]])
+        b_lp = np.array([[-1.2, -1.2, -0.1]])
+        out_a = EnsembleOut(jnp.asarray(a_seq), jnp.asarray(a_lp), None, None)
+        out_b = EnsembleOut(jnp.asarray(b_seq), jnp.asarray(b_lp), None, None)
+        np.testing.assert_allclose(
+            sentence_logprob(a_seq, a_lp), [-1.0])
+        seq, _ = flip_combine(out_a, out_b)
+        np.testing.assert_array_equal(seq[0], a_seq[0])
+        # exact tie (-1.0 both) -> flipped decode's caption
+        tie_seq = np.array([[4, 0, 0]])
+        tie_b = EnsembleOut(jnp.asarray(tie_seq),
+                            jnp.asarray(np.array([[-1.0, -5.0, 0.0]])),
+                            None, None)
+        seq, _ = flip_combine(out_a, tie_b)
+        np.testing.assert_array_equal(seq[0], tie_seq[0])
 
     def test_flip_ensemble_eval_path(self, tmp_path):
         opt, loader, model, params = build(batch_size=4)
