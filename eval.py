@@ -22,6 +22,10 @@ CLI_WINS = {
     "batch_size", "seq_per_img", "input_json", "input_label_h5",
     "top_words_path", "data_root", "synthetic_features", "verbose", "id",
     "model_path", "infos_path", "load_model_id", "eval_flip_ensemble",
+    # eval-time diagnostics/knobs the checkpoint's training defaults must
+    # not silently reset (the reference ignore-list owns these at CLI too)
+    "print_beam_candidate", "print_top_words", "seed",
+    "spice_backend", "ip", "port",
     # runtime knobs the checkpoint must not override at eval time
     "dtype", "profile_dir", "profile_steps", "checkpoint_async",
     # raw-image mode: checkpoints save image_folder=\"\" (the training
@@ -33,9 +37,30 @@ CLI_WINS = {
 def merge_checkpoint_opt(opt, saved: dict):
     for k, v in saved.items():
         if k in CLI_WINS or k in ("vocab_size", "seq_length", "start_from",
-                                  "checkpoint_path", "current_lr"):
+                                  "checkpoint_path", "current_lr",
+                                  "feat_array_info"):
             continue
         setattr(opt, k, v)
+    # pre-profile-flip checkpoints carry no tied_att_keys: their weights
+    # are the reference (untied) architecture — the CLI-resolved TPU-native
+    # default (tied) would KeyError deep inside encode
+    if "tied_att_keys" not in saved:
+        opt.tied_att_keys = 0
+    # feature wiring re-derives under the CLI --data_root: the checkpoint's
+    # EncoderInfo objects froze the TRAINING machine's directory paths, so
+    # copying them would point dir-backed features at stale locations.
+    # Path-free dict entries (synthetic/test dims) copy through unchanged.
+    saved_fai = saved.get("feat_array_info")
+    if saved_fai and all(isinstance(f, dict) for f in saved_fai):
+        opt.feat_array_info = saved_fai
+    elif saved_fai:
+        from recurrent_fusion_network_tpu.config import _wire_features
+
+        # _wire_features no-ops when feat_array_info is already set (the
+        # CLI parse wired it for the CLI feature_type); clear it so the
+        # wiring re-derives for the MERGED feature_type under CLI paths
+        opt.feat_array_info = None
+        _wire_features(opt)
     return opt
 
 
@@ -50,6 +75,22 @@ def main():
     pre_args, rest = pre.parse_known_args()
     opt = parse_opt(rest)
     ckpt_dir = opt.model_path or opt.checkpoint_path
+    import os as _os
+
+    if _os.path.isfile(ckpt_dir):
+        # reference eval.py took a FILE; the triple-file contract here
+        # takes the checkpoint DIRECTORY + --load_model_id — fail with the
+        # fix instead of a confusing join-through-a-file FileNotFoundError
+        d, f = _os.path.split(ckpt_dir)
+        raise SystemExit(
+            f"--model_path must be the checkpoint DIRECTORY (got file "
+            f"{ckpt_dir!r}); try --model_path {d or '.'} with "
+            f"--load_model_id <id> (file {f!r} follows "
+            f"model_{{id}}_{{rank}} naming)"
+        )
+    if getattr(opt, "infos_path", ""):
+        print("note: --infos_path is ignored here — infos load from "
+              "model_path/load_model_id (triple-file contract)")
     # honor --checkpoint_backend (orbax checkpoints must be evaluable
     # too — same altitude as serve.py's loader resolution)
     params, _, infos = checkpoint.backend(opt).load_checkpoint(

@@ -21,6 +21,12 @@ def main():
     pre.add_argument("--cider_df", type=str, default="data/coco-train-idxs.p")
     pre_args, rest = pre.parse_known_args()
     opt = parse_opt(rest)
+    # tensor parallelism is a solo-XE capability (main.py): fail BEFORE
+    # building the loader / the minutes-long doc-freq fallback
+    assert getattr(opt, "num_mp_devices", 1) <= 1, (
+        "--num_mp_devices is not supported by the RL loop; use it with "
+        "main.py (solo XE) and run SCST on a dp mesh"
+    )
     loader = build_loader(opt, synthetic=bool(opt.synthetic_features))
     try:
         scorer = CiderD.from_pickle(pre_args.cider_df)
@@ -36,13 +42,6 @@ def main():
         ids = loader.split_image_id["train"]
         df = compute_doc_freq(loader.dataset, ids)
         scorer = CiderD(df, float(np.log(len(ids))))
-    # tensor parallelism is a solo-XE capability (main.py): the RL rollout's
-    # host readback and reward path are dp-sharded only — fail loudly
-    # rather than silently ignoring the flag
-    assert getattr(opt, "num_mp_devices", 1) <= 1, (
-        "--num_mp_devices is not supported by the RL loop; use it with "
-        "main.py (solo XE) and run SCST on a dp mesh"
-    )
     mesh = None
     if opt.async_opt and opt.num_dp_devices <= 1:
         # Hogwild -> sync DP, same mapping as main.py

@@ -59,6 +59,29 @@ def backend(opt=None):
     return sys.modules[__name__]
 
 
+# Keys that determine the parameter TREE's structure/shapes: a mismatch
+# between the CLI and a loaded checkpoint must fail with the reference's
+# clear message (train.py need_be_same), not a deep KeyError/shape error —
+# or worse, silently (a use_mos mismatch leaves a never-trained head in the
+# tree and decodes garbage with no exception). Keys are checked only when
+# the saved opt HAS them, so older checkpoints skip newer flags.
+ARCH_KEYS = (
+    "caption_model", "rnn_type", "rnn_size", "num_layers",
+    "input_encoding_size", "att_hid_size", "use_mos",
+    "num_review_steps", "num_review_steps_0", "tied_att_keys",
+    "maxout", "review_maxout", "fusion_maxout",
+)
+
+
+def assert_arch_matches(opt, saved_opt: dict) -> None:
+    for key in ARCH_KEYS:
+        if key in saved_opt:
+            assert saved_opt[key] == getattr(opt, key), (
+                f"Command line argument and saved model disagree on '{key}' "
+                f"(CLI {getattr(opt, key)!r} vs checkpoint {saved_opt[key]!r})"
+            )
+
+
 def adopt_structure(target, saved):
     """Fit a restored pytree into `target`'s structure.
 

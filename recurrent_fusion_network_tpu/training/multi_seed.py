@@ -138,11 +138,9 @@ def _stack_seed_trees(per_seed):
 
 
 def _assert_arch_matches(opt, saved_opt):
-    for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
-        if key in saved_opt:
-            assert saved_opt[key] == getattr(opt, key), (
-                f"Command line argument and saved model disagree on '{key}'"
-            )
+    from .checkpoint import assert_arch_matches
+
+    assert_arch_matches(opt, saved_opt)
 
 
 def train_multi_seed(
@@ -629,6 +627,10 @@ def train_multi_seed_rl(
             p, s, infos_r = _ckpt.load_checkpoint(
                 opt.start_from, opt.load_model_id, r, best=True
             )
+            # warm starts need the same structural validation the resume
+            # branches get (a use_mos/tied mismatch decodes garbage or
+            # KeyErrors deep inside the vmapped rollout)
+            _assert_arch_matches(opt, infos_r.get("opt", {}))
             per_seed.append(p)
             saved_opt_states[r] = s
             lr_hists.append(infos_r.get("lr_history", {}))

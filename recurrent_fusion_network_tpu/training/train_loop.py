@@ -103,12 +103,9 @@ def train(
         params, saved_opt_state, infos = _ckpt.load_checkpoint(
             opt.start_from, opt.load_model_id, rank, best=False
         )
-        saved_opt = infos.get("opt", {})
-        for key in ("caption_model", "rnn_type", "rnn_size", "num_layers"):
-            if key in saved_opt:
-                assert saved_opt[key] == getattr(opt, key), (
-                    f"Command line argument and saved model disagree on '{key}'"
-                )
+        from .checkpoint import assert_arch_matches
+
+        assert_arch_matches(opt, infos.get("opt", {}))
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"],
                                  infos.get("loader_rng"))

@@ -182,6 +182,14 @@ def train_rl(
             opt.start_from, opt.load_model_id, rank,
             best=not rl_resume, prefix="rl_" if rl_resume else "",
         )
+        # the reference's need_be_same check (train_rl.py loads train.py's
+        # resume path): without it a use_mos/tied/dims mismatch between the
+        # XE checkpoint and the RL CLI builds the wrong graph — a use_mos
+        # mismatch is fully SILENT (the untrained logit head decodes
+        # garbage rollouts), the rest die as opaque KeyErrors
+        from .checkpoint import assert_arch_matches
+
+        assert_arch_matches(opt, infos.get("opt", {}))
         if "iterators" in infos:
             loader.restore_state(infos["iterators"], infos["split_image_id"],
                                  infos.get("loader_rng"))

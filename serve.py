@@ -38,6 +38,12 @@ def main(argv=None):
                      help="asyncio: single-loop keep-alive ingest (>1k "
                           "req/s); threads: stdlib ThreadingHTTPServer "
                           "(~270 req/s, required for /caption_image)")
+    pre.add_argument("--rl_prefix", type=int, default=0,
+                     help="serve the rl_-prefixed (SCST) checkpoint — RL "
+                          "training only ever writes rl_ files, so the RL "
+                          "deliverable is unservable without this")
+    pre.add_argument("--rank", type=int, default=0,
+                     help="checkpoint rank (fleet seed index)")
     pre_args, rest = pre.parse_known_args(argv)
 
     from recurrent_fusion_network_tpu.config import parse_opt
@@ -55,7 +61,10 @@ def main(argv=None):
     # honor --checkpoint_backend: a checkpoint written with the orbax backend
     # must be servable too, so resolve the loader through backend(opt)
     ckpt = checkpoint.backend(opt)
-    params, _, infos = ckpt.load_checkpoint(ckpt_dir, opt.load_model_id, 0, best=True)
+    params, _, infos = ckpt.load_checkpoint(
+        ckpt_dir, opt.load_model_id, pre_args.rank, best=True,
+        prefix="rl_" if pre_args.rl_prefix else "",
+    )
     if "opt" in infos:
         merge_checkpoint_opt(opt, infos["opt"])
     vocab = infos.get("vocab")

@@ -272,6 +272,64 @@ class TestTraceWindow:
         assert calls == ["start", "stop"]
 
 
+class TestCheckpointOptContracts:
+    def test_rl_warm_start_rejects_arch_mismatch(self, tmp_path):
+        """The reference's need_be_same check must guard the RL warm start:
+        a use_mos/tied/dims mismatch between the XE checkpoint and the RL
+        CLI builds the wrong graph — use_mos SILENTLY (the untrained logit
+        head decodes garbage rollouts) — review r3."""
+        opt, loader = synthetic_setup(caption_model="show_tell",
+                                      batch_size=4, seed=7)
+        opt.checkpoint_path = str(tmp_path)
+        opt.id = "am"
+        opt.save_checkpoint_every = 2
+        opt.val_images_use = 8
+        train(opt, loader, max_iterations=3, log_fn=quiet)
+
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+            compute_doc_freq,
+        )
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+        from recurrent_fusion_network_tpu.training.train_rl_loop import (
+            train_rl,
+        )
+
+        opt2, loader2 = synthetic_setup(caption_model="show_tell",
+                                        batch_size=4, seed=7)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "am"
+        opt2.id = "am"
+        opt2.rnn_size = 24  # structural mismatch vs the checkpoint's 16
+        ids = loader2.split_image_id["train"]
+        scorer = CiderD(compute_doc_freq(loader2.dataset, ids),
+                        float(np.log(len(ids))))
+        with pytest.raises(AssertionError, match="disagree on 'rnn_size'"):
+            train_rl(opt2, loader2, scorer, max_iterations=1, log_fn=quiet)
+
+    def test_merge_checkpoint_opt_contracts(self):
+        """Eval-time merge semantics (review r3): pre-profile checkpoints
+        default to the UNTIED reference architecture; eval-time diagnostic
+        flags survive the merge; path-free synthetic feature dims copy
+        through while EncoderInfo paths are re-derived."""
+        from eval import merge_checkpoint_opt
+        from recurrent_fusion_network_tpu.config import parse_opt
+
+        opt = parse_opt(["--caption_model", "review_net",
+                         "--print_beam_candidate", "1"])
+        assert opt.tied_att_keys == 1  # TPU-native default resolved
+        saved = {"caption_model": "review_net", "rnn_size": 16,
+                 "print_beam_candidate": 0,
+                 "feat_array_info": [{"fc_feat_size": 8, "att_feat_size": 8,
+                                      "att_num": 4}]}
+        merge_checkpoint_opt(opt, saved)
+        # no tied_att_keys in the saved opt -> reference (untied) weights
+        assert opt.tied_att_keys == 0
+        assert opt.rnn_size == 16  # architecture from the checkpoint
+        assert opt.print_beam_candidate == 1  # CLI diagnostic survives
+        assert opt.feat_array_info == saved["feat_array_info"]
+
+
 class TestEvalSplit:
     def test_trim_to_budget_host_sharded(self):
         """On a host-sharded loader the prediction list holds LOCAL rows;
