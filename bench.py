@@ -259,12 +259,15 @@ def bench_train(model, dtype_name):
         # note that block_until_ready under-barriers on tunneled
         # transports applies here too), while K amortizes the one
         # dispatch+readback round-trip so it can't dominate a ~25 ms
-        # matmul the way a per-call barrier would.
+        # matmul the way a per-call barrier would. The elementwise tanh
+        # between matmuls and the mean readback keep XLA honest: a bare
+        # y[0,0] of a pure dot chain can sink the slice through every dot
+        # (vector-matrix products, ~K*2*M^2 FLOPs) and inflate the probe.
         def chain(a, b):
             y = a
             for _ in range(K):
-                y = y @ b
-            return y[0, 0].astype(jnp.float32)
+                y = jnp.tanh(y @ b)
+            return y.astype(jnp.float32).mean()
 
         mm = jax.jit(chain)
         np.asarray(mm(a, b))  # compile + warm
@@ -452,10 +455,12 @@ def main():
         payload = None
         for line in reversed(out.strip().splitlines()):
             try:
-                payload = json.loads(line)
-                break
+                cand = json.loads(line)
             except ValueError:
                 continue
+            if isinstance(cand, dict):  # skip stray scalars ('null', NaN)
+                payload = cand
+                break
         if p.returncode != 0 or not isinstance(payload, dict):
             print(f"# phase {phase} (rows={rows}) failed:\n"
                   f"{err[-2000:]}", file=sys.stderr)

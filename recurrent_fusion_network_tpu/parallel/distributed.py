@@ -89,24 +89,30 @@ def global_dp_batch(mesh: Mesh, tree):
     )
 
 
-def host_mean(value: float) -> float:
-    """Collective mean of a per-process scalar (identity single-process).
+def host_mean(value: float, weight: float = 1.0) -> float:
+    """Collective WEIGHTED mean of a per-process scalar (identity
+    single-process; with every weight 0 the result is 0.0).
 
     Periodic eval on multi-host runs scores each host's LOCAL slice of the
     host-sharded val stream (eval_split docstring), so best-checkpoint
     gating on the raw local score would diverge across hosts — different
     hosts would then issue different numbers of (collective) checkpoint
     saves, deadlocking the orbax barrier or splitting pickle history state.
-    The mean over equal-sized disjoint host slices IS the global-set score
-    for per-image-mean metrics (CIDEr, and -val_loss as a mean of batch
-    means). Call-count discipline as all_hosts_agree.
+    Pass each host's scored-image count as `weight`: the budget trim can
+    leave hosts with UNEQUAL (even zero) image counts when the limit cuts
+    mid-batch, and only the count-weighted mean equals the global per-image
+    score (CIDEr is a per-image mean; -val_loss a mean of batch means).
+    Call-count discipline as all_hosts_agree.
     """
     if jax.process_count() == 1:
-        return float(value)
+        return float(value) if weight else 0.0
     from jax.experimental import multihost_utils
 
-    vals = multihost_utils.process_allgather(np.float64(value))
-    return float(np.mean(vals))
+    pair = multihost_utils.process_allgather(
+        np.asarray([value * weight, weight], np.float64)
+    )
+    total_w = float(np.sum(pair[..., 1]))
+    return float(np.sum(pair[..., 0]) / total_w) if total_w else 0.0
 
 
 def all_hosts_agree(flag: bool) -> bool:

@@ -75,8 +75,10 @@ ARCH_KEYS = (
 
 def assert_arch_matches(opt, saved_opt: dict) -> None:
     for key in ARCH_KEYS:
-        if key in saved_opt:
-            assert saved_opt[key] == getattr(opt, key), (
+        if key in saved_opt and saved_opt[key] != getattr(opt, key):
+            # explicit raise, not `assert`: this guard must survive
+            # python -O (it prevents SILENT wrong-graph loads)
+            raise AssertionError(
                 f"Command line argument and saved model disagree on '{key}' "
                 f"(CLI {getattr(opt, key)!r} vs checkpoint {saved_opt[key]!r})"
             )

@@ -167,7 +167,7 @@ def eval_ensemble(
     predictions = trim_to_budget(predictions, loader, split, val_images_use)
 
     lang_stats = None
-    if language_eval_flag:
+    if language_eval_flag and predictions:  # see eval_split's empty guard
         if gts_lookup is None:
             gts_lookup = default_gts_lookup(loader)
 

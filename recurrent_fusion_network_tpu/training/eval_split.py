@@ -247,7 +247,10 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     predictions = trim_to_budget(predictions, loader, split, val_images_use)
 
     lang_stats = None
-    if language_eval_flag:
+    # empty after the budget trim (a host whose rows all fall past the
+    # global cut): scoring would crash on the empty corpus — the caller
+    # gates on a count-weighted host_mean, so weight 0 carries no score
+    if language_eval_flag and predictions:
         if gts_lookup is None:
             gts_lookup = default_gts_lookup(loader)
 

@@ -263,7 +263,7 @@ def train(
             # score for per-image-mean metrics (host_mean docstring).
             from ..parallel.distributed import host_mean
 
-            current_score = host_mean(current_score)
+            current_score = host_mean(current_score, len(predictions))
             jlog.log(event="val", iter=iteration, loss=val_loss,
                      **(lang_stats or {}))
             best_flag = best_val_score is None or current_score > best_val_score
@@ -293,6 +293,7 @@ def train(
 
             if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
+                iteration += 1  # steps done (matches the snapshot's iter)
                 break
 
         if guard.sync():

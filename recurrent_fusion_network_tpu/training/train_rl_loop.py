@@ -388,7 +388,7 @@ def train_rl(
             # would diverge best_flag and the collective save count
             from ..parallel.distributed import host_mean
 
-            current_score = host_mean(current_score)
+            current_score = host_mean(current_score, len(predictions))
             best_flag = best_val_score is None or current_score > best_val_score
             if best_flag:
                 best_val_score = current_score
@@ -414,6 +414,7 @@ def train_rl(
 
             if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
+                iteration += 1  # steps done (matches the snapshot's iter)
                 break
 
         if guard.sync():

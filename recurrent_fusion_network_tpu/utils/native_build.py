@@ -79,8 +79,16 @@ def load_or_build(
         return state["lib"]
     if state.get("failed"):
         return None
+    # staleness keys on the NEWEST of (source, this builder module): a
+    # compile-flag change lands here, so touching this file rebuilds every
+    # cached .so — otherwise a flag fix (e.g. -ffp-contract=off) would
+    # never reach machines with a previously built library
+    newest_input = max(
+        (os.path.getmtime(s) for s in (src, __file__) if os.path.exists(s)),
+        default=0.0,
+    )
     needs_build = not os.path.exists(lib) or (
-        os.path.exists(src) and os.path.getmtime(src) > os.path.getmtime(lib)
+        newest_input > os.path.getmtime(lib)
     )
     if needs_build and not compile_library(src, lib):
         state["failed"] = True
