@@ -42,6 +42,20 @@ def init_embed_logit(key, vocab_size: int, input_encoding_size: int, rnn_size: i
     return embed, logit
 
 
+def _resolve_tied(opt) -> bool:
+    """Resolve opt.tied_att_keys including the -1 'auto' sentinel.
+
+    bool(-1) is True, so a bare coercion silently built the TIED variant
+    for any opt that never went through config.finalize_options
+    (programmatic use, tests constructing Options directly, old checkpoint
+    opt dicts) — replicate the CLI profile resolution instead: auto means
+    tied unless --reference_parity."""
+    tied = getattr(opt, "tied_att_keys", 0)
+    if tied == -1:
+        return not bool(getattr(opt, "reference_parity", 0))
+    return bool(tied)
+
+
 def embed_tokens(params, tokens):
     return jnp.take(params["embed"], tokens, axis=0)
 

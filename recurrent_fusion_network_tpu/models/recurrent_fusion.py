@@ -30,7 +30,8 @@ import jax.numpy as jnp
 
 from ..ops import attention, cells
 from ..ops.initializers import apply_linear, linear, stack_params
-from .base import EncodeOut, embed_tokens, init_embed_logit, xe_decode
+from .base import (EncodeOut, _resolve_tied, embed_tokens,
+                   init_embed_logit, xe_decode)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -89,7 +90,7 @@ class RecurrentFusionModel:
             decoder_maxout=bool(opt.maxout),
             fusion_maxout=bool(opt.fusion_maxout),
             use_remat=bool(getattr(opt, 'use_remat', 0)),
-            tied_att_keys=bool(getattr(opt, 'tied_att_keys', 0)),
+            tied_att_keys=_resolve_tied(opt),
         )
 
     # ------------------------------------------------------------------ params

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 
 from ..ops import attention, cells, mos
 from ..ops.initializers import apply_linear, linear, stack_params
-from .base import EncodeOut, embed_tokens, init_embed_logit, xe_decode
+from .base import (EncodeOut, _resolve_tied, embed_tokens,
+                   init_embed_logit, xe_decode)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +47,10 @@ class ReviewNetModel:
     decoder_maxout: bool = False
     use_mos: bool = False
     num_expert: int = 10
+    # rematerialize the review scan + XE decode in the backward pass
+    # (--use_remat; same lever as RecurrentFusionModel.use_remat — the flag
+    # was silently dropped for ReviewNet before r3)
+    use_remat: bool = False
     # share attention-KEY projections across review steps (the same opt-in
     # TPU-native variant as RecurrentFusionModel.tied_att_keys; off = parity)
     tied_att_keys: bool = False
@@ -74,13 +79,19 @@ class ReviewNetModel:
             decoder_maxout=bool(opt.maxout),
             use_mos=bool(opt.use_mos),
             num_expert=opt.num_expert,
-            tied_att_keys=bool(getattr(opt, "tied_att_keys", 0)),
+            use_remat=bool(getattr(opt, "use_remat", 0)),
+            tied_att_keys=_resolve_tied(opt),
         )
 
     # ------------------------------------------------------------------ params
 
     def init_params(self, rng):
         k_fc, k_el, k_rev, k_rl, k_dec, k_mos = jax.random.split(rng, 6)
+        # with use_mos the 'logit' head is DEAD (decode branches to mos) —
+        # kept anyway because the reference creates and initializes it too
+        # (misc/ReviewNetModel.py:43,69-70), so checkpoints stay
+        # structure-compatible across the flag; weight decay drifts it
+        # exactly like the reference's does
         embed, logit = init_embed_logit(
             k_el, self.vocab_size, self.input_encoding_size, self.rnn_size
         )
@@ -172,6 +183,8 @@ class ReviewNetModel:
             reason = apply_linear(params["reason_linear"], out)
             return (state, i + 1), (out, reason)
 
+        if self.use_remat:
+            review_step = jax.checkpoint(review_step)
         xs = params["review"] if self.tied_att_keys else (params["review"], keys_all)
         (state, _), (thoughts, reasons) = jax.lax.scan(
             review_step, (state, 0), xs
@@ -237,5 +250,6 @@ class ReviewNetModel:
             ss_prob=ss_prob,
             rng=dec_rng,
             vocab_size=self.vocab_size,
+            remat=self.use_remat,
         )
         return lps, enc.reason_preds

@@ -206,9 +206,12 @@ def multi_att_lstm_init(
         attention.init(k, rnn_size, att_feat_size, att_hid_size, bias="uniform")
         for k in att_keys
     ]
-    # z_2_h biases keep torch default (only h2h is re-initialized in the
-    # reference: misc/LSTMSoftMultiAttentionFeatArrayNoInputCore.py:36-38).
-    z2hs = [linear(k, att_feat_size, g, bias="default") for k in z_keys]
+    # z_2_h keeps torch default for WEIGHT and bias — the reference
+    # re-initializes only h2h in this cell
+    # (misc/LSTMSoftMultiAttentionFeatArrayNoInputCore.py:36-38); the
+    # attention heads self-init uniform inside AttentionModelCore.
+    z2hs = [linear(k, att_feat_size, g, weight="default", bias="default")
+            for k in z_keys]
     stack = lambda ps: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ps)
     return {
         "h2h": linear(k_h, rnn_size, g, bias="uniform"),

@@ -370,3 +370,55 @@ class TestProfilePolicy:
         opt2 = self._opt(reference_parity=1)
         opt2.vocab_size, opt2.seq_length = 50, 8
         assert not setup(opt2).tied_att_keys
+
+
+class TestTiedSentinelResolution:
+    def test_resolve_tied_auto_and_explicit(self):
+        """bool(-1) is True, so the raw coercion silently built the TIED
+        variant for opts that never ran finalize_options, even under
+        --reference_parity (review r3). _resolve_tied replicates the CLI
+        profile semantics for programmatic/legacy opts."""
+        from types import SimpleNamespace
+
+        from recurrent_fusion_network_tpu.models.base import _resolve_tied
+
+        assert _resolve_tied(SimpleNamespace(tied_att_keys=-1,
+                                             reference_parity=0)) is True
+        assert _resolve_tied(SimpleNamespace(tied_att_keys=-1,
+                                             reference_parity=1)) is False
+        assert _resolve_tied(SimpleNamespace(tied_att_keys=0,
+                                             reference_parity=0)) is False
+        assert _resolve_tied(SimpleNamespace(tied_att_keys=1,
+                                             reference_parity=1)) is True
+
+    def test_use_remat_reaches_review_net(self):
+        """--use_remat was silently dropped for ReviewNet (review r3): the
+        flag must reach the model and keep the forward numerically
+        identical (jax.checkpoint recomputes, never changes values)."""
+        import numpy as np
+
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="review_net")
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        opt.use_remat = 1
+        m = setup(opt)
+        assert m.use_remat is True
+        opt.use_remat = 0
+        m0 = setup(opt)
+        params = m0.init_params(jax.random.PRNGKey(0))
+        d = loader.get_batch("train")
+        fc, att = jnp.asarray(d["fc_feats"]), jnp.asarray(d["att_feats"])
+        labels = jnp.asarray(d["labels"])
+
+        def loss(model, p):
+            lps, _ = model.forward(p, fc, att, labels)
+            return (lps.astype(jnp.float32)).sum()
+
+        g0 = jax.grad(lambda p: loss(m0, p))(params)
+        g1 = jax.grad(lambda p: loss(m, p))(params)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)

@@ -129,6 +129,26 @@ class TestCells:
         np.testing.assert_allclose(np.asarray(params["h2h"]["b"]), -1.0)
         np.testing.assert_allclose(np.asarray(params["att"]["h_2_att_h"]["b"]), 0.0)
 
+    def test_multi_att_init_map_matches_reference(self):
+        """The reference re-initializes ONLY h2h in the multi-attention
+        cell (LSTMSoftMultiAttentionFeatArrayNoInputCore.py:36-38): z_2_h
+        keeps torch's nn.Linear default U(-1/sqrt(fan_in)). With D=512 the
+        default bound (0.0442) is well under the 0.1 of the uniform init —
+        a z_2_h drawn U(-0.1,0.1) is 2.3x too wide and shifts training
+        dynamics from step 0 (review r3; the torch differentials inject our
+        params, so they can never catch init mismatches)."""
+        D_big = 512
+        params = cells.multi_att_lstm_init(jax.random.PRNGKey(8), R, D_big, 3, H)
+        bound = 1.0 / np.sqrt(D_big)
+        z_w = np.asarray(params["z_2_h"]["w"])
+        assert np.abs(z_w).max() <= bound + 1e-7, (
+            f"z_2_h weight {np.abs(z_w).max():.4f} exceeds the torch "
+            f"default bound {bound:.4f}"
+        )
+        h_w = np.asarray(params["h2h"]["w"])
+        assert np.abs(h_w).max() <= 0.1 + 1e-7
+        assert np.abs(h_w).max() > bound  # really U(-0.1,0.1), not default
+
     def test_multi_att_matches_loop(self, rng):
         M = 3
         key = jax.random.PRNGKey(6)
