@@ -62,8 +62,42 @@ def _parse_output(results: List[dict], image_ids: Sequence):
             cat: {k: _float(v) for k, v in tup.items()}
             for cat, tup in scores.items()
         }
-    mean = float(np.nanmean(np.asarray(sent_scores))) if sent_scores else 0.0
+    finite = [s for s in sent_scores if not np.isnan(s)]
+    # all-NaN (every pair had empty scene graphs): keep the jar's NaN
+    # convention without numpy's all-NaN-slice RuntimeWarning; the written
+    # eval JSON serializes it as null (coco_eval._finite), and the RL hook
+    # nan_to_nums it
+    mean = float(np.mean(finite)) if finite else (
+        float("nan") if sent_scores else 0.0
+    )
     return mean, sent_scores, details
+
+
+def _file_handoff(data, invoke, work_dir: str):
+    """Shared jar/service lifecycle: write the input JSON to a temp file,
+    let `invoke(in_path, out_path)` populate out_path, read it, clean up.
+    Raw mkstemp descriptors are closed in ALL paths (a json.dump failure
+    previously leaked fd_out until EMFILE under per-batch retry loops)."""
+    fd_in, in_path = tempfile.mkstemp(suffix=".json", dir=work_dir)
+    fd_out, out_path = tempfile.mkstemp(suffix=".json", dir=work_dir)
+    os.close(fd_out)
+    try:
+        try:
+            with os.fdopen(fd_in, "w") as f:
+                json.dump(data, f, indent=2)
+        except Exception:
+            fd_in = None  # fdopen owns/closed it even on dump failure
+            raise
+        fd_in = None
+        invoke(in_path, out_path)
+        with open(out_path) as f:
+            return json.load(f), out_path
+    finally:
+        if fd_in is not None:
+            os.close(fd_in)
+        for p_ in (in_path, out_path):
+            if os.path.exists(p_):
+                os.remove(p_)
 
 
 class SpiceJavaScorer:
@@ -99,19 +133,9 @@ class SpiceJavaScorer:
         os.makedirs(self.work_dir, exist_ok=True)
         cache_dir = os.path.join(self.work_dir, "spice_cache")
         os.makedirs(cache_dir, exist_ok=True)
-        fd_in, in_path = tempfile.mkstemp(suffix=".json", dir=self.work_dir)
-        fd_out, out_path = tempfile.mkstemp(suffix=".json", dir=self.work_dir)
-        try:
-            with os.fdopen(fd_in, "w") as f:
-                json.dump(data, f, indent=2)
-            os.close(fd_out)
-            self._run(in_path, out_path, cache_dir)
-            with open(out_path) as f:
-                results = json.load(f)
-        finally:
-            for p in (in_path, out_path):
-                if os.path.exists(p):
-                    os.remove(p)
+        results, _ = _file_handoff(
+            data, lambda i, o: self._run(i, o, cache_dir), self.work_dir
+        )
         mean, sent, details = _parse_output(results, image_ids)
         self.last_details = details
         return mean, sent
@@ -137,12 +161,8 @@ class SpiceHTTPScorer:
         os.makedirs(self.work_dir, exist_ok=True)
         cache_dir = os.path.join(self.work_dir, f"spice_cache_{self.port}")
         os.makedirs(cache_dir, exist_ok=True)
-        fd_in, in_path = tempfile.mkstemp(suffix=".json", dir=self.work_dir)
-        fd_out, out_path = tempfile.mkstemp(suffix=".json", dir=self.work_dir)
-        try:
-            with os.fdopen(fd_in, "w") as f:
-                json.dump(data, f, indent=2)
-            os.close(fd_out)
+
+        def invoke(in_path, out_path):
             query = urllib.parse.urlencode(
                 {"in": in_path, "out": out_path, "cache": cache_dir,
                  "subset": 1, "silent": 1}
@@ -152,15 +172,11 @@ class SpiceHTTPScorer:
             # the reference service responds with the result JSON AND writes
             # the out file; prefer the file (spiceD.py:86-88), fall back to
             # the body
-            if os.path.getsize(out_path) > 0:
-                with open(out_path) as f:
-                    results = json.load(f)
-            else:
-                results = json.loads(body)
-        finally:
-            for p in (in_path, out_path):
-                if os.path.exists(p):
-                    os.remove(p)
+            if os.path.getsize(out_path) == 0:
+                with open(out_path, "w") as f:
+                    f.write(body.decode())
+
+        results, _ = _file_handoff(data, invoke, self.work_dir)
         mean, sent, details = _parse_output(results, image_ids)
         self.last_details = details
         return mean, sent

@@ -34,9 +34,17 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from .spice_approx import spice_approx_runner
 
+# scoring is CPU-bound pure Python: serialize it so N concurrent SCST
+# workers queue instead of spawning N GIL-thrashing scorer threads (the
+# ThreadingHTTPServer thread-per-request model only helps for IO)
+_SCORE_LOCK = threading.Lock()
+
 
 def make_handler(synonyms=None):
     class Handler(BaseHTTPRequestHandler):
+        # bound how long a stalled client can pin a handler thread
+        timeout = 120
+
         def log_message(self, *a):  # quiet by default
             pass
 
@@ -65,17 +73,29 @@ def make_handler(synonyms=None):
             except (KeyError, IndexError):
                 self._send(400, b'{"error": "missing in/out params"}')
                 return
+            import os
+
+            # distinguish the CLIENT's error (missing input file -> 400)
+            # from OUR deployment errors (unwritable out dir -> 500): a
+            # single FileNotFoundError catch blamed the input for both
+            if not os.path.exists(in_path):
+                self._send(400, json.dumps(
+                    {"error": f"input file not found: {in_path}"}).encode())
+                return
             try:
                 # reads jar-format input, writes jar-format output to `out`
-                spice_approx_runner(in_path, out_path, cache_dir,
-                                    synonyms=synonyms)
+                with _SCORE_LOCK:
+                    # the client may have TIMED OUT and deleted its input
+                    # while we queued — skip the work and write nothing, or
+                    # the recreated out file would orphan forever
+                    if not os.path.exists(in_path):
+                        self._send(503, b'{"error": "client gave up"}')
+                        return
+                    spice_approx_runner(in_path, out_path, cache_dir,
+                                        synonyms=synonyms)
                 with open(out_path, "rb") as f:
                     body = f.read()
-            except FileNotFoundError as e:
-                self._send(400, json.dumps(
-                    {"error": f"input file: {e}"}).encode())
-                return
-            except Exception as e:  # malformed records etc.
+            except Exception as e:  # malformed records, unwritable out, ...
                 self._send(500, json.dumps(
                     {"error": f"{type(e).__name__}: {e}"}).encode())
                 return

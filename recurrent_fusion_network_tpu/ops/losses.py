@@ -198,6 +198,12 @@ def reward_loss(
     B, T = sample_logprobs.shape
     mask_0, mask = _rl_masks(seq)
     if use_ppo:
+        if sample_logprobs_old is None:
+            # fail at the call site, not as jnp.exp(None) deep in a trace
+            raise ValueError(
+                "use_ppo=True requires sample_logprobs_old (the frozen "
+                "rollout log-probs; see train_rl_loop's old_logprobs_fn)"
+            )
         # exp(a)/(1e-5+exp(b)) reproduces the reference exactly
         # (misc/utils.py:108-110). NOTE the epsilon is not inert: for tokens
         # with logprob_old < ln(1e-5) ~ -11.5 it shrinks the ratio below the
