@@ -59,6 +59,9 @@ def sample(
     """
     B, L = batch_size, seq_length
     if rng is None:
+        # deterministic fallback for greedy-only use; multinomial callers
+        # must thread a key (eval_split folds one per batch) or every
+        # batch re-draws the identical PRNGKey(0) noise
         rng = jax.random.PRNGKey(0)
 
     def body(carry, t):
@@ -84,7 +87,17 @@ def sample(
         )
         it_masked = it_raw * new_unfinished.astype(it_raw.dtype)
         lp, state = step_fn(it_raw, state)
-        rec = t >= 1
+        # the reference breaks out once EVERY row finished, so its padded
+        # outputs have a zero tail (per-row phantom draws while OTHER rows
+        # continue ARE recorded — parity); a fixed-shape scan must mask that
+        # batch-finished tail explicitly. One deliberate deviation: the
+        # reference's break fires BEFORE appending the step where the LAST
+        # row emits EOS (misc/RecurrentFusionModel.py:645-650), dropping
+        # that row's EOS logprob from seqLogprobs while keeping every
+        # earlier-finishing row's; we record it so all rows' EOS draws are
+        # treated uniformly (the RL mask counts that position either way).
+        alive = jnp.logical_or(t <= 1, jnp.any(unfinished))
+        rec = jnp.logical_and(t >= 1, alive)
         out = (
             jnp.where(rec, it_masked, 0),
             jnp.where(rec, samp_lp, 0.0),

@@ -54,6 +54,11 @@ def make_rl_criterion(opt):
                 sample_logprobs, seq, reward, logprobs_all, opt.entropy_reg,
                 sample_logprobs_old, use_ppo=bool(opt.use_ppo), ppo_clip=opt.ppo_clip,
             )
+        if model_name not in ("review_net", "recurrent_fusion_model"):
+            # mirror make_criterion's explicit dispatch: an unknown model
+            # previously fell through to the ensemble loss and died as a
+            # ZeroDivisionError (or scored a wrong loss) inside the trace
+            raise ValueError(f"caption_model not supported: {model_name}")
         top_pred = reason_preds[0] if model_name == "review_net" else list(reason_preds)
         return losses.review_net_reward_loss(
             sample_logprobs, seq, reward, logprobs_all, opt.entropy_reg,

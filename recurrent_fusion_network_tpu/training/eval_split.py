@@ -160,8 +160,14 @@ def _cached_loss_fn(model, opt):
 def _cached_sample_fn(model, beam_size, sample_max):
     key = (model, beam_size, bool(sample_max))
     if key not in _SAMPLE_FN_CACHE:
+        # rng is an explicit (traced) arg: multinomial eval must draw fresh
+        # noise per batch — without it, sample() falls back to a fixed
+        # PRNGKey(0) and every batch of every run reuses identical gumbels
         _SAMPLE_FN_CACHE[key] = jax.jit(
-            partial(model_sample, model, beam_size=beam_size, sample_max=sample_max)
+            lambda params, fc, att, rng: model_sample(
+                model, params, fc, att,
+                beam_size=beam_size, sample_max=sample_max, rng=rng,
+            )
         )
     return _SAMPLE_FN_CACHE[key]
 
@@ -198,6 +204,9 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
     predictions = []
     vocab = loader.get_vocab()
     batches = lambda: iter_eval_batches(loader, split, val_images_use)
+    # per-batch sampling noise (multinomial eval); greedy/beam ignore it
+    sample_rng = jax.random.PRNGKey(getattr(opt, "seed", 0) or 0)
+    batch_ix = {"n": -1}
 
     def dispatch(data):
         """Queue loss + decode for one batch; returns device futures."""
@@ -213,7 +222,9 @@ def eval_split(model, params, loader, opt, *, split="val", val_images_use=None,
                 mesh, (fc, att, labels, masks, top_words, fc1, att1)
             )
         loss = loss_fn(params, fc, att, labels, masks, top_words)
-        return loss, sample_fn(params, fc1, att1)
+        batch_ix["n"] += 1
+        r = jax.random.fold_in(sample_rng, batch_ix["n"])
+        return loss, sample_fn(params, fc1, att1, r)
 
     from ..decoding.serve import pipelined_map
 

@@ -18,8 +18,44 @@ ramp (train.py:102-106).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
+import jax.numpy as jnp
 import optax
+
+
+class ScaleByAdagradState(NamedTuple):
+    count: jnp.ndarray  # step number, int32 scalar
+    sum_sq: optax.Params  # per-leaf accumulated squared gradients
+
+
+def scale_by_torch_adagrad(lr_decay: float = 0.0, eps: float = 1e-10):
+    """torch.optim.Adagrad semantics: update = g / (sqrt(sum g^2) + eps),
+    scaled by 1/(1 + (step-1)*lr_decay). optax's scale_by_rss puts eps
+    INSIDE the sqrt, which inflates early tiny-gradient steps ~sqrt(eps)/|g|;
+    torch's placement (and the reference's train.py:77-79 lr_decay knob)
+    is reproduced exactly here."""
+
+    def init(params):
+        return ScaleByAdagradState(
+            count=jnp.zeros((), jnp.int32),
+            sum_sq=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = state.count + 1
+        sum_sq = jax.tree_util.tree_map(
+            lambda s, g: s + jnp.square(g), state.sum_sq, updates
+        )
+        clr = 1.0 / (1.0 + (count - 1).astype(jnp.float32) * lr_decay)
+        updates = jax.tree_util.tree_map(
+            lambda g, s: clr * g / (jnp.sqrt(s) + eps), updates, sum_sq
+        )
+        return updates, ScaleByAdagradState(count=count, sum_sq=sum_sq)
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(opt):
@@ -36,15 +72,20 @@ def make_optimizer(opt):
             )
         )
     elif name == "rmsprop":
+        # eps_in_sqrt=False: torch RMSprop scales by g/(sqrt(nu)+eps);
+        # optax's default g/sqrt(nu+eps) differs ~10x whenever nu <~ eps
+        # (early training / small-gradient params)
         parts.append(optax.scale_by_rms(decay=opt.optim_rmsprop_alpha,
-                                        eps=opt.optim_epsilon))
+                                        eps=opt.optim_epsilon,
+                                        eps_in_sqrt=False))
         if opt.optim_momentum:
             parts.append(optax.trace(decay=opt.optim_momentum))
     elif name == "sgd":
         if opt.optim_momentum:
             parts.append(optax.trace(decay=opt.optim_momentum))
     elif name == "adagrad":
-        parts.append(optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10))
+        parts.append(scale_by_torch_adagrad(
+            lr_decay=getattr(opt, "optim_lr_decay", 0.0) or 0.0))
     elif name == "adadelta":
         parts.append(optax.scale_by_adadelta(rho=opt.optim_rho, eps=opt.optim_epsilon))
     else:

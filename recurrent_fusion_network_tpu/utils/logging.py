@@ -28,8 +28,21 @@ class JsonlLogger:
     def log(self, **event):
         event.setdefault("ts", time.time())
         if self._f:
-            self._f.write(json.dumps(event) + "\n")
-            self._f.flush()
+            try:
+                self._f.write(json.dumps(event) + "\n")
+                self._f.flush()
+            except (OSError, ValueError):
+                # telemetry must never kill training (disk full, closed
+                # fd): disable the sink and keep going — the reference
+                # only ever printed to stdout
+                import warnings
+
+                warnings.warn("JSONL log sink failed; disabling it")
+                try:
+                    self._f.close()
+                except OSError:
+                    pass
+                self._f = None
 
     def close(self):
         if self._f:

@@ -188,6 +188,45 @@ class TestSampleParity:
                 assert (s[b, z[0]:] == 0).all()
         assert o1.logprobs_all.shape == (B, L + 1, V)
 
+    def test_batch_finished_tail_is_zero(self):
+        """Once EVERY row has finished, nothing further is recorded (the
+        reference breaks out of the loop, misc/RecurrentFusionModel.py:645-646,
+        so its padded outputs have a zero tail) — but while ANY row is still
+        alive, finished rows' phantom draws ARE recorded (the reference
+        appends sampleLogprobs for the whole batch each non-broken step)."""
+        B, L = 2, 6
+
+        def count_step(tokens, counter):
+            # counter c: the lp table consumed at draw step t = c + 1
+            lp = jnp.full((B, V), -5.0)
+            eos_now = counter >= 1  # favor EOS from the second draw on
+            fav = jnp.where(eos_now, 0, 3)
+            lp = lp.at[jnp.arange(B), fav].set(-0.1)
+            return lp, counter + 1
+
+        out = sample(count_step, jnp.zeros((), jnp.int32), B, L, V)
+        s, lp = np.asarray(out.seq), np.asarray(out.seq_logprobs)
+        np.testing.assert_array_equal(s, [[3, 0, 0, 0, 0, 0]] * B)
+        assert (lp[:, 0] != 0).all()  # first token's logprob
+        assert (lp[:, 1] != 0).all()  # the collective-EOS step is recorded
+        np.testing.assert_array_equal(lp[:, 2:], 0.0)  # post-break tail
+
+        def mixed_step(tokens, counter):
+            # row 0 finishes at the 2nd draw; row 1 never emits EOS
+            lp = jnp.full((B, V), -5.0)
+            fav = jnp.where(
+                jnp.logical_and(jnp.arange(B) == 0, counter >= 1), 0, 3
+            )
+            lp = lp.at[jnp.arange(B), fav].set(-0.1)
+            return lp, counter + 1
+
+        out = sample(mixed_step, jnp.zeros((), jnp.int32), B, L, V)
+        s, lp = np.asarray(out.seq), np.asarray(out.seq_logprobs)
+        np.testing.assert_array_equal(s[0], [3, 0, 0, 0, 0, 0])
+        assert (s[1] == 3).all()
+        # row 0's phantom draws stay recorded while row 1 is alive
+        assert (lp[0, 2:] != 0).all()
+
 
 class TestModelDecode:
     def _model_and_params(self):

@@ -517,3 +517,96 @@ class TestRLTraining:
         scorer = scorer_for(loader)
         infos = train_rl(opt, loader, scorer, max_iterations=2, log_fn=quiet)
         assert infos["iter"] >= 2
+
+
+class TestOptimTorchParity:
+    """Optimizer parity vs torch for the non-adam branches (train.py:68-84).
+    Adam is exercised by the full-step differentials; rmsprop's eps placement
+    (g/(sqrt(nu)+eps), NOT g/sqrt(nu+eps)) only shows up when nu <~ eps, so
+    the fixture drives tiny early gradients."""
+
+    def _run_pair(self, name, *, momentum=0.0, wd=0.0, lr_decay=0.0, steps=6):
+        import torch
+        from types import SimpleNamespace
+
+        from recurrent_fusion_network_tpu.training.optim import (
+            apply_updates, make_optimizer)
+
+        opt = SimpleNamespace(
+            optim=name, grad_clip=0.1, optim_weight_decay=wd,
+            optim_rmsprop_alpha=0.9, optim_epsilon=1e-8,
+            optim_momentum=momentum, optim_adam_beta1=0.9,
+            optim_adam_beta2=0.999, optim_rho=0.95, optim_lr_decay=lr_decay,
+        )
+        lr = 3e-3
+        rng = np.random.default_rng(0)
+        p0 = rng.standard_normal(5).astype(np.float32)
+        # tiny early grads so nu << eps on the first steps, then normal ones
+        grads = [p0 * 0 + 3e-6 * (i + 1) if i < 2 else
+                 rng.standard_normal(5).astype(np.float32) * 0.05
+                 for i in range(steps)]
+
+        tx = make_optimizer(opt)
+        params = {"w": jnp.asarray(p0)}
+        state = tx.init(params)
+        for g in grads:
+            d, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = apply_updates(params, d, lr)
+
+        tp = torch.nn.Parameter(torch.tensor(p0, dtype=torch.float64))
+        kw = dict(lr=lr, weight_decay=wd)
+        if name == "rmsprop":
+            topt = torch.optim.RMSprop([tp], alpha=0.9, eps=1e-8,
+                                       momentum=momentum, **kw)
+        elif name == "sgd":
+            topt = torch.optim.SGD([tp], momentum=momentum, **kw)
+        elif name == "adagrad":
+            topt = torch.optim.Adagrad([tp], lr_decay=lr_decay, **kw)
+        else:
+            raise AssertionError(name)
+        for g in grads:
+            topt.zero_grad()
+            tp.grad = torch.tensor(g, dtype=torch.float64).clamp(-0.1, 0.1)
+            topt.step()
+        np.testing.assert_allclose(
+            np.asarray(params["w"]), tp.detach().numpy(), rtol=2e-5, atol=1e-7,
+            err_msg=f"{name} diverged from torch",
+        )
+
+    def test_rmsprop_matches_torch(self):
+        self._run_pair("rmsprop")
+
+    def test_rmsprop_momentum_wd_matches_torch(self):
+        self._run_pair("rmsprop", momentum=0.8, wd=1e-3)
+
+    def test_sgd_momentum_matches_torch(self):
+        self._run_pair("sgd", momentum=0.9)
+
+    def test_adagrad_matches_torch(self):
+        self._run_pair("adagrad")
+
+    def test_adagrad_lr_decay_matches_torch(self):
+        self._run_pair("adagrad", lr_decay=0.05)
+
+
+class TestEvalMultinomialRng:
+    def test_sample_eval_noise_is_seeded_and_fresh_per_run(self, tmp_path):
+        """Multinomial eval threads a per-batch PRNG key (folded from
+        opt.seed): same seed reproduces the decode, a different seed draws
+        different captions — i.e. the noise actually reaches the device fn
+        instead of the PRNGKey(0) fallback inside sample()."""
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        model = setup_with_dims(opt, loader)
+        params = model.init_params(jax.random.PRNGKey(0))
+
+        def run(seed):
+            opt.seed = seed
+            _, preds, _ = eval_split(
+                model, params, loader, opt, split="val", val_images_use=8,
+                sample_max=False, language_eval_flag=False,
+            )
+            return [p["caption"] for p in preds]
+
+        a, b, c = run(11), run(11), run(12)
+        assert a == b
+        assert a != c
