@@ -15,16 +15,37 @@ from .dataset import Dataset, DirFeatureSource, PackedFeatureSource, SyntheticFe
 from .loader import DataLoader
 
 
+def _check_dims(src, info, root: str):
+    """A discovered store must match the registry geometry the model is
+    built from — a densenet store extracted at att_size 14 (196 positions)
+    would otherwise feed a model configured for 49, surfacing (if at all)
+    as an opaque shape error deep in model apply."""
+    got = (
+        (src.fc_dim, src.att_num, src.att_dim)
+        if hasattr(src, "fc_dim")
+        else src.dims()
+    )
+    want = (info["fc_feat_size"], info["att_num"], info["att_feat_size"])
+    if tuple(got) != tuple(want):
+        raise ValueError(
+            f"feature store at {root} has (fc_dim, att_num, att_dim)={got} "
+            f"but the registry declares {want} for encoder "
+            f"'{info['name']}' — re-extract with the encoder's native "
+            f"geometry (see feature_extraction.extract.ARCH_GEOMETRY)"
+        )
+    return src
+
+
 def _source_for(info, data_root: str, seed: int = 0):
     name = getattr(info, "name", "")
     sharded = os.path.join(data_root, name, "sharded")
     if name and os.path.exists(os.path.join(sharded, "manifest.json")):
         from .sharded import ShardedFeatureSource
 
-        return ShardedFeatureSource(sharded)
+        return _check_dims(ShardedFeatureSource(sharded), info, sharded)
     packed = os.path.join(data_root, name, "packed")
     if name and os.path.isdir(packed):
-        return PackedFeatureSource(packed)
+        return _check_dims(PackedFeatureSource(packed), info, packed)
     if hasattr(info, "variant_dirs"):
         from ..feat_registry import VARIANTS
 

@@ -89,6 +89,19 @@ class PackedFeatureSource:
         r = self.row[image_id]
         return np.asarray(fc[r]), np.asarray(att[r])
 
+    def dims(self):
+        """(fc_dim, att_num, att_dim) from any present variant's arrays
+        (mmap header reads only) — lets callers validate a store's geometry
+        against the encoder registry before wiring it to a model."""
+        import glob
+
+        fcs = sorted(glob.glob(os.path.join(self.root, "*_fc.npy")))
+        if not fcs:
+            raise FileNotFoundError(f"no *_fc.npy arrays under {self.root}")
+        variant = os.path.basename(fcs[0])[: -len("_fc.npy")]
+        fc, att = self._arrays(variant)
+        return int(fc.shape[1]), int(att.shape[1]), int(att.shape[2])
+
     @staticmethod
     def write(root, ids, fc_by_variant, att_by_variant):
         """Create a packed source on disk from in-memory arrays."""

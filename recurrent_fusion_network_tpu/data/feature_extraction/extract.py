@@ -36,6 +36,25 @@ import numpy as np
 from .augment import VARIANTS, make_variant
 from .backbones import ARCHS, build_backbone
 
+# native geometry per arch family (image_size, att_size): the input size the
+# weights were trained for and the spatial grid it produces — matching the
+# feat_registry dims the downstream model is built from (resnet 448 -> 14x14
+# via adaptive pool, densenet161 224 -> 7x7, inception* 299 -> 8x8 fixed).
+# Used when --image_size/--att_size are not given; explicit values are
+# validated against the backbone's actual output grid before any IO.
+ARCH_GEOMETRY = {
+    "resnet": (448, 14),
+    "densenet": (224, 7),
+    "inception": (299, 8),
+}
+
+
+def default_geometry(arch: str):
+    for prefix, geo in ARCH_GEOMETRY.items():
+        if arch.startswith(prefix):
+            return geo
+    raise ValueError(f"no native geometry known for arch {arch}")
+
 
 def load_image(path: str, size: int) -> np.ndarray:
     from PIL import Image
@@ -64,8 +83,13 @@ def main(argv=None):
     p.add_argument("--output_dir", required=True)
     p.add_argument("--arch", default="resnet101", choices=list(ARCHS))
     p.add_argument("--torch_weights", default=None)
-    p.add_argument("--image_size", type=int, default=448)
-    p.add_argument("--att_size", type=int, default=14)
+    p.add_argument("--image_size", type=int, default=None,
+                   help="input resolution; default: the arch's native size "
+                        "(resnet 448, densenet 224, inception 299)")
+    p.add_argument("--att_size", type=int, default=None,
+                   help="spatial grid side; default: the arch's native grid "
+                        "(resnet 14, densenet 7, inception 8); validated "
+                        "against the backbone's actual output before IO")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--variants", default="original",
                    help=f"comma list from {','.join(VARIANTS)} or 'all'")
@@ -83,9 +107,35 @@ def main(argv=None):
                         "always start fresh")
     args = p.parse_args(argv)
 
+    native_imsz, native_att = default_geometry(args.arch)
+    if args.image_size is None:
+        args.image_size = native_imsz
+    if args.att_size is None:
+        args.att_size = native_att
+
     params, feats_fn, C_fc, C_att = build_backbone(
         args.arch, args.att_size, args.torch_weights
     )
+
+    # validate the (image_size, att_size) pair against the backbone's actual
+    # output grid BEFORE opening any arrays: inception grids are fixed by the
+    # input size (backbones ignore att_size there), and a mismatched pair
+    # would either crash on the first batch's reshape after a minutes-long
+    # compile or silently write a geometry the feat_registry contradicts
+    fc_s, att_s = jax.eval_shape(
+        feats_fn, params,
+        jax.ShapeDtypeStruct((1, args.image_size, args.image_size, 3),
+                             jnp.float32),
+    )
+    npos = int(np.prod(att_s.shape[1:-1]))
+    if npos != args.att_size ** 2 or att_s.shape[-1] != C_att:
+        raise SystemExit(
+            f"--arch {args.arch} at --image_size {args.image_size} produces "
+            f"an att grid of {npos} positions x {att_s.shape[-1]} channels; "
+            f"--att_size {args.att_size} wants {args.att_size ** 2}. Use the "
+            f"native geometry (--image_size {native_imsz} --att_size "
+            f"{native_att}) or a consistent override."
+        )
 
     variants = VARIANTS if args.variants == "all" else tuple(args.variants.split(","))
 

@@ -134,9 +134,26 @@ class DataLoader:
     # -------------------------------------------------------------- iterator
 
     def reset_iterator(self, split: str):
+        # rewind the PRODUCTION state (live RNGs, order) to the consumed view
+        # before zeroing cursors: the prefetcher over-runs consumption by up
+        # to DEPTH+1 batches, advancing the live RNG streams past the
+        # snapshot a checkpoint records — without the rewind, draws after a
+        # reset depend on prefetch timing and diverge from a resumed run
+        # (breaking the draw-exact resume contract of restore_state)
         self._stop_prefetcher(split)
+        self._rewind_to_consumed(split)
         self.iterators[split] = 0
         self._prod_it[split] = 0
+
+    def _rewind_to_consumed(self, split: str):
+        """Roll production cursors/RNGs/order back to the consumed view
+        (the state as of the last batch handed to the caller). Only safe
+        with no live prefetcher for the split."""
+        st = self.rng_states[split]
+        self._rng[split].setstate(_as_py_rng_state(st["py"]))
+        self._np_rng[split].bit_generator.state = st["np"]
+        self._order[split] = list(self.split_image_id[split])
+        self._prod_it[split] = self.iterators[split]
 
     def _snapshot_rng(self, split: str) -> dict:
         # Random.getstate() is an immutable tuple; Generator exposes a fresh
@@ -200,6 +217,13 @@ class DataLoader:
             and variant is None
         ):
             return self._get_prefetched(split)
+        # direct (caller-thread) assembly must not race a live prefetcher
+        # for the same split: stop it and rewind the production state it
+        # advanced back to the consumed view, so no images are skipped and
+        # the two threads never mutate _prod_it/_rng concurrently
+        if split in self._prefetchers:
+            self._stop_prefetcher(split)
+            self._rewind_to_consumed(split)
         batch = self._assemble_batch(split, batch_size, seq_per_img, variant)
         self.iterators[split] = self._prod_it[split]
         self.split_image_id[split] = self._order[split][:]
@@ -212,8 +236,10 @@ class DataLoader:
         L = self.seq_length
         ds = self.dataset
         hi, hc = self.host_index, self.host_count
-        if hc > 1:
-            assert B % hc == 0, (
+        # real exception, not an assert: under `python -O` a stripped check
+        # would silently drop the tail rows of every global batch
+        if hc > 1 and B % hc != 0:
+            raise ValueError(
                 f"batch_size {B} must divide by host count {hc}"
             )
         B_local = B // hc
@@ -233,7 +259,10 @@ class DataLoader:
             v = variant or self._pick_variant(split)
             caps = ds.captions_for_image(image_id)
             ncap = caps.shape[0]
-            assert ncap > 0, "an image does not have any label"
+            if ncap <= 0:  # not an assert: must survive python -O
+                raise ValueError(
+                    f"image {image_id} does not have any label"
+                )
             if ncap < spi:
                 seq = np.stack(
                     [caps[rng.randint(0, ncap - 1), :L] for _ in range(spi)]

@@ -201,12 +201,18 @@ class ShardedFeatureSource:
     ) -> "ShardedFeatureSource":
         """Create a store from in-memory (N, D) fc and (N, A, C) att arrays
         per variant (same variant sets; rows in `ids` order)."""
+        # real exceptions, not asserts: a store written under python -O with
+        # mismatched inputs would otherwise serve silently-corrupt rows
         variants = sorted(fc_by_variant)
-        assert sorted(att_by_variant) == variants, "fc/att variant sets differ"
+        if sorted(att_by_variant) != variants:
+            raise ValueError("fc/att variant sets differ")
         n = len(ids)
         fc0 = np.asarray(fc_by_variant[variants[0]])
         att0 = np.asarray(att_by_variant[variants[0]])
-        assert fc0.shape[0] == n and att0.shape[0] == n
+        if fc0.shape[0] != n or att0.shape[0] != n:
+            raise ValueError(
+                f"row counts {fc0.shape[0]}/{att0.shape[0]} != len(ids) {n}"
+            )
         D, (A, C) = fc0.shape[1], att0.shape[1:]
 
         os.makedirs(root, exist_ok=True)
@@ -218,7 +224,12 @@ class ShardedFeatureSource:
                 for v in variants:
                     fc = np.ascontiguousarray(fc_by_variant[v][lo:hi], np.float32)
                     att = np.ascontiguousarray(att_by_variant[v][lo:hi], np.float32)
-                    assert fc.shape == (hi - lo, D) and att.shape == (hi - lo, A, C)
+                    if fc.shape != (hi - lo, D) or att.shape != (hi - lo, A, C):
+                        raise ValueError(
+                            f"variant '{v}' rows [{lo}:{hi}] have shapes "
+                            f"{fc.shape}/{att.shape}, want "
+                            f"{(hi - lo, D)}/{(hi - lo, A, C)}"
+                        )
                     f.write(fc.tobytes())
                     f.write(att.tobytes())
             shards.append({"file": fname, "count": hi - lo})

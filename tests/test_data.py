@@ -173,6 +173,53 @@ class TestIterators:
         again = loader.get_batch("val")
         assert [i["id"] for i in first["infos"]] == [i["id"] for i in again["infos"]]
 
+    def test_reset_iterator_rewinds_live_rng_to_consumed(self):
+        """The prefetcher over-runs consumption, advancing the live RNG
+        streams past the consumed snapshot a checkpoint records.
+        reset_iterator must rewind them, or post-reset variant/caption
+        draws depend on prefetch timing and diverge from a resumed run
+        (the eval splits hit this every periodic eval on real COCO)."""
+        kw = dict(seq_per_img=3, seed=21, use_flip=1, use_crop=1)
+        opt, pre = synthetic_setup(prefetch=True, **kw)
+        opt2, sync = synthetic_setup(prefetch=False, **kw)
+        for _ in range(2):
+            pre.get_batch("val")
+            sync.get_batch("val")
+        pre.reset_iterator("val")
+        sync.reset_iterator("val")
+        # live streams equal the consumed snapshot, regardless of how far
+        # the producer thread ran ahead before the reset stopped it
+        assert pre._snapshot_rng("val") == pre.rng_states["val"]
+        for _ in range(3):
+            a, b = pre.get_batch("val"), sync.get_batch("val")
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+            np.testing.assert_array_equal(
+                a["fc_feats_array"][0], b["fc_feats_array"][0]
+            )
+        pre.close()
+        sync.close()
+
+    def test_direct_get_batch_does_not_race_or_skip(self):
+        """An explicit-arg get_batch must stop a live prefetcher for the
+        split and continue from the CONSUMED cursor — not race the producer
+        thread or skip the images it pre-assembled."""
+        kw = dict(seed=31, use_flip=1, seq_per_img=3)
+        opt, pre = synthetic_setup(prefetch=True, **kw)
+        opt2, sync = synthetic_setup(prefetch=False, **kw)
+        a1, b1 = pre.get_batch("train"), sync.get_batch("train")
+        np.testing.assert_array_equal(a1["labels"], b1["labels"])
+        a2 = pre.get_batch("train", variant="flip")
+        b2 = sync.get_batch("train", variant="flip")
+        assert [i["id"] for i in a2["infos"]] == [i["id"] for i in b2["infos"]]
+        np.testing.assert_array_equal(a2["labels"], b2["labels"])
+        # the default (prefetched) path resumes cleanly afterwards
+        a3, b3 = pre.get_batch("train"), sync.get_batch("train")
+        np.testing.assert_array_equal(a3["labels"], b3["labels"])
+        assert a3["bounds"] == b3["bounds"]
+        pre.close()
+        sync.close()
+
+
 
 class TestPackedSource:
     def test_roundtrip(self, tmp_path):
@@ -602,3 +649,64 @@ class TestPrefetcherFailure:
         with pytest.raises(RuntimeError, match="prefetcher"):
             loader.get_batch("train")
         loader.close()
+
+
+class TestWriterValidation:
+    def test_sharded_write_mismatches_are_real_errors(self, tmp_path):
+        """ValueError, not strippable asserts: a store written under
+        `python -O` with mismatched inputs must not serve corrupt rows."""
+        from recurrent_fusion_network_tpu.data.sharded import ShardedFeatureSource
+
+        fc = {"original": np.zeros((2, 3), np.float32)}
+        with pytest.raises(ValueError, match="variant sets"):
+            ShardedFeatureSource.write(
+                str(tmp_path / "a"), [1, 2], fc,
+                {"flip": np.zeros((2, 4, 5), np.float32)},
+            )
+        with pytest.raises(ValueError, match="row counts"):
+            ShardedFeatureSource.write(
+                str(tmp_path / "b"), [1, 2, 3], fc,
+                {"original": np.zeros((2, 4, 5), np.float32)},
+            )
+
+
+class TestSourceDimsValidation:
+    def test_store_geometry_checked_against_registry(self, tmp_path):
+        """A discovered packed/sharded store whose dims contradict the
+        registry entry (e.g. densenet extracted at att_size 14 where the
+        registry declares 49) must be rejected at source resolution with a
+        one-line message, not surface as an opaque shape error deep in
+        model apply — or worse, train silently with wrong geometry."""
+        from recurrent_fusion_network_tpu.data.build import _source_for
+        from recurrent_fusion_network_tpu.feat_registry import EncoderInfo
+
+        root = tmp_path / "enc" / "packed"
+        PackedFeatureSource.write(
+            str(root), [1],
+            {"original": np.zeros((1, 8), np.float32)},
+            {"original": np.zeros((1, 4, 6), np.float32)},
+        )
+        bad = EncoderInfo(name="enc", fc_feat_size=8, att_feat_size=6,
+                          att_num=9, data_root=str(tmp_path))
+        with pytest.raises(ValueError, match="registry declares"):
+            _source_for(bad, str(tmp_path))
+        ok = EncoderInfo(name="enc", fc_feat_size=8, att_feat_size=6,
+                         att_num=4, data_root=str(tmp_path))
+        src = _source_for(ok, str(tmp_path))
+        assert src.load(1)[0].shape == (8,)
+
+    def test_sharded_store_geometry_checked(self, tmp_path):
+        from recurrent_fusion_network_tpu.data.build import _source_for
+        from recurrent_fusion_network_tpu.data.sharded import ShardedFeatureSource
+        from recurrent_fusion_network_tpu.feat_registry import EncoderInfo
+
+        root = tmp_path / "enc" / "sharded"
+        ShardedFeatureSource.write(
+            str(root), [1, 2],
+            {"original": np.zeros((2, 8), np.float32)},
+            {"original": np.zeros((2, 4, 6), np.float32)},
+        )
+        bad = EncoderInfo(name="enc", fc_feat_size=8, att_feat_size=7,
+                          att_num=4, data_root=str(tmp_path))
+        with pytest.raises(ValueError, match="registry declares"):
+            _source_for(bad, str(tmp_path))

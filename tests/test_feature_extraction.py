@@ -55,6 +55,49 @@ class TestAugment:
         for v, arr in out.items():
             assert arr.shape == img.shape, v
 
+    @staticmethod
+    def _tf_crop_and_resize_ref(img, box):
+        """Independent numpy port of tf.image.crop_and_resize single-box
+        bilinear semantics (the reference's generate_crop_images.py:13-50):
+        corner-aligned sampling over [lo*(extent-1), hi*(extent-1)]."""
+        H, W, C = img.shape
+        y1, x1, y2, x2 = box
+        ys = y1 * (H - 1) + np.arange(H) * (y2 - y1) * (H - 1) / (H - 1)
+        xs = x1 * (W - 1) + np.arange(W) * (x2 - x1) * (W - 1) / (W - 1)
+        out = np.empty_like(img)
+        for i, y in enumerate(ys):
+            y0 = int(np.floor(y))
+            wy = y - y0
+            y0c, y1c = min(max(y0, 0), H - 1), min(max(y0 + 1, 0), H - 1)
+            for j, x in enumerate(xs):
+                x0 = int(np.floor(x))
+                wx = x - x0
+                x0c, x1c = min(max(x0, 0), W - 1), min(max(x0 + 1, 0), W - 1)
+                top = img[y0c, x0c] * (1 - wx) + img[y0c, x1c] * wx
+                bot = img[y1c, x0c] * (1 - wx) + img[y1c, x1c] * wx
+                out[i, j] = top * (1 - wy) + bot * wy
+        return out
+
+    def test_crop_matches_tf_crop_and_resize(self, rng):
+        """The crop variants must reproduce tf.image.crop_and_resize's
+        fractional corner-aligned grid — NOT an integer-pixel slice plus
+        half-pixel resize, whose every sample differs sub-pixel-wise from
+        the reference's pre-rendered crop images."""
+        from recurrent_fusion_network_tpu.data.feature_extraction.augment import (
+            VARIANT_BOXES,
+            crop_and_resize,
+        )
+
+        img = np.asarray(rng.random((6, 5, 2)), np.float32)
+        for name, box in VARIANT_BOXES.items():
+            got = np.asarray(crop_and_resize(jnp.asarray(img), box))
+            want = self._tf_crop_and_resize_ref(img, box)
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                       err_msg=name)
+        # the identity box is exactly the identity under corner alignment
+        ident = np.asarray(crop_and_resize(jnp.asarray(img), (0.0, 0.0, 1.0, 1.0)))
+        np.testing.assert_allclose(ident, img, rtol=1e-6, atol=1e-7)
+
 
 class TestAdaptivePool:
     @pytest.mark.parametrize("H,W,S", [(7, 7, 7), (13, 17, 14), (20, 20, 14)])
@@ -250,6 +293,40 @@ class TestExtractCLI:
         assert np.isfinite(fc_f).all()
         ids = json.load(open(out / "ids.json"))
         assert ids == [1000, 1001, 1002]
+
+    def test_native_geometry_defaults(self):
+        from recurrent_fusion_network_tpu.data.feature_extraction.extract import (
+            default_geometry,
+        )
+
+        assert default_geometry("resnet101") == (448, 14)
+        assert default_geometry("densenet161") == (224, 7)
+        assert default_geometry("inception_v3") == (299, 8)
+        assert default_geometry("inception_resnet_v2") == (299, 8)
+        with pytest.raises(ValueError):
+            default_geometry("vgg16")
+
+    def test_inconsistent_geometry_rejected_before_io(self, tmp_path):
+        """Inception grids are fixed by the input size (backbones ignore
+        att_size there); a mismatched --att_size must die with a clear
+        message BEFORE any array IO — previously it crashed on the first
+        batch's reshape after a minutes-long backbone compile."""
+        from PIL import Image
+
+        from recurrent_fusion_network_tpu.data.feature_extraction.extract import main
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        arr = (np.random.default_rng(0).random((40, 40, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / "7000.jpg")
+        out = tmp_path / "packed"
+        with pytest.raises(SystemExit, match="att grid"):
+            main([
+                "--images_dir", str(img_dir), "--output_dir", str(out),
+                "--arch", "inception_v3", "--image_size", "299",
+                "--att_size", "14", "--batch_size", "1",
+            ])
+        assert not out.exists()  # rejected before creating anything
 
     def test_interrupted_extraction_resumes_exactly(self, tmp_path):
         """A preempted extraction (progress marker behind N) re-run with the
