@@ -952,9 +952,17 @@ def train_multi_seed_rl(
         # the earlier run's rl_-best files already stand
         for r in local_seeds:
             if best_params[r] is not None and not best_written[r]:
+                # a never-improved seed has no RL moments (best_opt_states[r]
+                # is None); ship its XE warm-start moments instead of
+                # omitting the optimizer file — omission would leave any
+                # stale rl_optimizer-best from an earlier run paired with
+                # the fresh model file
                 _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, r,
-                    params=best_params[r], opt_state=best_opt_states[r],
+                    params=best_params[r],
+                    opt_state=(best_opt_states[r]
+                               if best_opt_states[r] is not None
+                               else saved_opt_states[r]),
                     infos=seed_infos(r), best=True, prefix="rl_",
                 )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier

@@ -306,6 +306,56 @@ class TestMultiSeedRL:
                                     prefix="rl_")
         assert np.asarray(p0["embed"]).shape == np.asarray(prl["embed"]).shape
 
+    def test_rl_fleet_never_improved_ships_xe_moments(self, tmp_path):
+        """A warm-started seed that never beats its XE best score still ships
+        a complete rl_-best triple: params = the XE weights AND an optimizer
+        file (its XE moments) — omitting the optimizer would leave any stale
+        rl_optimizer-best from an earlier run paired with the fresh model."""
+        import pickle
+
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+            train_multi_seed_rl,
+        )
+
+        kw = dict(caption_model="show_tell", batch_size=4, seq_per_img=2)
+        opt, loader = synthetic_setup(**kw)
+        opt.checkpoint_path = str(tmp_path)
+        opt.id = "ni"
+        train_multi_seed(opt, loader, 2, max_iterations=3,
+                         eval_at_end=True, log_fn=quiet)
+        # inflate the recorded XE best scores so the RL phase can never improve
+        for r in range(2):
+            ip = tmp_path / f"infos_ni_{r}-best.pkl"
+            infos = pickle.loads(ip.read_bytes())
+            infos["best_val_score"] = 1e9
+            ip.write_bytes(pickle.dumps(infos))
+
+        opt2, loader2 = synthetic_setup(**kw)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "ni"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "ni"
+        opt2.load_best_score = 1
+        opt2.load_lr = 1  # restore the XE moments (they must ship at the end)
+        train_multi_seed_rl(
+            opt2, loader2, self._scorer(loader2), 2, max_iterations=3,
+            eval_at_end=True, log_fn=quiet,
+        )
+        for r in range(2):
+            pxe, sxe, _ = load_checkpoint(str(tmp_path), "ni", r, best=True)
+            prl, srl, infos = load_checkpoint(str(tmp_path), "ni", r,
+                                              best=True, prefix="rl_")
+            assert infos["best_val_score"] == 1e9  # gate never beaten
+            # ships the XE weights and the XE optimizer moments, not None
+            np.testing.assert_array_equal(np.asarray(prl["embed"]),
+                                          np.asarray(pxe["embed"]))
+            assert srl is not None
+            np.testing.assert_array_equal(
+                np.asarray(jax.tree_util.tree_leaves(srl)[0]),
+                np.asarray(jax.tree_util.tree_leaves(sxe)[0]),
+            )
+
 
 class TestUtils:
     def test_jsonl_logger(self, tmp_path):
