@@ -1,13 +1,16 @@
 """TPU-native Recurrent Fusion Network (RFNet) image-captioning framework.
 
-A brand-new JAX/XLA/Pallas implementation with the full capabilities of the
+A brand-new JAX/XLA implementation with the full capabilities of the
 PyTorch reference `cswhjiang/Recurrent_Fusion_Network` (ECCV 2018): ShowTell,
 ReviewNet and RecurrentFusionModel captioners over multi-CNN precomputed
 feature arrays, cross-entropy and self-critical (SCST) RL training with
 vectorized CIDEr-D rewards, batched beam search, multi-checkpoint ensemble
 decoding, a COCO caption-metric harness, and checkpoint/resume — redesigned
-idiomatically for TPU (batched `lax.scan` decoding, fused Pallas
-attention-LSTM kernels, pjit/`shard_map` data parallelism) rather than ported.
+idiomatically for TPU (batched `lax.scan` decoding, XLA-fused cells,
+pjit/`shard_map` data parallelism) rather than ported. All compute-path
+kernels are XLA-owned by a measured decision: a round-1 hand-written fused
+attention-LSTM kernel was removed after profiling showed XLA already at the
+chip's practical peak on these shapes (PERF_NOTES.md §3).
 
 Layer map (mirrors SURVEY.md §1 of the reference analysis):
   config.py / feat_registry.py      — L1 config + encoder registry

@@ -60,7 +60,7 @@ PREPOSITIONS = {
     "outside", "into", "onto", "along", "around", "against", "atop",
     "beneath", "underneath", "toward", "towards", "upon", "off", "from",
     "down", "up", "within", "amid", "among", "past", "beyond", "next",
-    "of", "to",
+    "of", "to", "during",
 }
 COPULAS = {"is", "are", "was", "were", "be", "being", "been", "am"}
 AUXILIARIES = {
@@ -68,7 +68,14 @@ AUXILIARIES = {
     "would", "may", "might", "must", "should", "shall",
 }
 CONJUNCTIONS = {"and", "or"}
-RELATIVES = {"that", "which", "who", "whom", "whose", "while", "as"}
+RELATIVES = {"that", "which", "who", "whom", "whose"}
+CLAUSE_BREAKERS = {"while", "as"}  # start a fresh clause/subject
+# -s words that are (almost always) clause-final intransitive verbs in
+# captions ("... while a woman watches"), never NP heads
+CLAUSE_FINAL_VERBS = {
+    "watches", "looks", "waits", "smiles", "sits", "stands", "sleeps",
+    "rests", "poses", "plays", "eats", "runs", "sets", "grazes",
+}
 PRONOUNS = {
     "it", "he", "she", "they", "him", "them", "there", "here", "what",
     "something", "someone", "itself", "himself", "herself", "themselves",
@@ -151,10 +158,36 @@ def _lemma_noun(w: str) -> str:
 
 _VOWELS = set("aeiou")
 
+# inflected form -> base for verbs the CVC heuristics below misjudge
+IRREGULAR_VERBS = {
+    "lying": "lie", "dying": "die", "tying": "tie",
+    "balancing": "balance", "balanced": "balance",
+    "bouncing": "bounce", "bounced": "bounce",
+    "chasing": "chase", "chased": "chase",
+    "practicing": "practice", "practiced": "practice",
+    "racing": "race", "raced": "race",
+    "serving": "serve", "served": "serve",
+    "carving": "carve", "carved": "carve",
+    "observing": "observe",
+    "exercising": "exercise",
+}
+
+
+def _vowel_groups(w: str) -> int:
+    n, prev = 0, False
+    for ch in w:
+        v = ch in _VOWELS
+        if v and not prev:
+            n += 1
+        prev = v
+    return n
+
 
 def _lemma_verb(w: str) -> str:
     """Rule-based -ing/-ed/-s verb base form ('riding'->'ride',
     'sitting'->'sit', 'parked'->'park', 'walks'->'walk')."""
+    if w in IRREGULAR_VERBS:
+        return IRREGULAR_VERBS[w]
     for suf in ("ing", "ed"):
         if len(w) > len(suf) + 2 and w.endswith(suf):
             stem = w[: -len(suf)]
@@ -163,8 +196,13 @@ def _lemma_verb(w: str) -> str:
                 return stem[:-1]  # sitting -> sit
             if (len(stem) >= 3 and stem[-1] not in _VOWELS
                     and stem[-1] not in "wxy" and stem[-2] in _VOWELS
-                    and stem[-3] not in _VOWELS):
-                return stem + "e"  # riding -> ride
+                    and stem[-3] not in _VOWELS
+                    and _vowel_groups(stem) == 1):
+                # the silent-e restore applies to one-syllable CVC stems
+                # only ('riding'->'ride', 'grazing'->'graze'); multi-
+                # syllable stems with an unstressed final syllable keep
+                # their form ('traveling'->'travel', 'visited'->'visit')
+                return stem + "e"
             return stem
     if len(w) > 3 and w.endswith("s") and not w.endswith("ss"):
         return w[:-1]
@@ -230,8 +268,11 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
     subjects: List[str] = []  # current subject head group
     objects_grp: List[str] = []  # heads consumed by the pending relation
     pending_rel: Optional[str] = None  # verb/prep awaiting its object NP
+    rel_anchor: List[str] = subjects  # heads the pending relation emits from
     rel_is_verb = False  # pending_rel came from a verb (may absorb a prep)
+    rel_passive = False  # pending_rel is an -ed participle ("painted")
     after_cop = False  # immediately after a copula
+    clause_done = False  # a copular attribute completed this clause
 
     def close_np() -> Optional[str]:
         """Emit the open NP's tuples; returns its head (lemmatized)."""
@@ -253,11 +294,25 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
     def finish_np_into_role():
         """Close the NP and attach its head as subject or relation object."""
         nonlocal pending_rel, rel_is_verb, subjects, objects_grp, after_cop
+        nonlocal np_words, np_nums, in_np
+        # passive participle whose whole "object" is color/size adjectives:
+        # "painted red and white" / "colored blue" are predicative — the
+        # scene-graph convention emits attributes, not a relation to an
+        # adjective pseudo-object
+        if (pending_rel is not None and rel_passive and np_words
+                and not np_nums
+                and all(m in COLORS or m in SIZES for m in np_words)):
+            for s in rel_anchor:
+                for m in np_words:
+                    g.attributes.add((s, m))
+            np_words, np_nums, in_np = [], [], False
+            pending_rel, rel_is_verb = None, False  # participle consumed
+            return
         head = close_np()
         if head is None:
             return
         if pending_rel is not None:
-            for s in subjects:
+            for s in rel_anchor:
                 g.relations.add((s, pending_rel, head))
             objects_grp.append(head)
         else:
@@ -268,6 +323,22 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
     n = len(tokens)
     while i < n:
         w = tokens[i]
+        if w in ("has", "have", "had") and (np_words or subjects):
+            peek = tokens[i + 1] if i + 1 < n else None
+            if peek is not None and not _is_verb_like(peek) \
+                    and peek not in COPULAS and peek not in AUXILIARIES:
+                # possession verb ("the kitchen has white cabinets" ->
+                # kitchen-have-cabinet), not a perfect auxiliary
+                # ("has been parked" / "has parked")
+                if np_words:
+                    finish_np_into_role()
+                pending_rel, rel_is_verb = "have", False
+                rel_passive = False
+                rel_anchor = subjects
+                objects_grp = []
+                after_cop = False
+                i += 1
+                continue
         if w in SKIP_WORDS or w in AUXILIARIES or _is_adverb(w):
             i += 1
             continue
@@ -278,6 +349,22 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
             i += 1
             continue
         if w in DETERMINERS:
+            if w == "that":
+                # "that" is a determiner ("that car") OR a relative pronoun
+                # ("a cake that has candles"); a following verb/aux/copula
+                # marks the relative reading
+                peek = tokens[i + 1] if i + 1 < n else None
+                if peek is not None and (
+                    peek in AUXILIARIES or peek in COPULAS
+                    or _is_verb_like(peek) or peek in CLAUSE_FINAL_VERBS
+                ):
+                    if np_words:
+                        finish_np_into_role()
+                    if objects_grp:
+                        subjects = [objects_grp[-1]]  # relativized head
+                    pending_rel, rel_is_verb = None, False
+                    i += 1
+                    continue
             if np_words:
                 finish_np_into_role()
             in_np = True
@@ -305,15 +392,37 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
                 continue
             if np_words:
                 finish_np_into_role()
+            elif clause_done:
+                # sentence-level coordination after a completed copular
+                # clause ("the bananas are yellow and the apples are red"):
+                # the next NP starts a FRESH subject group, it does not
+                # join the attributed one
+                subjects = []
+                clause_done = False
             # grouped heads: subsequent NP joins the same role
             i += 1
             continue
         if w in RELATIVES:
             if np_words:
                 finish_np_into_role()
-            # relative clause: the verb that follows applies to the last
-            # mentioned head group — keep subjects as-is
+            # relative clause: the verb that follows applies to the
+            # relativized head — the most recent object NP if one exists
+            # ("a cake that has candles" -> cake-have-candle), else the
+            # current subjects
+            if objects_grp:
+                subjects = [objects_grp[-1]]
             pending_rel, rel_is_verb = None, False
+            i += 1
+            continue
+        if w in CLAUSE_BREAKERS:
+            # "... while a woman watches": a fresh clause with a fresh
+            # subject group
+            if np_words:
+                finish_np_into_role()
+            subjects = []
+            objects_grp = []
+            pending_rel, rel_is_verb = None, False
+            clause_done = False
             i += 1
             continue
         if w in PREPOSITIONS:
@@ -332,11 +441,25 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
                 # verb absorbing its particle(s): "sitting on" -> "sit on",
                 # "parked next to" -> "park next to"
                 pending_rel = f"{pending_rel} {w}"
+            elif (pending_rel is not None and not objects_grp
+                    and not np_words):
+                # bare compound preposition ("next to", "up to"): a second
+                # preposition with no NP in between extends the first,
+                # keeping its anchor
+                pending_rel = f"{pending_rel} {w}"
             else:
-                # new prepositional relation from the current subjects
-                # ("a dog on a bench"; "... riding a horse on a beach"
-                # re-anchors to the subject group)
+                # new prepositional relation. Most prepositions re-anchor
+                # to the subject group ("... riding a horse on a beach" ->
+                # man-on-beach, the scene-graph convention); partitive/
+                # possessive "of" instead attaches to the NEAREST preceding
+                # NP head ("a slice of cake" -> slice-of-cake even after
+                # "a child eating a slice of cake")
+                if w == "of" and objects_grp:
+                    rel_anchor = [objects_grp[-1]]  # nearest NP head only
+                else:
+                    rel_anchor = subjects
                 pending_rel, rel_is_verb = w, False
+                rel_passive = False
                 objects_grp = []
             after_cop = False
             i += 1
@@ -345,13 +468,27 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
             i += 1
             continue
         peek = tokens[i + 1] if i + 1 < n else None
+        if w == "full" and peek == "of" and (np_words or subjects):
+            # adjectival relation: "a bookshelf full of books" ->
+            # bookshelf-full of-book (the "of" that follows is absorbed by
+            # the rel_is_verb particle rule)
+            if np_words:
+                finish_np_into_role()
+            pending_rel, rel_is_verb, rel_passive = "full", True, False
+            rel_anchor = subjects
+            objects_grp = []
+            after_cop = False
+            i += 1
+            continue
         # third-person verb ('a man rides a bike'): an -s word right after
-        # an NP head, introducing a new determiner phrase
+        # an NP head, introducing a new determiner phrase — or a known
+        # clause-final intransitive ('... while a woman watches')
         third_person = (
             len(w) > 3 and w.endswith("s")
             and not w.endswith(("ss", "us", "is"))
             and bool(np_words)
-            and (peek in DETERMINERS or peek in CARDINAL_WORDS)
+            and (peek in DETERMINERS or peek in CARDINAL_WORDS
+                 or (peek is None and w in CLAUSE_FINAL_VERBS))
         )
         if (_is_verb_like(w) or third_person) and (
             np_words or subjects
@@ -363,6 +500,8 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
             if np_words:
                 finish_np_into_role()
             pending_rel, rel_is_verb = _lemma_verb(w), True
+            rel_passive = w.endswith("ed")
+            rel_anchor = subjects
             objects_grp = []
             after_cop = False
             i += 1
@@ -376,6 +515,7 @@ def parse_scene_graph(sentence_or_tokens) -> SceneGraph:
                     or peek in CONJUNCTIONS or peek in COPULAS:
                 for s in subjects:
                     g.attributes.add((s, mod))
+                clause_done = True
                 i += 1
                 continue
             # more content follows: treat as the start of a predicate NP
@@ -416,11 +556,22 @@ class _Matcher:
     SynonymTable, the same format as METEOR's, metrics/meteor.py)."""
 
     def __init__(self, synonyms=None):
-        from .meteor import SynonymTable
+        import os
+
+        from .meteor import SynonymTable, load_synonyms
 
         # the word->group-set index IS SynonymTable's job — reuse it for
         # the builtin groups rather than keeping a second implementation
         self._builtin = SynonymTable(BUILTIN_SYNONYM_GROUPS)
+        if synonyms is None:
+            # no-code-change upgrade path: point RFNET_SPICE_SYNONYMS at a
+            # WordNet dict/ directory, data.* file, wn_s.pl, or a plain
+            # groups file (load_synonyms sniffs the format)
+            path = os.environ.get("RFNET_SPICE_SYNONYMS")
+            if path and os.path.exists(path):
+                synonyms = load_synonyms(path)
+        elif isinstance(synonyms, str):
+            synonyms = load_synonyms(synonyms)
         self._user = synonyms  # SynonymTable-like (.related) or None
 
     def words_match(self, a: str, b: str) -> bool:

@@ -136,6 +136,16 @@ def save_checkpoint(
     _dump("model", _to_numpy(params))
     if opt_state is not None:
         _dump("optimizer", _to_numpy(opt_state))
+    else:
+        # the triple is a unit: a params-only save must also retire any
+        # optimizer file a previous run left at this tag, or a later load
+        # would pair the fresh model with stale moments (advisor r3 — e.g.
+        # a never-improved RL seed warm-started from an optimizer-less XE
+        # checkpoint shipping rl_model-best next to an old rl_optimizer-best)
+        stale = os.path.join(
+            checkpoint_path, tag.format(kind="optimizer") + ".pkl")
+        if os.path.exists(stale):
+            os.remove(stale)
     if infos is not None:
         _dump("infos", infos)
 

@@ -111,6 +111,15 @@ def save_checkpoint(
             _dir(checkpoint_path, run_id, rank, "optimizer", best, prefix),
             opt_state, force=True,
         )
+    else:
+        # retire any stale optimizer dir at this tag (see
+        # checkpoint.save_checkpoint): a params-only save must not leave an
+        # older run's moments paired with the fresh model
+        stale = _dir(checkpoint_path, run_id, rank, "optimizer", best, prefix)
+        if jax.process_index() == 0 and os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale)
     # process-0 infos write assumes one REPLICATED logical checkpoint per
     # rank (the solo loops). Per-host per-rank fleet saves would lose
     # hosts>0's infos — which is why multi-host fleets refuse this backend
