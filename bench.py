@@ -105,17 +105,28 @@ def make_inputs(model, key, B, dt):
     return fcs, atts
 
 
-def _median_time(fn, readback):
+def _timed(fn, readback, iters=ITERS):
+    """Median + spread over `iters` timed calls (after WARMUP). Bench-to-
+    bench variance on the tunneled backend is real (VERDICT r3 item 5):
+    every phase reports min/median/max so a one-off transport stall is
+    visible in the artifact instead of silently becoming the number."""
     for _ in range(WARMUP):
         readback(fn())
     times = []
-    for _ in range(ITERS):
+    for _ in range(iters):
         t0 = time.perf_counter()
         # time to results-on-host — block_until_ready alone is not a reliable
         # barrier on tunneled backends, a D2H readback is
         readback(fn())
         times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+    return float(np.median(times)), times
+
+
+def _spread_ms(times):
+    return {"min": round(min(times) * 1e3, 2),
+            "median": round(float(np.median(times)) * 1e3, 2),
+            "max": round(max(times) * 1e3, 2),
+            "n": len(times)}
 
 
 def bench_decode(model):
@@ -134,20 +145,32 @@ def bench_decode(model):
     np.asarray(decode(params, *batches[0]).seq)  # warm / compile
 
     # per-batch latency: dispatch -> tokens-on-host, sequentially
-    sec = _median_time(lambda: decode(params, *batches[0]),
-                       lambda out: np.asarray(out.seq))
+    sec, seq_times = _timed(lambda: decode(params, *batches[0]),
+                            lambda out: np.asarray(out.seq))
 
     # serving throughput: keep batches in flight (decoding/serve.py) so
-    # dispatch overlaps device compute; tokens still read back per batch
-    t0 = time.perf_counter()
-    for _, out in pipelined_map(lambda b: decode(params, *b), batches, depth=3):
-        np.asarray(out.seq)
-    pipe_sec = time.perf_counter() - t0
+    # dispatch overlaps device compute; tokens still read back per batch.
+    # 3 repeats of the whole pipelined sweep for spread.
+    pipe_secs = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _, out in pipelined_map(lambda b: decode(params, *b), batches,
+                                    depth=3):
+            np.asarray(out.seq)
+        pipe_secs.append(time.perf_counter() - t0)
+    pipe_sec = float(np.median(pipe_secs))
 
     return {
         "pipelined_captions_per_sec": round(ITERS * BATCH / pipe_sec, 2),
         "sequential_captions_per_sec": round(BATCH / sec, 2),
         "batch_latency_ms": round(sec * 1e3, 2),
+        "batch_latency_ms_spread": _spread_ms(seq_times),
+        "pipelined_captions_per_sec_spread": {
+            "min": round(ITERS * BATCH / max(pipe_secs), 2),
+            "median": round(ITERS * BATCH / pipe_sec, 2),
+            "max": round(ITERS * BATCH / min(pipe_secs), 2),
+            "n": len(pipe_secs),
+        },
     }
 
 
@@ -184,6 +207,8 @@ def bench_train(model, dtype_name):
     rows, remat = TRAIN_CFG[dtype_name]
     if os.environ.get("BENCH_TRAIN_ROWS"):
         rows = int(os.environ["BENCH_TRAIN_ROWS"])
+    if os.environ.get("BENCH_TRAIN_REMAT"):  # "0"/"1": remat A/B sweeps
+        remat = bool(int(os.environ["BENCH_TRAIN_REMAT"]))
     if remat:
         model = dataclasses.replace(model, use_remat=True)
     from recurrent_fusion_network_tpu.training.criterion import make_criterion
@@ -234,7 +259,7 @@ def bench_train(model, dtype_name):
         state["p"], state["o"] = p, o
         return loss
 
-    sec = _median_time(run, lambda loss: np.asarray(loss))
+    sec, step_times = _timed(run, lambda loss: np.asarray(loss))
     tokens = B * (model.seq_length + 1)
     achieved_tflops = flops / sec / 1e12 if flops else None
 
@@ -277,13 +302,16 @@ def bench_train(model, dtype_name):
             np.asarray(mm(a, b))
             t.append(time.perf_counter() - t0)
         probe_tflops = K * 2 * M**3 / float(np.median(t)) / 1e12
+        probe_spread = [round(K * 2 * M**3 / x / 1e12, 1) for x in t]
     except Exception:
-        pass
+        probe_spread = None
     return {
         "dtype": dtype_name,
+        "device_kind": jax.devices()[0].device_kind,
         "batch_rows": B,
         "use_remat": bool(remat),
         "step_seconds": round(sec, 4),
+        "step_ms_spread": _spread_ms(step_times),
         "captions_per_sec": round(B / sec, 2),
         "tokens_per_sec": round(tokens / sec, 1),
         "xla_flops_per_step": flops,
@@ -294,6 +322,7 @@ def bench_train(model, dtype_name):
         "probe_matmul_tflops": (
             round(probe_tflops, 2) if probe_tflops else None
         ),
+        "probe_matmul_tflops_all": probe_spread,
         "mfu_vs_demonstrated": (
             round(achieved_tflops / probe_tflops, 4)
             if achieved_tflops and probe_tflops else None
@@ -373,11 +402,51 @@ def bench_rl(model):
         t0 = time.perf_counter()
         one_iter()
         times.append(time.perf_counter() - t0)
-    sec = float(np.median(times))
+    sec_serial = float(np.median(times))
+
+    # ---- pipelined loop (--rl_overlap, the train_rl default): while the
+    # host scores batch k, the device has nothing legal to run (on-policy
+    # SCST: rollout k+1 needs step k's params), but BOTH dispatch
+    # round-trips and the loss readback leave the critical path — step_k
+    # and rollout_{k+1} queue back-to-back on device. Trajectory-identical
+    # to the serial loop (tests/test_training.py rl_overlap parity).
+    def pipelined(n_iters):
+        state["k"], rk = jax.random.split(state["k"])
+        seq, greedy = rollout_fn(state["p"], fcs, atts, rk)  # prologue
+        loss = None
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            seq_np, greedy_np = np.asarray(seq), np.asarray(greedy)
+            rewards = compute_reward(scorer, seq_np, greedy_np, gts)
+            p, o, loss = rl_step(
+                state["p"], state["o"], fcs, atts, seq,
+                jnp.asarray(rewards, jnp.float32), top_words,
+                jnp.float32(5e-5),
+                jnp.zeros((B, model.seq_length), jnp.float32),
+            )
+            state["p"], state["o"] = p, o
+            if i + 1 < n_iters:  # stage the next rollout behind the step
+                state["k"], rk = jax.random.split(state["k"])
+                seq, greedy = rollout_fn(state["p"], fcs, atts, rk)
+            float(loss)  # deferred barrier: step_k only
+        return (time.perf_counter() - t0) / n_iters
+
+    pipelined(2)  # warm
+    pipe_secs = [pipelined(ITERS) for _ in range(3)]
+    sec = float(np.median(pipe_secs))
     return {
         "batch_rows": B,
         "iter_seconds": round(sec, 4),
         "images_per_sec": round(B / sec, 2),
+        "images_per_sec_spread": {
+            "min": round(B / max(pipe_secs), 2),
+            "median": round(B / sec, 2),
+            "max": round(B / min(pipe_secs), 2),
+            "n": len(pipe_secs),
+        },
+        "iter_seconds_serial": round(sec_serial, 4),
+        "images_per_sec_serial": round(B / sec_serial, 2),
+        "overlap_speedup": round(sec_serial / sec, 3),
         "rollout_ms": round(float(np.median(parts["rollout_s"])) * 1e3, 1),
         "reward_host_ms": round(float(np.median(parts["reward_s"])) * 1e3, 1),
         "grad_step_ms": round(float(np.median(parts["step_s"])) * 1e3, 1),
@@ -505,6 +574,14 @@ def main():
                 "rl": results["rl"],
                 "profile": "tpu_native_tied_att_keys",
                 "decode_reference_parity": results["decode_parity"],
+                # session metadata (VERDICT r3 item 5: cross-session
+                # variance was untracked): when/where this artifact was
+                # measured and with how many repeats per number
+                "session": {
+                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                    "warmup": WARMUP,
+                    "timed_iters": ITERS,
+                },
             }
         )
     )

@@ -189,6 +189,13 @@ def _defaults() -> dict:
         # rl_ checkpoints (rolling, optimizer + LR base restored) instead
         # of warm-starting from the XE best (the reference can only do the
         # latter — a crashed RL run loses all RL progress there)
+        rl_overlap=1,  # SCST software pipeline: dispatch the next batch's
+        # rollout behind the grad step and defer the loss readback, hiding
+        # both dispatch round-trips (trajectory-identical to the serial
+        # loop — train_rl_loop.py; 0 = serial, for A/B measurement)
+        xe_overlap=1,  # XE twin of rl_overlap: dispatch step k+1 before
+        # reading loss k, so the per-step loss readback never re-serializes
+        # the device on the dispatch round-trip (train_loop.py)
         profile_dir="",  # capture a jax.profiler trace (xprof) into this dir
         profile_start=5,  # first iteration of the trace window
         profile_steps=0,  # number of iterations to trace (0 = off)

@@ -215,6 +215,20 @@ def train(
     # collective and MUST run on every process (checkpoint.backend note).
     save_here = getattr(_ckpt, "collective", False) or jax.process_index() == 0
 
+    # Software pipeline (--xe_overlap, default on; the RL loop's twin, see
+    # train_rl_loop): the XE iteration's only host work is fetch + dispatch
+    # + loss readback, so reading the loss re-serializes the device on the
+    # ~28 ms/dispatch tunnel round-trip every step. Instead, iteration k's
+    # epilogue (after the continuation verdict: eval early-stop, guard,
+    # max_epochs/max_iterations) fetches batch k+1 and dispatches
+    # step_{k+1}; only then is loss_k read — a barrier on step_k alone,
+    # with step_{k+1} already queued behind it. Fetch order, RNG-split
+    # order and numerics are identical to the serial loop
+    # (test_xe_overlap_trajectory_parity); preemption snapshots are taken
+    # before any prefetch, so resume state matches serial exactly.
+    overlap = bool(getattr(opt, "xe_overlap", 1))
+    pending = None  # staged (data, loss-future) for the next iteration
+
     while True:
         trace.tick(iteration)
         if update_lr_flag:
@@ -225,27 +239,42 @@ def train(
             update_lr_flag = False
 
         start = time.time()
-        data = loader.get_batch("train")
-        fc, att, labels, masks, top_words = _device_batch(data, mesh, compute_dtype)
-        rng, step_rng = jax.random.split(rng)
-        params, opt_state, loss = train_step(
-            params, opt_state, fc, att, labels, masks, top_words, lr, ss_prob, step_rng
-        )
-        train_loss = float(loss)
-        elapsed = time.time() - start
+        if pending is None:
+            data = loader.get_batch("train")
+            fc, att, labels, masks, top_words = _device_batch(
+                data, mesh, compute_dtype)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, loss = train_step(
+                params, opt_state, fc, att, labels, masks, top_words, lr,
+                ss_prob, step_rng
+            )
+        else:
+            data, loss = pending  # step already dispatched in the epilogue
+            pending = None
 
         if data["bounds"]["wrapped"]:
             epoch += 1
             update_lr_flag = True
 
-        if iteration % opt.losses_log_every == 0:
+        stop = False
+        train_loss = elapsed = None
+        is_eval = iteration % opt.save_checkpoint_every == 0 and iteration > 0
+        is_log = iteration % opt.losses_log_every == 0
+        if is_eval or is_log:
+            # the loss value is needed now: at eval boundaries the device
+            # blocks anyway; at log boundaries the history must be recorded
+            # BEFORE any snapshot below pickles it (the overlap still hides
+            # the readback on the (losses_log_every-1)/losses_log_every
+            # non-logging iterations)
+            train_loss = float(loss)
+            elapsed = time.time() - start
+        if is_log:
             loss_history[iteration] = train_loss
             lr_history[iteration] = lr
             ss_prob_history[iteration] = ss_prob
-            jlog.log(event="train", iter=iteration, epoch=epoch, loss=train_loss,
-                     lr=lr, ss_prob=ss_prob, seconds=elapsed)
-
-        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+            jlog.log(event="train", iter=iteration, epoch=epoch,
+                     loss=train_loss, lr=lr, ss_prob=ss_prob, seconds=elapsed)
+        if is_eval:
             val_loss, predictions, lang_stats = eval_split(
                 model, params, loader, opt, split="val", rank=rank, mesh=mesh
             )
@@ -293,14 +322,14 @@ def train(
 
             if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
-                iteration += 1  # steps done (matches the snapshot's iter)
-                break
+                stop = True
 
-        if guard.sync():
+        if not stop and guard.sync():
             # SIGTERM landed: save at this iteration boundary (post-step —
             # the snapshot records iteration+1 as the next step to run, so
             # resume replays nothing) and exit cleanly inside the
-            # preemption grace window
+            # preemption grace window. No next batch has been prefetched
+            # here, so the snapshot state is exactly the serial loop's.
             infos = snapshot_infos()
             if save_here:
                 _ckpt.save_checkpoint(
@@ -309,18 +338,49 @@ def train(
                 )
             log_fn(f"rank {rank}: preempted — checkpoint saved "
                    f"(resumes at iter {iteration + 1})")
-            iteration += 1  # epilogue/infos agree with the snapshot: steps done
-            break
+            stop = True
 
-        log_fn(
-            f"rank {rank}, iter {iteration}, (epoch {epoch}), train loss: "
-            f"{train_loss:.4f}, lr: {lr:.2e}, current cider: {current_score:.3f}, "
-            f"time: {elapsed:.3f}"
+        # iteration k's own lr, for its console line — the epilogue below
+        # may already advance lr for k+1 when batch_k wrapped
+        lr_k = lr
+        more = (
+            not stop
+            and not (opt.max_epochs != -1 and epoch >= opt.max_epochs)
+            and not (max_iterations is not None and iteration + 1 >= max_iterations)
         )
+        if overlap and more:
+            # continuation is certain: stage iteration k+1's step behind
+            # step_k on the device queue (params/opt_state are futures).
+            # lr/ss_prob for k+1 are recomputed here when batch_k wrapped
+            # (idempotent with the top-of-loop block).
+            if update_lr_flag:
+                lr = lr_for_epoch(opt, epoch, opt.optim_lr)
+                ss_prob = ss_prob_for_epoch(opt, epoch)
+                opt.current_lr = lr
+                opt.ss_prob = ss_prob
+                update_lr_flag = False
+            ndata = loader.get_batch("train")
+            nfc, natt, nlabels, nmasks, ntw = _device_batch(
+                ndata, mesh, compute_dtype)
+            rng, step_rng = jax.random.split(rng)
+            params, opt_state, nloss = train_step(
+                params, opt_state, nfc, natt, nlabels, nmasks, ntw, lr,
+                ss_prob, step_rng
+            )
+            pending = (ndata, nloss)
+
+        if train_loss is None:
+            train_loss = float(loss)  # barrier on step_k only; step_{k+1}
+            elapsed = time.time() - start  # is already queued behind it
+
+        if not stop:
+            log_fn(
+                f"rank {rank}, iter {iteration}, (epoch {epoch}), train loss: "
+                f"{train_loss:.4f}, lr: {lr_k:.2e}, current cider: {current_score:.3f}, "
+                f"time: {elapsed:.3f}"
+            )
         iteration += 1
-        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
-            break
-        if max_iterations is not None and iteration >= max_iterations:
+        if stop or not more:
             break
 
     jlog.close()

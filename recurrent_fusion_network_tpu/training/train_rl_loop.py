@@ -280,6 +280,17 @@ def train_rl(
     lr = rl_lr_base
     rewards = np.zeros((1, 1))
 
+    def fetch_batch():
+        data = loader.get_batch("train")
+        multi = mesh is not None and jax.process_count() > 1
+        fc, att = batch_feats(data, as_numpy=multi)
+        top_words = (np if multi else jnp).asarray(data["top_words"])
+        if mesh is not None:
+            from ..parallel.distributed import global_dp_batch
+
+            fc, att, top_words = global_dp_batch(mesh, (fc, att, top_words))
+        return data, fc, att, top_words
+
     def snapshot_infos():
         # one infos builder for the periodic save and the preemption save.
         # iter records iteration+1 (the NEXT step to run) — see
@@ -306,6 +317,25 @@ def train_rl(
     # (process 0), but collective orbax saves run on every process
     save_here = getattr(_ckpt, "collective", False) or jax.process_index() == 0
 
+    # Software pipeline (--rl_overlap, default on): the serial iteration is
+    # a strict chain rollout_k -> host score_k -> step_k (on-policy SCST —
+    # rollout_{k+1} needs step_k's params), so the host reward scorer cannot
+    # overlap device compute. What CAN overlap with zero semantic change:
+    # both dispatch round-trips and the loss readback. After dispatching
+    # step_k (async), the next batch is fetched and rollout_{k+1} dispatched
+    # on step_k's OUTPUT params (still futures) — the device then executes
+    # step_k and rollout_{k+1} back-to-back with no host-induced gap, and
+    # the ~28 ms/dispatch tunnel overhead disappears from the critical path.
+    # RNG-split order, loader-fetch order and all numerics are identical to
+    # the serial loop (test_rl_overlap_trajectory_parity); the prefetch is
+    # issued only after the continuation verdict (eval early-stop, guard,
+    # max_epochs/max_iterations) is known, so preemption snapshots record
+    # exactly the serial loop's state. SURVEY §7 "score batch k while device
+    # rolls out k+1" lands here as "device rolls out k+1 while the host
+    # finishes iteration k's bookkeeping".
+    overlap = bool(getattr(opt, "rl_overlap", 1))
+    pending = None  # staged (data, fc, att, top_words, seq, greedy_seq)
+
     while True:
         trace.tick(iteration)
         if update_lr_flag:
@@ -314,17 +344,13 @@ def train_rl(
             update_lr_flag = False
 
         start = time.time()
-        data = loader.get_batch("train")
-        multi = mesh is not None and jax.process_count() > 1
-        fc, att = batch_feats(data, as_numpy=multi)
-        top_words = (np if multi else jnp).asarray(data["top_words"])
-        if mesh is not None:
-            from ..parallel.distributed import global_dp_batch
-
-            fc, att, top_words = global_dp_batch(mesh, (fc, att, top_words))
-
-        rng, roll_rng = jax.random.split(rng)
-        seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
+        if pending is None:
+            data, fc, att, top_words = fetch_batch()
+            rng, roll_rng = jax.random.split(rng)
+            seq, greedy_seq = rollout_fn(params, fc, att, roll_rng)
+        else:
+            data, fc, att, top_words, seq, greedy_seq = pending
+            pending = None
         seq_np, greedy_np = _local_rows(seq), _local_rows(greedy_seq)
 
         rewards = compute_reward(
@@ -360,21 +386,32 @@ def train_rl(
                 params, opt_state, fc, att, seq, reward_dev, top_words, lr,
                 jnp.zeros_like(reward_dev),
             )
-        train_loss = float(loss)
-        elapsed = time.time() - start
+        # loss stays a device future until after the next rollout is
+        # dispatched (the deferred float(loss) below) — reading it here
+        # would stall the host on step_k and re-serialize the pipeline
 
         if data["bounds"]["wrapped"]:
             epoch += 1
             update_lr_flag = True
 
-        if iteration % opt.losses_log_every == 0:
+        is_log = iteration % opt.losses_log_every == 0
+        if is_log:
+            # record the histories BEFORE any snapshot below can pickle
+            # them (both values are host-side already — no device barrier);
+            # the jlog entry needs train_loss and stays deferred
             loss_history[iteration] = float(np.mean(rewards[:, 0]))
             lr_history[iteration] = lr
-            jlog.log(event="rl_train", iter=iteration, epoch=epoch,
-                     avg_reward=float(np.mean(rewards[:, 0])),
-                     loss=train_loss, lr=lr, seconds=elapsed)
 
-        if iteration % opt.save_checkpoint_every == 0 and iteration > 0:
+        stop = False
+        train_loss = elapsed = None
+        is_eval = iteration % opt.save_checkpoint_every == 0 and iteration > 0
+        if is_eval:
+            # eval blocks on the device anyway — read the loss here so the
+            # logged per-iteration seconds excludes the eval wall (serial
+            # loop semantics); nothing overlappable is lost
+            train_loss = float(loss)
+            elapsed = time.time() - start
+        if is_eval:
             val_loss, predictions, lang_stats = eval_split(
                 model, params, loader, opt, split="val", rank=rank, mesh=mesh
             )
@@ -414,13 +451,14 @@ def train_rl(
 
             if all_hosts_agree(num_period_best >= opt.num_eval_no_improve):
                 log_fn("no improvement, exit")
-                iteration += 1  # steps done (matches the snapshot's iter)
-                break
+                stop = True
 
-        if guard.sync():
+        if not stop and guard.sync():
             # SIGTERM landed: save at this iteration boundary (post-step;
             # the snapshot records iteration+1 so resume replays nothing)
-            # and exit cleanly inside the preemption grace window
+            # and exit cleanly inside the preemption grace window. No next
+            # batch has been prefetched at this point, so the snapshot's
+            # loader/RNG state is exactly the serial loop's.
             infos = snapshot_infos()
             if save_here:
                 _ckpt.save_checkpoint(
@@ -430,18 +468,38 @@ def train_rl(
                 )
             log_fn(f"rank {rank}: preempted — rl checkpoint saved "
                    f"(resumes at iter {iteration + 1})")
-            iteration += 1  # epilogue/infos agree with the snapshot: steps done
-            break
+            stop = True
 
-        log_fn(
-            f"rank {rank}, iter {iteration}, (epoch {epoch}), avg_reward: "
-            f"{float(np.mean(rewards[:, 0])):.3f}, train_loss: {train_loss:.4f}, "
-            f"lr: {lr:.2e}, time: {elapsed:.3f}"
+        more = (
+            not stop
+            and not (opt.max_epochs != -1 and epoch >= opt.max_epochs)
+            and not (max_iterations is not None and iteration + 1 >= max_iterations)
         )
+        if overlap and more:
+            # continuation is certain: stage iteration k+1's rollout behind
+            # step_k on the device queue (params/opt_state are futures)
+            ndata, nfc, natt, ntw = fetch_batch()
+            rng, roll_rng = jax.random.split(rng)
+            nseq, ngreedy = rollout_fn(params, nfc, natt, roll_rng)
+            pending = (ndata, nfc, natt, ntw, nseq, ngreedy)
+
+        if train_loss is None:
+            train_loss = float(loss)  # barrier on step_k only; rollout_{k+1}
+            elapsed = time.time() - start  # keeps running behind it
+
+        if is_log:
+            jlog.log(event="rl_train", iter=iteration, epoch=epoch,
+                     avg_reward=float(np.mean(rewards[:, 0])),
+                     loss=train_loss, lr=lr, seconds=elapsed)
+
+        if not stop:
+            log_fn(
+                f"rank {rank}, iter {iteration}, (epoch {epoch}), avg_reward: "
+                f"{float(np.mean(rewards[:, 0])):.3f}, train_loss: {train_loss:.4f}, "
+                f"lr: {lr:.2e}, time: {elapsed:.3f}"
+            )
         iteration += 1
-        if opt.max_epochs != -1 and epoch >= opt.max_epochs:
-            break
-        if max_iterations is not None and iteration >= max_iterations:
+        if stop or not more:
             break
 
     jlog.close()

@@ -94,6 +94,38 @@ class TestXETraining:
             train(opt2, loader2, max_iterations=1, log_fn=quiet)
 
 
+class TestXEOverlap:
+    def test_xe_overlap_trajectory_parity(self, tmp_path):
+        """--xe_overlap (step k+1 dispatched before loss k's readback) must
+        be trajectory-identical to the serial loop across epoch wraps and
+        an eval/save boundary: same histories, bitwise-equal params, same
+        RNG chain."""
+
+        def run(overlap, path):
+            opt, loader = synthetic_setup(caption_model="show_tell",
+                                          batch_size=4, seed=13)
+            opt.checkpoint_path = path
+            opt.eval_results_dir = os.path.join(path, "eval_results")
+            opt.losses_log_every = 1
+            opt.save_checkpoint_every = 3
+            opt.val_images_use = 8
+            opt.xe_overlap = overlap
+            opt.id = f"xov{overlap}"
+            return train(opt, loader, max_iterations=7, log_fn=quiet)
+
+        a = run(1, str(tmp_path / "a"))
+        b = run(0, str(tmp_path / "b"))
+        assert a["loss_history"] == b["loss_history"]
+        assert a["lr_history"] == b["lr_history"]
+        assert list(a["val_result_history"]) == list(b["val_result_history"])
+        pa = jax.tree_util.tree_leaves(a["final_params"])
+        pb = jax.tree_util.tree_leaves(b["final_params"])
+        for x, y in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        np.testing.assert_array_equal(np.asarray(a["rng_key"]),
+                                      np.asarray(b["rng_key"]))
+
+
 class TestMixedPrecision:
     def test_bf16_policy_matches_f32_and_keeps_masters(self):
         """--dtype bfloat16 training: bf16 compute, f32 master params.
@@ -220,6 +252,39 @@ class TestOrbaxCheckpoints:
                                    np.arange(12.0).reshape(3, 4) * 2.0)
         assert i["iter"] == 7
         orbax_ckpt.wait_until_finished()
+
+    def test_params_only_save_retires_stale_optimizer(self, tmp_path):
+        """A params-only save (opt_state=None) must DELETE any optimizer
+        file an earlier run left at the same tag — otherwise a later load
+        pairs the fresh model with stale moments (advisor r3: a
+        never-improved RL seed warm-started from an optimizer-less XE
+        checkpoint). Both backends."""
+        from recurrent_fusion_network_tpu.training import checkpoint as ckpt
+        from recurrent_fusion_network_tpu.training import orbax_ckpt
+
+        params = {"w": np.arange(6.0).reshape(2, 3)}
+        stale_opt = {"m": np.ones((2, 3)) * 9.0}
+
+        ckpt.save_checkpoint(str(tmp_path), "sp", 0, params=params,
+                             opt_state=stale_opt, best=True, prefix="rl_")
+        assert (tmp_path / "rl_optimizer_sp_0-best.pkl").exists()
+        ckpt.save_checkpoint(str(tmp_path), "sp", 0, params=params,
+                             opt_state=None, best=True, prefix="rl_")
+        assert not (tmp_path / "rl_optimizer_sp_0-best.pkl").exists()
+        p, o, _ = ckpt.load_checkpoint(str(tmp_path), "sp", 0, best=True,
+                                       prefix="rl_")
+        assert o is None
+
+        orbax_ckpt.save_checkpoint(str(tmp_path), "so", 0, params=params,
+                                   opt_state=stale_opt, best=True,
+                                   prefix="rl_")
+        assert (tmp_path / "rl_optimizer_so_0-best.orbax").is_dir()
+        orbax_ckpt.save_checkpoint(str(tmp_path), "so", 0, params=params,
+                                   opt_state=None, best=True, prefix="rl_")
+        assert not (tmp_path / "rl_optimizer_so_0-best.orbax").exists()
+        p, o, _ = orbax_ckpt.load_checkpoint(str(tmp_path), "so", 0,
+                                             best=True, prefix="rl_")
+        assert o is None
 
     def test_trainer_runs_with_async_orbax(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
@@ -488,6 +553,40 @@ class TestRLTraining:
         assert len(infos["loss_history"]) >= 3
         for v in infos["loss_history"].values():
             assert np.isfinite(v)
+
+    def test_rl_overlap_trajectory_parity(self, tmp_path):
+        """--rl_overlap (the default software pipeline: next rollout
+        dispatched behind the grad step, deferred loss readback) must be
+        TRAJECTORY-IDENTICAL to the serial loop: same RNG-split order, same
+        loader-fetch order, bitwise-equal final params, equal histories —
+        across an eval/save boundary."""
+
+        def run(overlap, path):
+            opt, loader = synthetic_setup(
+                caption_model="recurrent_fusion_model", batch_size=3,
+                seq_per_img=2, seed=11)
+            opt.checkpoint_path = path
+            opt.eval_results_dir = os.path.join(path, "eval_results")
+            opt.losses_log_every = 1
+            opt.save_checkpoint_every = 3  # boundary inside the window
+            opt.val_images_use = 6
+            opt.rl_overlap = overlap
+            opt.id = f"ov{overlap}"
+            scorer = scorer_for(loader)
+            return train_rl(opt, loader, scorer, max_iterations=5,
+                            log_fn=quiet)
+
+        a = run(1, str(tmp_path / "a"))
+        b = run(0, str(tmp_path / "b"))
+        assert a["loss_history"] == b["loss_history"]
+        assert list(a["val_result_history"]) == list(b["val_result_history"])
+        pa = jax.tree_util.tree_leaves(a["final_params"])
+        pb = jax.tree_util.tree_leaves(b["final_params"])
+        for x, y in zip(pa, pb):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # the RNG chain advanced identically (snapshot-visible state)
+        np.testing.assert_array_equal(np.asarray(a["rng_key"]),
+                                      np.asarray(b["rng_key"]))
 
     def test_rl_warm_start_from_xe(self, tmp_path):
         opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4, seed=2)
