@@ -166,6 +166,11 @@ def _defaults() -> dict:
         # bash fleet of train_recurrent_fusion_model.sh; 1 = solo run)
         dtype="float32",  # compute dtype: float32 | bfloat16
         use_remat=0,  # rematerialize scan steps in backward (bigger batches)
+        remat_policy="save_ctx",  # save_ctx | full: save_ctx keeps the tiny
+        # per-step attention contexts/weights as backward residuals so the
+        # remat recompute never re-reads the big (B, A, D) feature arrays a
+        # third time; full is the save-nothing round-2 remat. Identical
+        # numerics (models/base.py::remat_wrap)
         # Profile policy (round-3 decision, VERDICT r2 item 4): the
         # TPU-native profile is the default and enables architecture
         # variants that are measured-faster with proxy-equal quality;

@@ -60,6 +60,29 @@ def embed_tokens(params, tokens):
     return jnp.take(params["embed"], tokens, axis=0)
 
 
+def remat_wrap(fn, policy: str = "save_ctx"):
+    """jax.checkpoint with the model's remat policy.
+
+    "full":     rematerialize everything (carries only are stored) — the
+                round-2 behavior.
+    "save_ctx": rematerialize everything EXCEPT the per-step attention
+                contexts/weights tagged ``checkpoint_name`` in
+                ops/attention.py. Those are (B, D)/(B, A) — tiny next to the
+                (B, A, D) feature arrays their recomputation would have to
+                re-read from HBM (at flagship dims ~1.6 GB per review step),
+                so this trades ~150 MB of saved activations for skipping a
+                third full pass over the feature arrays in the backward.
+                Bitwise-identical outputs (the saved values ARE the forward's
+                values); only the backward's memory traffic changes.
+    """
+    if policy == "save_ctx":
+        pol = jax.checkpoint_policies.save_only_these_names(
+            "attn_ctx", "attn_weights"
+        )
+        return jax.checkpoint(fn, policy=pol)
+    return jax.checkpoint(fn)
+
+
 def tile_for_lanes(tree, n_lanes: int):
     """Repeat every leaf along batch axis 0: (B, ...) -> (B*n_lanes, ...),
     image-major (each image's block of lanes is contiguous)."""
@@ -78,6 +101,7 @@ def xe_decode(
     rng=None,
     vocab_size: int,
     remat: bool = False,
+    remat_policy: str = "save_ctx",
 ):
     """Teacher-forced decode over time with scheduled sampling.
 
@@ -106,18 +130,29 @@ def xe_decode(
         state, prev_lp, rng = carry
         tok, t_idx = inp
         rng, r_coin, r_samp, r_drop = jax.random.split(rng, 4)
-        coin = jax.random.uniform(r_coin, (B,)) < ss
-        sampled = jax.random.categorical(r_samp, prev_lp, axis=-1)
-        use_ss = jnp.logical_and(t_idx >= 1, coin)
-        it = jnp.where(use_ss, sampled, tok)
+
+        def with_ss(_):
+            coin = jax.random.uniform(r_coin, (B,)) < ss
+            sampled = jax.random.categorical(r_samp, prev_lp, axis=-1)
+            use_ss = jnp.logical_and(t_idx >= 1, coin)
+            return jnp.where(use_ss, sampled, tok)
+
+        # lax.cond: before the scheduled-sampling ramp starts (ss == 0 — all
+        # of XE training under the reference default scheduled_sampling_start
+        # = -1) the per-step (B, V) gumbel draw + categorical never executes.
+        # Identical tokens either way (at ss == 0 the old path drew the coin
+        # and discarded it), and the RNG chain is split unconditionally so
+        # trajectories are bitwise-unchanged across the ramp boundary.
+        it = jax.lax.cond(ss > 0.0, with_ss, lambda _: tok, None)
         xt = embed_fn(it)
         lp, state = decode_logprobs_fn(xt, state, r_drop)
         return (state, lp, rng), lp
 
     if remat:
         # recompute each step's activations in the backward pass (saves the
-        # per-step attention/gate intermediates; carries alone are stored)
-        step = jax.checkpoint(step)
+        # per-step attention/gate intermediates; carries alone are stored —
+        # plus the policy-named attention values, see remat_wrap)
+        step = remat_wrap(step, remat_policy)
     init_lp = jnp.zeros((B, vocab_size + 1))
     xs = (seq_in.T, jnp.arange(T))
     (_, _, _), lps = jax.lax.scan(step, (state, init_lp, rng), xs)

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from ..ops import attention, cells
 from ..ops.initializers import apply_linear, linear, stack_params
 from .base import (EncodeOut, _resolve_tied, embed_tokens,
-                   init_embed_logit, xe_decode)
+                   init_embed_logit, remat_wrap, xe_decode)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -56,6 +56,11 @@ class RecurrentFusionModel:
     # rematerialize scan-step activations in the backward pass: ~1/3 more
     # forward FLOPs for a 2-3x larger training-batch HBM ceiling
     use_remat: bool = False
+    # remat policy: "save_ctx" (default) saves the tiny per-step attention
+    # contexts/weights so the backward recompute never re-reads the (B, A, D)
+    # feature arrays a third time; "full" is the round-2 save-nothing remat.
+    # Bitwise-identical outputs either way (see models/base.py::remat_wrap).
+    remat_policy: str = "save_ctx"
     # TPU-native OPT-IN variant (off = strict reference parity): tie the
     # h-independent attention-KEY projections across review steps, so each
     # encoder's (B, A_j, D_j) x (D_j, H) key matmul runs once instead of once
@@ -90,6 +95,7 @@ class RecurrentFusionModel:
             decoder_maxout=bool(opt.maxout),
             fusion_maxout=bool(opt.fusion_maxout),
             use_remat=bool(getattr(opt, 'use_remat', 0)),
+            remat_policy=str(getattr(opt, 'remat_policy', 'save_ctx') or 'save_ctx'),
             tied_att_keys=_resolve_tied(opt),
         )
 
@@ -248,7 +254,7 @@ class RecurrentFusionModel:
             return (tuple(new_states), i + 1), (tuple(outs), tuple(reasons))
 
         if self.use_remat:
-            stage1 = jax.checkpoint(stage1)
+            stage1 = remat_wrap(stage1, self.remat_policy)
         xs1 = params["review1"] if self.tied_att_keys else (params["review1"], keys1)
         (states, _), (thought_seqs, reason_seqs) = jax.lax.scan(
             stage1, (states, 0), xs1
@@ -299,7 +305,7 @@ class RecurrentFusionModel:
             return (state, i + 1), (out, reason)
 
         if self.use_remat:
-            stage2 = jax.checkpoint(stage2)
+            stage2 = remat_wrap(stage2, self.remat_policy)
         xs2 = params["review2"] if self.tied_att_keys else (params["review2"], keys2)
         (state, _), (comb_outs, comb_reasons) = jax.lax.scan(
             stage2, (state, 0), xs2
@@ -364,5 +370,6 @@ class RecurrentFusionModel:
             rng=dec_rng,
             vocab_size=self.vocab_size,
             remat=self.use_remat,
+            remat_policy=self.remat_policy,
         )
         return lps, enc.reason_preds

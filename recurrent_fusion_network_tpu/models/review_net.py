@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from ..ops import attention, cells, mos
 from ..ops.initializers import apply_linear, linear, stack_params
 from .base import (EncodeOut, _resolve_tied, embed_tokens,
-                   init_embed_logit, xe_decode)
+                   init_embed_logit, remat_wrap, xe_decode)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -51,6 +51,9 @@ class ReviewNetModel:
     # (--use_remat; same lever as RecurrentFusionModel.use_remat — the flag
     # was silently dropped for ReviewNet before r3)
     use_remat: bool = False
+    # remat policy (see models/base.py::remat_wrap): "save_ctx" keeps the
+    # tiny per-step attention contexts/weights out of the backward recompute
+    remat_policy: str = "save_ctx"
     # share attention-KEY projections across review steps (the same opt-in
     # TPU-native variant as RecurrentFusionModel.tied_att_keys; off = parity)
     tied_att_keys: bool = False
@@ -80,6 +83,7 @@ class ReviewNetModel:
             use_mos=bool(opt.use_mos),
             num_expert=opt.num_expert,
             use_remat=bool(getattr(opt, "use_remat", 0)),
+            remat_policy=str(getattr(opt, "remat_policy", "save_ctx") or "save_ctx"),
             tied_att_keys=_resolve_tied(opt),
         )
 
@@ -184,7 +188,7 @@ class ReviewNetModel:
             return (state, i + 1), (out, reason)
 
         if self.use_remat:
-            review_step = jax.checkpoint(review_step)
+            review_step = remat_wrap(review_step, self.remat_policy)
         xs = params["review"] if self.tied_att_keys else (params["review"], keys_all)
         (state, _), (thoughts, reasons) = jax.lax.scan(
             review_step, (state, 0), xs
@@ -251,5 +255,6 @@ class ReviewNetModel:
             rng=dec_rng,
             vocab_size=self.vocab_size,
             remat=self.use_remat,
+            remat_policy=self.remat_policy,
         )
         return lps, enc.reason_preds

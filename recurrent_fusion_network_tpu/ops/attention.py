@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .initializers import apply_linear, linear
 
@@ -63,6 +64,12 @@ def attend(params, h, att_feats, keys=None, mask=None):
     scores = apply_linear(params["att_h_2_out"], scores)[..., 0]  # (B, A)
     if mask is not None:
         scores = jnp.where(mask, scores, NEG_INF)
-    weights = jax.nn.softmax(scores, axis=-1)
-    z = jnp.einsum("ba,bad->bd", weights, att_feats)
+    # checkpoint_name: no-op under plain jax.checkpoint / no remat; under the
+    # save_ctx remat policy (models: remat_policy="save_ctx") these small
+    # per-step values — weights (B, A) and context (B, D) — are SAVED instead
+    # of rematerialized, so the backward recompute subgraph never re-reads
+    # the large loop-invariant (B, A, D) feature arrays from HBM a third
+    # time (the dominant train-step traffic at flagship dims; PERF_NOTES §3).
+    weights = checkpoint_name(jax.nn.softmax(scores, axis=-1), "attn_weights")
+    z = checkpoint_name(jnp.einsum("ba,bad->bd", weights, att_feats), "attn_ctx")
     return z, weights

@@ -74,14 +74,17 @@ def probe_matmul(key, M=8192, K=8):
 
 def probe_hbm(key, bytes_target=4 << 30, K=8):
     """Demonstrated HBM bandwidth: K chained elementwise passes over a big
-    f32 array inside one jit (each pass reads + writes the array once)."""
+    f32 array inside one jit. optimization_barrier between passes keeps XLA
+    from fusing the chain into a single read-once/write-once kernel (without
+    it the probe overcounts bandwidth by ~K x — it measured 2160 GB/s on a
+    chip whose datasheet is 819)."""
     n = bytes_target // 4
     x = jax.random.normal(key, (n,), jnp.float32)
 
     def chain(x):
         y = x
         for _ in range(K):
-            y = y * 1.000001 + 0.5  # data-dependent chain, no DCE
+            y = jax.lax.optimization_barrier(y * 1.000001 + 0.5)
         return y.mean()
 
     f = jax.jit(chain)

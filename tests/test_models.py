@@ -199,13 +199,70 @@ def test_remat_is_numerically_identical():
             return crit(lps, lab, msk, reason, tw)
         return f
 
+    import dataclasses
+
+    # both remat policies against the no-remat ground truth: "save_ctx"
+    # (default — attention contexts/weights saved as backward residuals)
+    # and "full" (save-nothing round-2 remat). Remat only changes WHAT the
+    # backward recomputes, never the values.
+    m_full = dataclasses.replace(m1, remat_policy="full")
+    assert m1.remat_policy == "save_ctx"
     l0, g0 = jax.value_and_grad(loss(m0))(params)
-    l1, g1 = jax.value_and_grad(loss(m1))(params)
-    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
-    for a, b in zip(jax.tree_util.tree_leaves(g0),
-                    jax.tree_util.tree_leaves(g1)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=5e-5, atol=1e-6)
+    for m in (m1, m_full):
+        l1, g1 = jax.value_and_grad(loss(m))(params)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-5, atol=1e-6)
+
+
+def test_ss_cond_gating_matches_ungated_sampling():
+    """xe_decode gates the scheduled-sampling draw behind lax.cond(ss > 0)
+    so pre-ramp training never pays the per-step (B, V) categorical. The
+    gate must be transparent: at ss == 0 outputs equal the tok path, at
+    ss > 0 the RNG chain (split unconditionally) makes trajectories
+    identical to an ungated where(use_ss, sampled, tok) implementation."""
+    import numpy as np
+
+    from recurrent_fusion_network_tpu.models.base import xe_decode
+
+    B, T, V = 4, 5, 11
+    rng = jax.random.PRNGKey(3)
+    seq = jax.random.randint(rng, (B, T), 0, V + 1)
+    emb = jax.random.normal(jax.random.fold_in(rng, 1), (V + 1, 8))
+    w = jax.random.normal(jax.random.fold_in(rng, 2), (8, V + 1)) * 0.3
+
+    def dec(xt, state, r):
+        lp = jax.nn.log_softmax(xt @ w + state)
+        return lp, state + 0.1
+
+    def run(ss):
+        return xe_decode(
+            dec, lambda t: emb[t], jnp.zeros((B, V + 1)), seq,
+            ss_prob=ss, rng=jax.random.PRNGKey(7), vocab_size=V,
+        )
+
+    # reference implementation: ungated (always draws, discards via where)
+    def run_ungated(ss):
+        ssv = jnp.asarray(ss, jnp.float32)
+        def step(carry, inp):
+            state, prev_lp, r = carry
+            tok, t_idx = inp
+            r, r_coin, r_samp, r_drop = jax.random.split(r, 4)
+            coin = jax.random.uniform(r_coin, (B,)) < ssv
+            sampled = jax.random.categorical(r_samp, prev_lp, axis=-1)
+            it = jnp.where(jnp.logical_and(t_idx >= 1, coin), sampled, tok)
+            lp, state = dec(emb[it], state, r_drop)
+            return (state, lp, r), lp
+        init = (jnp.zeros((B, V + 1)), jnp.zeros((B, V + 1)),
+                jax.random.PRNGKey(7))
+        _, lps = jax.lax.scan(step, init, (seq.T, jnp.arange(T)))
+        return jnp.transpose(lps, (1, 0, 2))
+
+    for ss in (0.0, 0.7):
+        np.testing.assert_array_equal(np.asarray(run(ss)),
+                                      np.asarray(run_ungated(ss)))
 
 
 class TestTiedAttKeys:
