@@ -279,6 +279,11 @@ def bench_train(model, dtype_name):
             p, o, loss = step(state["p"], state["o"], fcs, atts, labels,
                               masks, top_words, lr, ss, rng)
             state["p"], state["o"] = p, o
+        # completion barrier must cover the LAST step's param/optimizer
+        # update, not just its loss (the loss is not a data dependency of
+        # the update — blocking on it alone excludes ~1/PIPE_K of one
+        # update tail and overstates throughput; advisor r4)
+        jax.block_until_ready((state["p"], state["o"]))
         np.asarray(loss)
         pipe_times.append((time.perf_counter() - t0) / PIPE_K)
     pipe_sec = float(np.median(pipe_times))
@@ -461,6 +466,9 @@ def bench_rl(model):
                 state["k"], rk = jax.random.split(state["k"])
                 seq, greedy = rollout_fn(state["p"], fcs, atts, rk)
             float(loss)  # deferred barrier: step_k only
+        # cover the final update's tail (loss is not a dependency of the
+        # param write; advisor r4 — same fix as the XE pipelined timing)
+        jax.block_until_ready((state["p"], state["o"]))
         return (time.perf_counter() - t0) / n_iters
 
     pipelined(2)  # warm
@@ -498,6 +506,14 @@ def _run_phase(phase: str):
         return bench_decode(dataclasses.replace(model, tied_att_keys=False))
     if phase == "rl":
         return bench_rl(model)
+    if phase == "decode_lowrank":
+        # the r5 opt-in --low_rank_ctx variant (PERF_NOTES §3): measured
+        # alongside the default so its claimed traffic cut stays a number
+        return bench_decode(dataclasses.replace(model, low_rank_ctx=True))
+    if phase == "train_bf16_lowrank":
+        return bench_train(
+            dataclasses.replace(model, low_rank_ctx=True), "bfloat16"
+        )
     if phase in ("train_f32", "train_float32", "train_bf16"):
         return bench_train(
             model, "bfloat16" if phase == "train_bf16" else "float32"
@@ -568,7 +584,8 @@ def main():
             return None
         return payload
 
-    for phase in ("decode", "decode_parity", "train_f32", "train_bf16", "rl"):
+    for phase in ("decode", "decode_parity", "decode_lowrank", "train_f32",
+                  "train_bf16", "train_bf16_lowrank", "rl"):
         results[phase] = run_phase(phase)
         if results[phase] is None:
             # one same-config retry: the tunneled backend throws transient
@@ -577,7 +594,7 @@ def main():
             results[phase] = run_phase(phase)
         if results[phase] is None and phase.startswith("train_"):
             # the top train batches sit near the HBM edge; retry smaller
-            dt = "bfloat16" if phase.endswith("bf16") else "float32"
+            dt = "float32" if phase == "train_f32" else "bfloat16"
             for rows in FALLBACK_ROWS[dt]:
                 results[phase] = run_phase(phase, rows)
                 if results[phase] is not None:
@@ -587,36 +604,81 @@ def main():
 
     dec = results["decode"] or {}
     cps = dec.get("pipelined_captions_per_sec", 0.0)
-    print(
-        json.dumps(
-            {
-                "metric": "captions_per_sec_per_chip_beam3",
-                "value": round(cps, 2),
-                "unit": "captions/s",
-                "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
-                "vs_baseline_note": (
-                    "multiple of a 10 captions/s ESTIMATE of the "
-                    "reference's per-image Python beam loop (it publishes "
-                    "no number; see bench.py docstring)"
-                ),
-                "decode": dec,
-                "train": {"f32": results["train_f32"],
-                          "bf16": results["train_bf16"],
-                          "peak_tflops_assumed": PEAK_TFLOPS},
-                "rl": results["rl"],
-                "profile": "tpu_native_tied_att_keys",
-                "decode_reference_parity": results["decode_parity"],
-                # session metadata (VERDICT r3 item 5: cross-session
-                # variance was untracked): when/where this artifact was
-                # measured and with how many repeats per number
-                "session": {
-                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-                    "warmup": WARMUP,
-                    "timed_iters": ITERS,
-                },
-            }
-        )
-    )
+    full = {
+        "metric": "captions_per_sec_per_chip_beam3",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+        "vs_baseline_note": (
+            "multiple of a 10 captions/s ESTIMATE of the "
+            "reference's per-image Python beam loop (it publishes "
+            "no number; see bench.py docstring)"
+        ),
+        "decode": dec,
+        "train": {"f32": results["train_f32"],
+                  "bf16": results["train_bf16"],
+                  "bf16_low_rank_ctx": results["train_bf16_lowrank"],
+                  "peak_tflops_assumed": PEAK_TFLOPS},
+        "rl": results["rl"],
+        "profile": "tpu_native_tied_att_keys",
+        "decode_reference_parity": results["decode_parity"],
+        "decode_low_rank_ctx": results["decode_lowrank"],
+        # session metadata (VERDICT r3 item 5: cross-session
+        # variance was untracked): when/where this artifact was
+        # measured and with how many repeats per number
+        "session": {
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "warmup": WARMUP,
+            "timed_iters": ITERS,
+        },
+    }
+    # The full phase record goes to a FILE: the driver truncates stdout to a
+    # short tail, which cost BENCH_r04 its headline (VERDICT r4 item 6). The
+    # final stdout line is a compact summary that always fits the tail.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json")
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write {full_path}: {e}", file=sys.stderr)
+
+    def _pick(d, *keys):
+        return {k: d[k] for k in keys if d and d.get(k) is not None}
+
+    tr_bf16 = results["train_bf16"] or {}
+    rl = results["rl"] or {}
+    summary = {
+        "metric": "captions_per_sec_per_chip_beam3",
+        "value": round(cps, 2),
+        "unit": "captions/s",
+        "vs_baseline": round(cps / REFERENCE_CAPTIONS_PER_SEC, 2),
+        "decode": _pick(dec, "pipelined_captions_per_sec",
+                        "sequential_captions_per_sec", "batch_latency_ms"),
+        "decode_reference_parity": _pick(
+            results["decode_parity"] or {}, "pipelined_captions_per_sec",
+            "sequential_captions_per_sec", "batch_latency_ms"),
+        "train_bf16": _pick(tr_bf16, "batch_rows", "captions_per_sec",
+                            "pipelined_captions_per_sec", "achieved_tflops",
+                            "pipelined_achieved_tflops",
+                            "probe_matmul_tflops", "mfu_vs_demonstrated",
+                            "pipelined_mfu_vs_demonstrated"),
+        "train_f32_captions_per_sec": (results["train_f32"] or {}).get(
+            "captions_per_sec"),
+        "train_bf16_lowrank": _pick(
+            results["train_bf16_lowrank"] or {}, "batch_rows",
+            "captions_per_sec", "pipelined_captions_per_sec"),
+        "decode_lowrank": _pick(
+            results["decode_lowrank"] or {}, "pipelined_captions_per_sec",
+            "batch_latency_ms"),
+        "rl": _pick(rl, "images_per_sec", "overlap_speedup", "rollout_ms",
+                    "reward_host_ms", "grad_step_ms"),
+        "profile": "tpu_native_tied_att_keys",
+        "full": "BENCH_FULL.json",
+        "utc": full["session"]["utc"],
+    }
+    print(json.dumps(summary))
     if results["decode"] is None:
         # a zero headline must read as a FAILED run, not a measurement
         print("# headline decode phase failed — exiting nonzero",

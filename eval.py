@@ -46,6 +46,10 @@ def merge_checkpoint_opt(opt, saved: dict):
     # default (tied) would KeyError deep inside encode
     if "tied_att_keys" not in saved:
         opt.tied_att_keys = 0
+    # same for pre-r5 checkpoints and the low_rank_ctx variant flag (its
+    # opt-in default is 0, so only a stale CLI override could disagree)
+    if "low_rank_ctx" not in saved:
+        opt.low_rank_ctx = 0
     # feature wiring re-derives under the CLI --data_root: the checkpoint's
     # EncoderInfo objects froze the TRAINING machine's directory paths, so
     # copying them would point dir-backed features at stale locations.

@@ -182,6 +182,13 @@ def _defaults() -> dict:
         # tests, quality chains pass — PERF_NOTES.md §5, PIPELINE_PROXY_TIED).
         # -1 = auto: ON in the TPU-native profile, OFF under
         # --reference_parity; explicit 0/1 always wins.
+        low_rank_ctx=0,  # RFNet variant (OPT-IN, off = reference
+        # semantics): per-encoder learned value projection to rnn_size,
+        # applied once per sequence; stage-I attention contexts are
+        # computed in that space. The per-step (B, A, D) value reads are
+        # the measured bulk of train-step HBM traffic (PROFILE_TRAIN_r05),
+        # so this cuts the memory-roofline-bound step's traffic ~3.6x on
+        # the dominant term. Keys/scores still see the raw features.
         checkpoint_backend="pickle",  # 'pickle' (reference triple-file
         # contract) | 'orbax' (sharded, multi-host; training/orbax_ckpt.py)
         checkpoint_async=0,  # orbax only: background the disk write (the
@@ -240,6 +247,8 @@ def validate_options(opt) -> None:
     assert opt.save_checkpoint_every > 0, "save_checkpoint_every should be greater than 0"
     assert opt.losses_log_every > 0, "losses_log_every should be greater than 0"
     assert opt.language_eval in (0, 1), "language_eval should be 0 or 1"
+    assert getattr(opt, "remat_policy", "save_ctx") in ("save_ctx", "full"), \
+        "remat_policy should be 'save_ctx' or 'full'"
     assert opt.load_best_score in (0, 1), "load_best_score should be 0 or 1"
     assert opt.train_only in (0, 1), "train_only should be 0 or 1"
 

@@ -80,6 +80,13 @@ def remat_wrap(fn, policy: str = "save_ctx"):
             "attn_ctx", "attn_weights"
         )
         return jax.checkpoint(fn, policy=pol)
+    if policy != "full":
+        # a typo ('save-ctx') must not silently degrade to save-nothing
+        # remat — the backward's memory-traffic behavior changes with no
+        # other symptom (advisor r4)
+        raise ValueError(
+            f"unknown remat policy {policy!r} (expected 'save_ctx' or 'full')"
+        )
     return jax.checkpoint(fn)
 
 

@@ -68,6 +68,19 @@ class RecurrentFusionModel:
     # time (PERF_NOTES.md §2: ~74% of the decode pipeline); queries
     # (h_2_att_h) and every other weight stay untied per step.
     tied_att_keys: bool = False
+    # TPU-native OPT-IN variant (off = strict reference parity): project
+    # each encoder's spatial features ONCE to rnn_size (a learned per-
+    # encoder value projection) and compute stage-I attention CONTEXTS in
+    # that space; z2h consumes rnn_size-dim contexts. The per-review-step
+    # (B, A_j, D_j) value reads are the measured majority of train-step
+    # HBM traffic (PROFILE_TRAIN_r05: the step runs at the memory roofline,
+    # not the MXU's), and D_j/rnn_size is 2.5-4.3x at flagship dims, so
+    # this trades a rank-512 context bottleneck for ~3.6x less per-step
+    # value traffic. Attention SCORES still see the full-D features (keys
+    # are computed from the raw features exactly as before); only the
+    # weighted-sum values are low-rank. Quality validated on the proxy
+    # chain (PIPELINE_PROXY_LOWRANK.json).
+    low_rank_ctx: bool = False
 
     @property
     def num_feat_array(self) -> int:
@@ -97,6 +110,7 @@ class RecurrentFusionModel:
             use_remat=bool(getattr(opt, 'use_remat', 0)),
             remat_policy=str(getattr(opt, 'remat_policy', 'save_ctx') or 'save_ctx'),
             tied_att_keys=_resolve_tied(opt),
+            low_rank_ctx=bool(getattr(opt, "low_rank_ctx", 0)),
         )
 
     # ------------------------------------------------------------------ params
@@ -122,15 +136,26 @@ class RecurrentFusionModel:
         # semantic choice; the flag default (0) keeps strict-parity behavior.
         review1 = []
         review1_keys = []
+        value_proj = []
         for i in range(M):
             step_keys = jax.random.split(jax.random.fold_in(k_r1, i), self.num_review_steps_0)
             step_cells = [
                 cells.fusion_lstm_init(
                     k, H_size, R, self.att_feat_sizes[i], self.att_hid_size,
                     maxout=self.fusion_maxout,
+                    ctx_size=R if self.low_rank_ctx else None,
                 )
                 for k in step_keys
             ]
+            if self.low_rank_ctx:
+                # one value projection per encoder, applied once per
+                # sequence (same init convention as the tied key heads)
+                value_proj.append(
+                    linear(
+                        jax.random.fold_in(k_r1, 2000 + i),
+                        self.att_feat_sizes[i], R, bias="uniform",
+                    )
+                )
             if self.tied_att_keys:
                 # one key projection per encoder, shared by every step;
                 # drop the per-step copies from the scanned stack
@@ -184,6 +209,8 @@ class RecurrentFusionModel:
         if self.tied_att_keys:
             params["review1_keys"] = tuple(review1_keys)  # M per-encoder
             params["review2_keys"] = review2_keys  # (M, R, H)
+        if self.low_rank_ctx:
+            params["value_proj"] = tuple(value_proj)  # M x (D_j -> R)
         return params
 
     # ------------------------------------------------------------- public API
@@ -225,6 +252,19 @@ class RecurrentFusionModel:
                 )
         keys1 = tuple(keys1)
 
+        # low_rank_ctx: project each encoder's values ONCE per sequence
+        # (B, A, D_j) -> (B, A, R). Keys above are computed from the RAW
+        # features (scores see full-D information); only the weighted-sum
+        # values — the dominant per-step HBM read — are low-rank. XLA fuses
+        # this pass with the key projection's read of the same arrays.
+        if self.low_rank_ctx:
+            values = tuple(
+                apply_linear(params["value_proj"][j], att_feats[j])
+                for j in range(M)
+            )
+        else:
+            values = att_feats
+
         # ---- stage I: interacting fusion review --------------------------------
         def stage1(carry, step_in):
             states, i = carry
@@ -239,7 +279,7 @@ class RecurrentFusionModel:
                 out, st = cells.fusion_lstm_step(
                     step_params[j],
                     H,
-                    att_feats[j],
+                    values[j],
                     states[j],
                     keys=step_keys[j],
                     rnn_size=R,

@@ -60,6 +60,13 @@ class ReviewNetModel:
 
     @classmethod
     def from_opt(cls, opt):
+        if getattr(opt, "low_rank_ctx", 0):
+            # silent no-op would misreport the trained architecture — the
+            # variant is RecurrentFusionModel-only (config.py low_rank_ctx)
+            raise ValueError(
+                "--low_rank_ctx is a recurrent_fusion_model variant; "
+                "review_net does not implement it"
+            )
         if opt.feat_array_info:
             info = opt.feat_array_info[0]
             fc, att, num = info["fc_feat_size"], info["att_feat_size"], info["att_num"]

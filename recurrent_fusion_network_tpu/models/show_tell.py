@@ -35,6 +35,11 @@ class ShowTellModel:
 
     @classmethod
     def from_opt(cls, opt):
+        if getattr(opt, "low_rank_ctx", 0):
+            raise ValueError(
+                "--low_rank_ctx is a recurrent_fusion_model variant; "
+                "show_tell has no attention path"
+            )
         fc = opt.feat_array_info[0]["fc_feat_size"] if opt.feat_array_info else opt.fc_feat_size
         return cls(
             vocab_size=opt.vocab_size,

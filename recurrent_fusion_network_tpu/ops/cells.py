@@ -146,7 +146,12 @@ def no_input_lstm_step(
 # ---------------------------------------------------------------------------
 
 
-def fusion_lstm_init(key, H_size, rnn_size, att_feat_size, att_hid_size, maxout=False):
+def fusion_lstm_init(key, H_size, rnn_size, att_feat_size, att_hid_size,
+                     maxout=False, ctx_size=None):
+    """ctx_size: dimension of the attention CONTEXT consumed by z2h.
+    Defaults to att_feat_size (contexts are weighted sums of the raw
+    features, reference semantics); the low_rank_ctx model variant passes
+    rnn_size because its values are pre-projected once per sequence."""
     g = _gate_dim(rnn_size, maxout)
     k_att, k_H, k_z = jax.random.split(key, 3)
     # Weight-only uniform init; biases keep the torch Linear default
@@ -154,7 +159,7 @@ def fusion_lstm_init(key, H_size, rnn_size, att_feat_size, att_hid_size, maxout=
     return {
         "att": attention.init(k_att, rnn_size, att_feat_size, att_hid_size, bias="uniform"),
         "H2h": linear(k_H, H_size, g, bias="default"),
-        "z2h": linear(k_z, att_feat_size, g, bias="default"),
+        "z2h": linear(k_z, ctx_size or att_feat_size, g, bias="default"),
     }
 
 

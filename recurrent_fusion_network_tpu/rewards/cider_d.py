@@ -220,19 +220,21 @@ class CiderD:
         # vocabulary beyond that would silently alias keys and corrupt
         # scores. Both sides of the comparison must be validated: refs carry
         # the full caption vocabulary even when the sampled hyps happen to
-        # use small ids only.
-        hi = max(
-            (int(np.max(h)) for h in hyps if np.size(h)),
-            default=0,
-        )
-        hi = max(
-            hi,
-            max(
-                (int(np.max(r)) for rs in refs_per_hyp for r in rs
-                 if np.size(r)),
-                default=0,
-            ),
-        )
+        # use small ids only. This guard sits on the SCST per-iteration hot
+        # path (every reward call), so it must not do per-row numpy calls:
+        # seq_per_img expansion repeats the same reference ARRAY OBJECT many
+        # times — dedup by id() and take one min/max over each whole array
+        # (measured: the old per-row generator was ~half the reward cost on
+        # the 1-CPU bench host).
+        hi, lo = 0, 0
+        seen: set = set()
+        for a in list(hyps) + [r for rs in refs_per_hyp for r in rs]:
+            if id(a) in seen or not np.size(a):
+                continue
+            seen.add(id(a))
+            a = np.asarray(a)
+            hi = max(hi, int(a.max()))
+            lo = min(lo, int(a.min()))
         if hi >= KEY_BASE:
             raise ValueError(
                 f"token id {hi} >= KEY_BASE ({int(KEY_BASE)}); n-gram hashing "
@@ -241,11 +243,6 @@ class CiderD:
         # negative ids alias too ((5,-1) hashes like (4, KEY_BASE-1)), and
         # trim_with_eos only stops at 0 so e.g. -1 padding would reach the
         # hash; the repo uses -1 padding elsewhere (top_words), so guard it
-        lo = min(
-            min((int(np.min(h)) for h in hyps if np.size(h)), default=0),
-            min((int(np.min(r)) for rs in refs_per_hyp for r in rs
-                 if np.size(r)), default=0),
-        )
         if lo < 0:
             raise ValueError(
                 f"negative token id {lo}: n-gram hashing requires ids in "
@@ -288,7 +285,19 @@ class CiderD:
             hyp_group[i] = group_of[ck]
 
         def flatten(sents):
-            off = np.zeros(len(sents) + 1, np.int64)
+            # fast path: uniform-length 1-D rows (the SCST case — every
+            # rollout row is (T,)) collapse to one 2-D copy instead of a
+            # per-row Python loop (hot path, see score_arrays guard note)
+            n = len(sents)
+            first_len = len(np.ravel(sents[0])) if n else 0
+            if n and all(
+                getattr(s, "ndim", None) == 1 and len(s) == first_len
+                for s in sents
+            ):
+                flat = np.asarray(sents, np.int32).ravel()
+                off = np.arange(n + 1, dtype=np.int64) * first_len
+                return flat, off
+            off = np.zeros(n + 1, np.int64)
             for i, s in enumerate(sents):
                 off[i + 1] = off[i] + len(np.ravel(s))
             flat = np.empty(off[-1], np.int32)

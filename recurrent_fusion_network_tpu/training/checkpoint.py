@@ -69,7 +69,7 @@ ARCH_KEYS = (
     "caption_model", "rnn_type", "rnn_size", "num_layers",
     "input_encoding_size", "att_hid_size", "use_mos",
     "num_review_steps", "num_review_steps_0", "tied_att_keys",
-    "maxout", "review_maxout", "fusion_maxout",
+    "low_rank_ctx", "maxout", "review_maxout", "fusion_maxout",
 )
 
 

@@ -114,6 +114,12 @@ def main():
     ap.add_argument("--parity", action="store_true", help="untied keys")
     ap.add_argument("--no_remat", action="store_true")
     ap.add_argument("--phases", default="fwd,grad,opt,full")
+    ap.add_argument("--remat_policy", default="save_ctx",
+                    choices=("save_ctx", "full"),
+                    help="A/B the remat residual policy")
+    ap.add_argument("--mu_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="adam first-moment dtype (HBM-traffic experiment)")
     args = ap.parse_args()
 
     import dataclasses
@@ -125,6 +131,7 @@ def main():
         model = dataclasses.replace(model, tied_att_keys=False)
     if not args.no_remat:
         model = dataclasses.replace(model, use_remat=True)
+    model = dataclasses.replace(model, remat_policy=args.remat_policy)
 
     from recurrent_fusion_network_tpu.training.criterion import make_criterion
     from recurrent_fusion_network_tpu.training.eval_split import cast_tree
@@ -139,6 +146,21 @@ def main():
     params = model.init_params(key)
     crit = make_criterion(opt)
     tx = make_optimizer(opt)
+    if args.mu_dtype == "bfloat16":
+        # experiment arm: adam with a bf16 first moment (optax mu_dtype) —
+        # halves the m read+write traffic (~1.7 GB/step at flagship dims)
+        import optax
+
+        tx = optax.chain(
+            optax.clip(opt.grad_clip),
+            optax.scale_by_adam(b1=opt.optim_adam_beta1,
+                                b2=opt.optim_adam_beta2,
+                                eps=opt.optim_epsilon,
+                                mu_dtype=jnp.bfloat16),
+        )
+        report_mu = "bfloat16"
+    else:
+        report_mu = "float32"
     opt_state = tx.init(params)
 
     B = args.rows
@@ -158,6 +180,7 @@ def main():
 
     report = {"rows": B, "dtype": args.dtype,
               "tied": not args.parity, "remat": not args.no_remat,
+              "remat_policy": args.remat_policy, "mu_dtype": report_mu,
               "n_params_m": round(n_params / 1e6, 1)}
 
     # ---- ceilings ----------------------------------------------------------
@@ -171,7 +194,11 @@ def main():
           f"{report['probe_hbm_gbps']} GB/s", flush=True)
 
     # ---- phases ------------------------------------------------------------
-    def loss_fn(p, rng):
+    # batch data must be explicit jit ARGUMENTS: closed-over device arrays
+    # become embedded constants that the remote-compile service hashes and
+    # ingests — ~1.6 GB of feature constants wedged the forward compile for
+    # 40+ minutes before this was made explicit
+    def loss_fn(p, rng, fcs, atts, labels, masks, top_words):
         if dt is not jnp.float32:
             p = cast_tree(p, dt)
         lps, reason = model.forward(
@@ -179,6 +206,7 @@ def main():
             deterministic=False)
         return crit(lps, labels, masks, reason, top_words)
 
+    data_args = (fcs, atts, labels, masks, top_words)
     results = {}
     phases = set(args.phases.split(","))
 
@@ -200,29 +228,49 @@ def main():
 
     if "fwd" in phases:
         fwd = jax.jit(loss_fn)
-        record("forward", fwd, (params, rng),
-               lambda: fwd(params, rng), np.asarray)
+        record("forward", fwd, (params, rng) + data_args,
+               lambda: fwd(params, rng, *data_args), np.asarray)
 
     if "grad" in phases:
-        vg_loss = jax.jit(lambda p, r: jax.value_and_grad(loss_fn)(p, r)[0])
-        record("forward_backward", vg_loss, (params, rng),
-               lambda: vg_loss(params, rng), np.asarray)
+        # the grads must be RETURNED: dropping them ([0]) let XLA dead-code
+        # the whole backward — the phase measured bit-identical to forward
+        # (wall/flops/bytes all equal) before this fix. Readback barrier is
+        # the loss; the grad tree materializes as jit outputs regardless.
+        vg_loss = jax.jit(lambda p, r, *d: jax.value_and_grad(loss_fn)(p, r, *d))
+        record("forward_backward", vg_loss, (params, rng) + data_args,
+               lambda: vg_loss(params, rng, *data_args),
+               lambda out: np.asarray(out[0]))
 
     if "opt" in phases:
         grads_fixed = jax.tree_util.tree_map(
             lambda x: jnp.full_like(x, 1e-4), params)
 
+        # the update must be returned IN FULL: adam is elementwise, so any
+        # scalar fingerprint lets XLA slice the whole 13 GB update down to
+        # a few elements (the first version measured net_ms 2.4 with
+        # xla_gb_accessed 0.0 — pure DCE). Donated buffers make it the
+        # same in-place update the real train step runs; the scalar rider
+        # is the readback barrier.
         def opt_step(g, o, p):
             d, o2 = tx.update(g, o, p)
             p2 = apply_updates(p, d, lr)
-            # scalar fingerprint forces the full update without returning
-            # (and double-buffering) the whole 5 GB state
-            return (jax.tree_util.tree_leaves(p2)[0].ravel()[0]
-                    + jax.tree_util.tree_leaves(o2)[0].ravel()[0])
+            fp = (jax.tree_util.tree_leaves(p2)[0].ravel()[0]
+                  + jax.tree_util.tree_leaves(o2)[0].ravel()[0])
+            return p2, o2, fp
 
-        jopt = jax.jit(opt_step)
+        jopt = jax.jit(opt_step, donate_argnums=(1, 2))
+        ostate = {"o": opt_state, "p": params}
+
+        def run_opt():
+            p2, o2, fp = jopt(grads_fixed, ostate["o"], ostate["p"])
+            ostate["o"], ostate["p"] = o2, p2
+            return fp
+
         record("optimizer", jopt, (grads_fixed, opt_state, params),
-               lambda: jopt(grads_fixed, opt_state, params), np.asarray)
+               run_opt, np.asarray)
+        # restore undonated copies for any later phase
+        params = ostate["p"]
+        opt_state = ostate["o"]
 
     if "full" in phases:
         step = make_train_step(model, crit, tx, None,

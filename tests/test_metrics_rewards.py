@@ -182,6 +182,41 @@ class TestCiderDRewardKernel:
         s_other = fast.score_arrays([other[0]], [list(caps)])[0]
         assert s_self > s_other
 
+    def test_ragged_and_uniform_rows_agree(self):
+        """The r5 hot-path rewrites (id-deduped validation, uniform-row
+        flatten fast path) must be transparent: 0-padding a ragged batch to
+        uniform length scores identically (trim_with_eos stops at the first
+        0 either way), and both routes match the numpy engine."""
+        ds, train, fast, _ = self._setup()
+        py = CiderD(compute_doc_freq(ds, train), float(np.log(len(train))),
+                    backend="numpy")
+        caps = [ds.captions_for_image(i) for i in train[:4]]
+        # explicit EOS so ragged and 0-padded rows trim to the same tokens
+        # (trim_with_eos keeps up to and INCLUDING the first 0)
+        ragged = [np.append(c[0][: 3 + k], 0) for k, c in enumerate(caps)]
+        L = max(len(h) for h in ragged)
+        uniform = [np.pad(h, (0, L - len(h))) for h in ragged]
+        refs = [list(c) for c in caps]
+        s_ragged = fast.score_arrays(ragged, refs)
+        s_uniform = fast.score_arrays(uniform, refs)
+        s_py = py.score_arrays(ragged, refs)
+        np.testing.assert_allclose(s_ragged, s_uniform, rtol=1e-12)
+        np.testing.assert_allclose(s_ragged, s_py, rtol=1e-12)
+
+    def test_id_guards_survive_duplicated_ref_objects(self):
+        """Validation dedups by array object id (seq_per_img repeats the
+        same reference array many times); out-of-range and negative ids
+        must still be caught wherever they hide."""
+        ds, train, fast, _ = self._setup()
+        caps = list(ds.captions_for_image(train[0]))
+        good = caps[0]
+        bad_hi = np.array([1, int(2**15)], np.int64)
+        bad_neg = np.array([1, -1], np.int64)
+        with pytest.raises(ValueError, match="KEY_BASE"):
+            fast.score_arrays([bad_hi], [caps])
+        with pytest.raises(ValueError, match="negative"):
+            fast.score_arrays([good, good], [caps + [bad_neg], caps])
+
 
 class TestSelfCriticalReward:
     def test_baseline_subtraction_and_broadcast(self):

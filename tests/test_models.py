@@ -479,3 +479,128 @@ class TestTiedSentinelResolution:
                         jax.tree_util.tree_leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_remat_policy_typo_errors():
+    """A misspelled remat policy must raise, not silently degrade to the
+    save-nothing remat (advisor r4): the only symptom would be backward
+    memory-traffic behavior. Both the model layer and config validation
+    reject it."""
+    from recurrent_fusion_network_tpu.config import validate_options
+    from recurrent_fusion_network_tpu.models.base import remat_wrap
+
+    remat_wrap(lambda c, x: (c, x), "full")  # valid spellings pass
+    remat_wrap(lambda c, x: (c, x), "save_ctx")
+    with pytest.raises(ValueError, match="remat policy"):
+        remat_wrap(lambda c, x: (c, x), "save-ctx")
+
+    opt = Options()
+    opt.remat_policy = "save-ctx"
+    with pytest.raises(AssertionError, match="remat_policy"):
+        validate_options(opt)
+
+
+@pytest.mark.quick
+def test_low_rank_ctx_identity_matches_baseline():
+    """With att_feat_sizes == rnn_size and value_proj pinned to the
+    identity (zero bias), the low_rank_ctx model IS the baseline model:
+    every shared weight initializes identically (same RNG paths, same
+    shapes), the projection is a no-op, and forward outputs must agree to
+    float tolerance. This proves the variant changes only WHERE the
+    context is computed, not the math around it."""
+    import dataclasses
+
+    R = 12
+    base = RecurrentFusionModel(
+        vocab_size=V, seq_length=L,
+        fc_feat_sizes=(8, 6), att_feat_sizes=(R, R), att_nums=(6, 4),
+        input_encoding_size=12, rnn_size=R, att_hid_size=12,
+        num_review_steps=3, num_review_steps_0=2, top_words_count=8,
+    )
+    lr = dataclasses.replace(base, low_rank_ctx=True)
+    p_lr = lr.init_params(jax.random.PRNGKey(0))
+    p_base = {k: v for k, v in p_lr.items() if k != "value_proj"}
+    # identical shared-weight trees (D == R so z2h shapes match)
+    p_ref = base.init_params(jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree_util.tree_leaves(p_base),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p_lr = dict(p_lr)
+    p_lr["value_proj"] = tuple(
+        {"w": jnp.eye(R), "b": jnp.zeros((R,))} for _ in range(2)
+    )
+    fcs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, d))
+           for i, d in enumerate(base.fc_feat_sizes)]
+    atts = [jax.random.normal(jax.random.PRNGKey(20 + i), (B, n, R))
+            for i, n in enumerate(base.att_nums)]
+    lab, msk = labels()
+    lps_b, reason_b = base.forward(p_base, fcs, atts, lab,
+                                   ss_prob=0.0, deterministic=True)
+    lps_l, reason_l = lr.forward(p_lr, fcs, atts, lab,
+                                 ss_prob=0.0, deterministic=True)
+    np.testing.assert_allclose(np.asarray(lps_l), np.asarray(lps_b),
+                               rtol=1e-5, atol=1e-6)
+    for ra, rb in zip(reason_l, reason_b):
+        np.testing.assert_allclose(np.asarray(ra), np.asarray(rb),
+                                   rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.quick
+def test_low_rank_ctx_trains_and_grads_flow():
+    """Heterogeneous dims (D_j != R): the variant must build, forward,
+    and deliver nonzero grads to every leaf INCLUDING the new value_proj
+    layers; loss decreases under adam."""
+    import dataclasses
+
+    m = RecurrentFusionModel(
+        vocab_size=V, seq_length=L,
+        fc_feat_sizes=(8, 6, 7), att_feat_sizes=(10, 9, 5), att_nums=(6, 4, 3),
+        input_encoding_size=12, rnn_size=12, att_hid_size=12,
+        num_review_steps=3, num_review_steps_0=2, top_words_count=8,
+        low_rank_ctx=True,
+    )
+    p = m.init_params(jax.random.PRNGKey(0))
+    assert len(p["value_proj"]) == 3
+    assert p["value_proj"][0]["w"].shape == (10, 12)
+    # z2h consumes rnn_size-dim contexts for every encoder
+    for j in range(3):
+        assert p["review1"][j]["z2h"]["w"].shape[-2:] == (12, 48)
+    fcs = [jax.random.normal(jax.random.PRNGKey(10 + i), (B, d))
+           for i, d in enumerate(m.fc_feat_sizes)]
+    atts = [jax.random.normal(jax.random.PRNGKey(20 + i), (B, n, d))
+            for i, (n, d) in enumerate(zip(m.att_nums, m.att_feat_sizes))]
+    lab, msk = labels()
+
+    def loss_fn(p):
+        lps, _ = m.forward(p, fcs, atts, lab, ss_prob=0.0, deterministic=True)
+        return losses.language_model_loss(lps, lab, msk)
+
+    l0, g = jax.value_and_grad(loss_fn)(p)
+    assert np.isfinite(float(l0))
+    for leaf in jax.tree_util.tree_leaves(g["value_proj"]):
+        assert float(jnp.abs(leaf).sum()) > 0
+    tx = optax.adam(1e-3)
+    st = tx.init(p)
+    pp = p
+    for _ in range(8):
+        _, g = jax.value_and_grad(loss_fn)(pp)
+        up, st = tx.update(g, st, pp)
+        pp = optax.apply_updates(pp, up)
+    assert float(loss_fn(pp)) < float(l0)
+
+
+@pytest.mark.quick
+def test_low_rank_ctx_arch_guard():
+    """A low_rank_ctx checkpoint must refuse to load into a CLI that
+    resolved the flag differently (the trees differ: value_proj + z2h
+    shapes) — same contract as every other ARCH_KEYS field."""
+    from recurrent_fusion_network_tpu.training.checkpoint import \
+        assert_arch_matches
+
+    opt = Options()
+    opt.low_rank_ctx = 0
+    with pytest.raises(AssertionError, match="low_rank_ctx"):
+        assert_arch_matches(opt, {"low_rank_ctx": 1})
+    assert_arch_matches(opt, {"low_rank_ctx": 0})
+    assert_arch_matches(opt, {})  # pre-r5 checkpoints skip the key
