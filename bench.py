@@ -250,6 +250,7 @@ def bench_train(model, dtype_name):
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else ca
     flops = float(ca.get("flops", 0.0)) if ca else 0.0
+    bytes_accessed = float(ca.get("bytes accessed", 0.0)) if ca else 0.0
 
     state = {"p": params, "o": opt_state}
 
@@ -331,6 +332,39 @@ def bench_train(model, dtype_name):
         probe_spread = [round(K * 2 * M**3 / x / 1e12, 1) for x in t]
     except Exception:
         probe_spread = None
+
+    # same-session HBM-bandwidth probe (PERF_NOTES §3: the train step is
+    # memory-bound ~4.4x, so achieved GB/s vs this probe — not MFU — is the
+    # lens that says whether the step leaves the chip idle). Chained
+    # elementwise passes with optimization_barrier between them, matching
+    # scripts/profile_train.py::probe_hbm (without the barrier XLA fuses the
+    # chain read-once/write-once and the probe overcounts by ~Kx).
+    probe_hbm_gbps = None
+    try:
+        HK, nelem = 8, (2 << 30) // 4  # 2 GB f32 working set
+        x = jax.random.normal(jax.random.fold_in(key, 7), (nelem,),
+                              jnp.float32)
+
+        def hbm_chain(x):
+            y = x
+            for _ in range(HK):
+                y = jax.lax.optimization_barrier(y * 1.000001 + 0.5)
+            return y.mean()
+
+        hf = jax.jit(hbm_chain)
+        np.asarray(hf(x))  # compile + warm
+        t = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(hf(x))
+            t.append(time.perf_counter() - t0)
+        probe_hbm_gbps = HK * 2 * (nelem * 4) / float(np.median(t)) / 1e9
+        del x
+    except Exception:
+        pass
+
+    achieved_gbps = bytes_accessed / sec / 1e9 if bytes_accessed else None
+    pipe_gbps = bytes_accessed / pipe_sec / 1e9 if bytes_accessed else None
     return {
         "dtype": dtype_name,
         "device_kind": jax.devices()[0].device_kind,
@@ -348,6 +382,18 @@ def bench_train(model, dtype_name):
         ),
         "tokens_per_sec": round(tokens / sec, 1),
         "xla_flops_per_step": flops,
+        "xla_bytes_per_step": bytes_accessed,
+        "achieved_gbps": round(achieved_gbps, 1) if achieved_gbps else None,
+        "pipelined_achieved_gbps": (
+            round(pipe_gbps, 1) if pipe_gbps else None
+        ),
+        "probe_hbm_gbps": (
+            round(probe_hbm_gbps, 1) if probe_hbm_gbps else None
+        ),
+        "bw_frac_vs_probe": (
+            round(pipe_gbps / probe_hbm_gbps, 3)
+            if pipe_gbps and probe_hbm_gbps else None
+        ),
         "achieved_tflops": round(achieved_tflops, 2) if achieved_tflops else None,
         "mfu_vs_bf16_peak": (
             round(achieved_tflops / PEAK_TFLOPS, 4) if achieved_tflops else None
@@ -662,8 +708,9 @@ def main():
         "train_bf16": _pick(tr_bf16, "batch_rows", "captions_per_sec",
                             "pipelined_captions_per_sec", "achieved_tflops",
                             "pipelined_achieved_tflops",
-                            "probe_matmul_tflops", "mfu_vs_demonstrated",
-                            "pipelined_mfu_vs_demonstrated"),
+                            "probe_matmul_tflops",
+                            "pipelined_achieved_gbps", "probe_hbm_gbps",
+                            "bw_frac_vs_probe"),
         "train_f32_captions_per_sec": (results["train_f32"] or {}).get(
             "captions_per_sec"),
         "train_bf16_lowrank": _pick(

@@ -148,9 +148,15 @@ def main(argv=None):
     ids = [image_id_from_name(n) for n in names]
     N, B = len(names), args.batch_size
 
+    # weights as an explicit jit arg: a closed-over tree is embedded in the
+    # compile payload as constants (remote-compile backends cap the request
+    # size — HTTP 413 at backbone scale) and blocks the compile cache from
+    # reusing the graph across weight sets
+    params = jax.device_put(params)
+
     @jax.jit
-    def run(batch):
-        return feats_fn(params, batch)
+    def run(p, batch):
+        return feats_fn(p, batch)
 
     out_dir = args.output_dir
     pack_dir = out_dir if args.output_format == "packed" else out_dir + ".packed_tmp"
@@ -265,7 +271,7 @@ def main(argv=None):
             imgs = jnp.concatenate([imgs, jnp.zeros((pad,) + imgs.shape[1:])], 0)
         for variant in variants:
             var_imgs = jnp.stack([make_variant(im, variant) for im in imgs])
-            fc, att = run(var_imgs)
+            fc, att = run(params, var_imgs)
             fc_outs[variant][start : start + len(chunk)] = (
                 np.asarray(fc)[: len(chunk)]
             )

@@ -149,8 +149,24 @@ class CaptionService:
             feat_dims = (tuple(model.fc_feat_sizes),
                          tuple(model.att_feat_sizes))
 
-        def decode_core(f, a):
-            out = model_sample(model, params, f, a, beam_size=beam_size)
+        # Params ride as an EXPLICIT jit argument, committed to device once.
+        # Closing over them bakes the full weight tree into the jitted
+        # computation as embedded constants — at flagship scale that is ~GBs
+        # in the compile payload (remote-compile backends reject it outright:
+        # HTTP 413 on the tunneled bench host), and a host-resident tree
+        # would re-upload per dispatched batch. Under a dp mesh the batch
+        # arrives sharded on its leading axis (CaptionServer), so params are
+        # committed replicated over the same mesh.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            params = jax.device_put(params, NamedSharding(mesh,
+                                                          PartitionSpec()))
+        else:
+            params = jax.device_put(params)
+
+        def decode_core(p, f, a):
+            out = model_sample(model, p, f, a, beam_size=beam_size)
             return {"seq": out.seq, "seq_logprobs": out.seq_logprobs}
 
         self._att_unused = single and not hasattr(model, "att_feat_size")
@@ -158,24 +174,37 @@ class CaptionService:
             # show_tell ignores attention features (encode(att_feats=None)):
             # keep them OUT of the jit boundary, so client att shapes never
             # force recompiles and warmup() compiles the one real graph
-            jitted = jax.jit(lambda fcs: decode_core(fcs[0], None))
-            self._decode = lambda fcs, atts: jitted(fcs)
+            jitted = jax.jit(lambda p, fcs: decode_core(p, fcs[0], None))
+            self._decode = lambda fcs, atts: jitted(params, fcs)
         else:
-            def decode(fcs, atts):
+            def decode(p, fcs, atts):
                 f = fcs[0] if single else list(fcs)
                 a = atts[0] if single else list(atts)
-                return decode_core(f, a)
+                return decode_core(p, f, a)
 
-            self._decode = jax.jit(decode)
+            jitted = jax.jit(decode)
+            self._decode = lambda fcs, atts: jitted(params, fcs, atts)
+        # request features are cast to the params' compute dtype at submit:
+        # halves the wire/H2D payload under bf16 serving and keeps the
+        # decode matmuls in the params' dtype (f32 inputs against bf16
+        # params would silently promote them)
+        import jax.numpy as jnp
+
+        cast_dtype = next(
+            (l.dtype for l in jax.tree_util.tree_leaves(params)
+             if jnp.issubdtype(l.dtype, jnp.floating)), None)
         self.server = CaptionServer(
             self._decode, batch_size, depth=depth, mesh=mesh,
             flush_interval=flush_interval, feat_dims=feat_dims,
+            cast_dtype=cast_dtype,
         )
         self._backbone = None
         if backbone is not None:
             bb_params, feats_fn, image_size = backbone
-            extract = jax.jit(lambda img: feats_fn(bb_params, img))
-            self._backbone = (extract, image_size)
+            bb_params = jax.device_put(bb_params)
+            extract_j = jax.jit(lambda p, img: feats_fn(p, img))
+            self._backbone = (lambda img: extract_j(bb_params, img),
+                              image_size)
 
     # ------------------------------------------------------------------ API
 
@@ -242,6 +271,11 @@ class CaptionService:
             atts = [np.zeros((B, n, d), np.float32)
                     for n, d in zip(self.model.att_nums,
                                     self.model.att_feat_sizes)]
+        if self.server.cast_dtype is not None:
+            # match the server's submit-time cast, or warmup compiles an
+            # f32-input graph production never dispatches
+            fcs = [x.astype(self.server.cast_dtype) for x in fcs]
+            atts = [x.astype(self.server.cast_dtype) for x in atts]
         if self.server.mesh is not None:
             # match the server's dispatch placement (CaptionServer shards
             # batches over 'dp' before decode), or warmup compiles an

@@ -53,16 +53,23 @@ def eval_image_folder(
         if f.lower().endswith((".jpg", ".jpeg", ".png"))
     )
 
+    # weights ride as explicit jit args (device-committed once): closed-over
+    # trees become embedded constants — a ~GB compile payload that
+    # remote-compile backends reject (HTTP 413) — and host trees would
+    # re-upload per batch
+    bb_params = jax.device_put(bb_params)
+    params = jax.device_put(params)
+
     @jax.jit
-    def extract(batch):
-        fc, att = feats_fn(bb_params, batch)
+    def extract(bp, batch):
+        fc, att = feats_fn(bp, batch)
         return fc, att.reshape(att.shape[0], -1, att.shape[-1])
 
     @jax.jit
-    def caption(fc, att):
+    def caption(p, fc, att):
         if wrap:  # M==1 feat-array model: one-element encoder lists
             fc, att = [fc], [att]
-        return model_sample(model, params, fc, att, beam_size=beam_size).seq
+        return model_sample(model, p, fc, att, beam_size=beam_size).seq
 
     out = []
     B = batch_size
@@ -74,8 +81,8 @@ def eval_image_folder(
         pad = B - len(chunk)
         if pad:
             imgs = np.concatenate([imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
-        fc, att = extract(imgs)
-        seq = np.asarray(caption(fc, att))[: len(chunk)]
+        fc, att = extract(bb_params, imgs)
+        seq = np.asarray(caption(params, fc, att))[: len(chunk)]
         sents = decode_sequence(vocab, seq)
         for name, sent in zip(chunk, sents):
             try:

@@ -44,6 +44,12 @@ def main(argv=None):
                           "deliverable is unservable without this")
     pre.add_argument("--rank", type=int, default=0,
                      help="checkpoint rank (fleet seed index)")
+    pre.add_argument("--serve_dtype", default="bfloat16",
+                     choices=("bfloat16", "float32"),
+                     help="decode compute dtype: bfloat16 (default; the "
+                          "TPU-native profile — caption-identical to f32 "
+                          "on trained models and half the request H2D "
+                          "payload) or float32")
     pre_args, rest = pre.parse_known_args(argv)
 
     from recurrent_fusion_network_tpu.config import parse_opt
@@ -83,6 +89,13 @@ def main(argv=None):
             opt.backbone_arch, 14, opt.backbone_weights
         )
         backbone = (bb_params, feats_fn, 448)
+
+    if pre_args.serve_dtype == "bfloat16":
+        import jax.numpy as jnp
+
+        from recurrent_fusion_network_tpu.training.eval_split import cast_tree
+
+        params = cast_tree(params, jnp.bfloat16)
 
     mesh = None
     if pre_args.serve_dp_devices > 1:

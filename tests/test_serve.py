@@ -1065,3 +1065,111 @@ class TestAsyncFrontend:
         finally:
             fe.stop()
             svc.close()
+
+
+class TestDevicePadAndCast:
+    """Partial-batch device padding + submit-time dtype casting: the H2D
+    payload of a dispatch must scale with REAL rows (a nearly-empty
+    batch-64 flagship batch is ~0.5 GB of host-padded upload otherwise —
+    measured seconds per dispatch on the tunneled bench host) and requests
+    must reach the decode graph in the params' compute dtype."""
+
+    def test_partial_batch_rows_match_direct_decode(self):
+        """3 requests into a batch-8 server (pow2 bucket 4: host pads one
+        replica row, device zero-fills 4 more) must produce exactly the
+        rows a direct decode of that assembled batch produces."""
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.api import model_sample
+        from recurrent_fusion_network_tpu.models import setup
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = model.init_params(jax.random.PRNGKey(0))
+        decode = jax.jit(
+            lambda f, a: model_sample(model, params, f[0], a[0],
+                                      beam_size=2)._asdict()
+        )
+
+        rng = np.random.default_rng(1)
+        f0 = opt.feat_array_info[0]
+        fc = rng.standard_normal((3, f0["fc_feat_size"])).astype(np.float32)
+        att = rng.standard_normal(
+            (3, f0["att_num"], f0["att_feat_size"])
+        ).astype(np.float32)
+
+        # the exact batch _dispatch assembles: bucket=4 (last row
+        # replicated), device zero-fill to 8
+        fc_full = np.concatenate(
+            [fc, fc[2:3], np.zeros((4, fc.shape[1]), np.float32)])
+        att_full = np.concatenate(
+            [att, att[2:3], np.zeros((4,) + att.shape[1:], np.float32)])
+        want = np.asarray(decode([fc_full], [att_full])["seq"])
+
+        with CaptionServer(decode, batch_size=8, depth=1,
+                           flush_interval=0.2) as srv:
+            futs = [srv.submit([fc[i]], [att[i]]) for i in range(3)]
+            got = np.stack([f.result(timeout=120)["seq"] for f in futs])
+        assert srv.stats["batches"] == 1, "requests split across batches"
+        assert srv.stats["h2d_rows"] == 4
+        np.testing.assert_array_equal(got, want[:3])
+
+    def test_single_request_uploads_one_row(self):
+        with CaptionServer(jax.jit(_fake_decode), batch_size=8, depth=1,
+                           flush_interval=0.01) as srv:
+            out = srv.submit(*_request(5)).result(timeout=60)
+        np.testing.assert_array_equal(out["seq"], [5, 6, 7])
+        assert srv.stats["h2d_rows"] == 1
+        assert srv.stats["padded_rows"] == 7
+
+    def test_device_pad_off_uploads_full_batch(self):
+        with CaptionServer(jax.jit(_fake_decode), batch_size=8, depth=1,
+                           flush_interval=0.01, device_pad=False) as srv:
+            srv.submit(*_request(2)).result(timeout=60)
+        assert srv.stats["h2d_rows"] == 8
+
+    def test_cast_dtype_reaches_decode(self):
+        seen = {}
+
+        def decode(fcs, atts):
+            seen["dt"] = (np.dtype(fcs[0].dtype), np.dtype(atts[0].dtype))
+            return _fake_decode([jnp.asarray(fcs[0], jnp.float32)],
+                                [jnp.asarray(atts[0], jnp.float32)])
+
+        with CaptionServer(decode, batch_size=2, depth=1,
+                           flush_interval=0.01,
+                           cast_dtype=jnp.bfloat16) as srv:
+            out = srv.submit(*_request(3)).result(timeout=60)
+        bf16 = np.dtype(jnp.bfloat16)
+        assert seen["dt"] == (bf16, bf16)
+        np.testing.assert_array_equal(out["seq"], [3, 4, 5])
+
+    def test_caption_service_bf16_params_sets_cast(self):
+        """CaptionService derives the request cast dtype from the params'
+        float leaves, and a bf16 service still answers correctly."""
+        from recurrent_fusion_network_tpu.data.synthetic import synthetic_setup
+        from recurrent_fusion_network_tpu.decoding.http_serve import (
+            CaptionService,
+        )
+        from recurrent_fusion_network_tpu.models import setup
+        from recurrent_fusion_network_tpu.training.eval_split import cast_tree
+
+        opt, loader = synthetic_setup(caption_model="show_tell", batch_size=4)
+        opt.vocab_size, opt.seq_length = loader.vocab_size, loader.seq_length
+        model = setup(opt)
+        params = cast_tree(model.init_params(jax.random.PRNGKey(0)),
+                           jnp.bfloat16)
+        svc = CaptionService(model, params, loader.get_vocab(),
+                             batch_size=2, beam_size=2, depth=1)
+        try:
+            assert svc.server.cast_dtype == np.dtype(jnp.bfloat16)
+            f0 = opt.feat_array_info[0]
+            rng = np.random.default_rng(2)
+            out = svc.caption_features(
+                [rng.standard_normal(f0["fc_feat_size"])],
+                [rng.standard_normal((f0["att_num"],
+                                      f0["att_feat_size"]))],
+            )
+            assert isinstance(out["caption"], str)
+        finally:
+            svc.close()
