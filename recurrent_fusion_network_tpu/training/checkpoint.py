@@ -52,6 +52,7 @@ def backend(opt=None):
                     orbax_ckpt.save_checkpoint, async_save=True
                 ),
                 load_checkpoint=orbax_ckpt.load_checkpoint,
+                has_checkpoint=orbax_ckpt.has_checkpoint,
                 wait_until_finished=orbax_ckpt.wait_until_finished,
                 collective=True,
             )
@@ -148,6 +149,21 @@ def save_checkpoint(
             os.remove(stale)
     if infos is not None:
         _dump("infos", infos)
+
+
+def has_checkpoint(
+    checkpoint_path: str,
+    run_id: str,
+    rank: int = 0,
+    *,
+    best: bool = True,
+    prefix: str = "",
+) -> bool:
+    """True if this tag's model file exists — an existence probe that never
+    loads (flagship checkpoints are GBs; callers deciding whether a
+    fallback snapshot is needed must not pay a read to find out)."""
+    tag = f"{prefix}model_{run_id}_{rank}" + ("-best" if best else "")
+    return os.path.exists(os.path.join(checkpoint_path, tag + ".pkl"))
 
 
 def load_checkpoint(

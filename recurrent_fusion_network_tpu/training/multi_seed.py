@@ -585,6 +585,11 @@ def train_multi_seed_rl(
     warm_start_params = [None] * n_seeds
     warm_start_scores = [None] * n_seeds
     saved_opt_states = [None] * n_seeds
+    # moments to pair with a shipped never-improved -best when
+    # saved_opt_states holds something else (the rl_resume fallback:
+    # saved_opt_states are the ROLLING RL moments, the XE fallback params
+    # need their XE moments)
+    ship_opt_states = [None] * n_seeds
     resume_infos = None
     rl_resume = bool(getattr(opt, "rl_resume", 0)) and opt.start_from is not None
     if rl_resume:
@@ -608,6 +613,24 @@ def train_multi_seed_rl(
             # cannot recover it; see train_rl's fallback rationale)
             if opt.load_best_score:
                 warm_start_scores[r] = infos_r.get("best_val_score", None)
+            # The ship--best contract ("a seed whose SCST phase never beats
+            # its warm-start val best still ships an rl_-best = its XE
+            # weights", epilogue below) must survive preemption+resume: a
+            # fleet preempted BEFORE any rl_-best write resumes here with
+            # no shippable snapshot, and a never-improving resumed run
+            # would end with no rl_-best file at all (the dry runbook's
+            # eval stage hit exactly this). When no rl_-best exists yet,
+            # reload the XE -best as the fallback snapshot — params AND
+            # moments, so the shipped pair stays XE/XE like the fresh path.
+            # The probe targets checkpoint_path: that is where this run's
+            # epilogue writes and where eval_ensemble --rl_prefix looks.
+            if not _ckpt.has_checkpoint(opt.checkpoint_path, opt.id,
+                                        r, best=True, prefix="rl_"):
+                xe_p, xe_s, _ = _ckpt.load_checkpoint(
+                    opt.start_from, opt.load_model_id, r, best=True
+                )
+                warm_start_params[r] = xe_p
+                ship_opt_states[r] = xe_s
         _assert_arch_matches(opt, resume_infos[0].get("opt", {}))
         params = _stack_seed_trees(per_seed)
         del per_seed
@@ -957,12 +980,15 @@ def train_multi_seed_rl(
                 # omitting the optimizer file — omission would leave any
                 # stale rl_optimizer-best from an earlier run paired with
                 # the fresh model file
+                _ship_opt = best_opt_states[r]
+                if _ship_opt is None:
+                    _ship_opt = ship_opt_states[r]
+                if _ship_opt is None:
+                    _ship_opt = saved_opt_states[r]
                 _ckpt.save_checkpoint(
                     opt.checkpoint_path, opt.id, r,
                     params=best_params[r],
-                    opt_state=(best_opt_states[r]
-                               if best_opt_states[r] is not None
-                               else saved_opt_states[r]),
+                    opt_state=_ship_opt,
                     infos=seed_infos(r), best=True, prefix="rl_",
                 )
     getattr(_ckpt, "wait_until_finished", lambda: None)()  # async barrier

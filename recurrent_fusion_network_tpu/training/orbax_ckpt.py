@@ -130,6 +130,22 @@ def save_checkpoint(
             pickle.dump(infos, f)
 
 
+def has_checkpoint(
+    checkpoint_path: str,
+    run_id: str,
+    rank: int = 0,
+    *,
+    best: bool = True,
+    prefix: str = "",
+) -> bool:
+    """True if this tag's model directory exists (existence probe, no
+    restore). Waits for in-flight async writes first, like load."""
+    wait_until_finished()
+    return os.path.isdir(
+        _dir(checkpoint_path, run_id, rank, "model", best, prefix)
+    )
+
+
 def load_checkpoint(
     checkpoint_path: str,
     run_id: str,

@@ -477,3 +477,76 @@ class TestFleetLoaderNotHostSharded:
                        n_seeds=1)
         solo = build_loader(opt2, prefetch=False, synthetic=True)
         assert (solo.host_index, solo.host_count) == (1, 2)
+
+
+class TestRLFleetResumeShipsBest:
+    def _scorer(self, loader):
+        from recurrent_fusion_network_tpu.data.prepro_ngrams import (
+            compute_doc_freq,
+        )
+        from recurrent_fusion_network_tpu.rewards.cider_d import CiderD
+
+        ids = loader.split_image_id["train"]
+        return CiderD(compute_doc_freq(loader.dataset, ids),
+                      float(np.log(len(ids))))
+
+    def test_resumed_never_improving_fleet_ships_xe_best(self, tmp_path):
+        """A fleet preempted BEFORE any rl_-best write (only rolling rl_
+        checkpoints on disk) that then resumes and never beats its
+        warm-start val best must still ship rl_-best = the XE weights —
+        the ship--best epilogue contract eval_ensemble --rl_prefix and
+        run_coco.sh rely on (the dry runbook's eval stage hit the missing
+        file; see multi_seed's rl_resume fallback)."""
+        from recurrent_fusion_network_tpu.training.checkpoint import (
+            has_checkpoint,
+            save_checkpoint,
+        )
+        from recurrent_fusion_network_tpu.training.multi_seed import (
+            train_multi_seed,
+            train_multi_seed_rl,
+        )
+
+        kw = dict(caption_model="show_tell", batch_size=4, seq_per_img=2)
+        opt, loader = synthetic_setup(**kw)
+        opt.checkpoint_path = str(tmp_path)
+        opt.id = "pfleet"
+        train_multi_seed(opt, loader, 2, max_iterations=3,
+                         eval_at_end=True, log_fn=quiet)
+
+        # simulate the preempted first SCST run: rolling rl_ checkpoints
+        # only (grace-window saves), best_val_score carried from the XE
+        # warm start and pinned unbeatably high so the resumed run can
+        # never improve on it
+        xe = [load_checkpoint(str(tmp_path), "pfleet", r, best=True)
+              for r in range(2)]
+        for r in range(2):
+            p, s, infos = xe[r]
+            save_checkpoint(
+                str(tmp_path), "pfleet", r, params=p, opt_state=s,
+                infos={**infos, "best_val_score": 1e9, "rl_lr_base": 5e-5},
+                best=False, prefix="rl_",
+            )
+            assert not has_checkpoint(str(tmp_path), "pfleet", r,
+                                      best=True, prefix="rl_")
+
+        opt2, loader2 = synthetic_setup(**kw)
+        opt2.checkpoint_path = str(tmp_path)
+        opt2.id = "pfleet"
+        opt2.start_from = str(tmp_path)
+        opt2.load_model_id = "pfleet"
+        opt2.rl_resume = 1
+        res = train_multi_seed_rl(
+            opt2, loader2, self._scorer(loader2), 2, max_iterations=2,
+            eval_at_end=True, log_fn=quiet,
+        )
+        assert all(v == 1e9 for v in res["cider_per_seed"])
+        for r in range(2):
+            p, s, infos = load_checkpoint(str(tmp_path), "pfleet", r,
+                                          best=True, prefix="rl_")
+            assert s is not None, "shipped -best lost its moments"
+            # shipped params must be the XE warm start, bitwise
+            want = jax.tree_util.tree_leaves(xe[r][0])
+            got = jax.tree_util.tree_leaves(p)
+            assert len(want) == len(got)
+            for w, g in zip(want, got):
+                np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
