@@ -622,10 +622,16 @@ def train_multi_seed_rl(
             # eval stage hit exactly this). When no rl_-best exists yet,
             # reload the XE -best as the fallback snapshot — params AND
             # moments, so the shipped pair stays XE/XE like the fresh path.
-            # The probe targets checkpoint_path: that is where this run's
-            # epilogue writes and where eval_ensemble --rl_prefix looks.
+            # The rl_-best probe targets checkpoint_path: that is where this
+            # run's epilogue writes and where eval_ensemble --rl_prefix
+            # looks. Guarded on the XE -best existing: a from-scratch RL
+            # fleet (never XE-warm-started) resumes from a dir holding only
+            # its own rolling rl_ files, and has no privileged snapshot —
+            # its first eval establishes -best as before.
             if not _ckpt.has_checkpoint(opt.checkpoint_path, opt.id,
-                                        r, best=True, prefix="rl_"):
+                                        r, best=True, prefix="rl_") \
+                    and _ckpt.has_checkpoint(opt.start_from,
+                                             opt.load_model_id, r, best=True):
                 xe_p, xe_s, _ = _ckpt.load_checkpoint(
                     opt.start_from, opt.load_model_id, r, best=True
                 )
